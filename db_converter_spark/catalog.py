@@ -1,0 +1,75 @@
+"""Testdata catalog: register the driver-generated parquet tables as views.
+
+The reference resolves tables through the live PostgreSQL catalog
+(reference: psc/postgresql/driver/pq3.py TypeIO.resolve); here Catalyst infers
+schemas from parquet footers — no hand-declared schemas anywhere, matching the
+reference's dynamic-schema stance (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+@lru_cache(maxsize=None)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet timestamp[ns] — Spark rejects NANOS outright
+    (PARQUET_TYPE_ILLEGAL), so we read them as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild micros timestamps.
+    Footer-driven, no hard-coded schemas (matches the reference's
+    server-inferred-schema stance, SURVEY §1.2)."""
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        # integer nanos → micros. Integral `div`, not `/1000`: epoch-nanos
+        # (~1.7e18) exceeds double's 2^53 exact range, float division would
+        # corrupt the low digits. Truncation matches DuckDB's ns→us cast.
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+_registered: dict[int, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (memoized per session).
+
+    Views are cheap (no scan happens until an action); filters and column
+    pruning push down through them to the parquet scan.
+    """
+    if _registered.get(id(spark)) == sf_dir:
+        return
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _registered[id(spark)] = sf_dir

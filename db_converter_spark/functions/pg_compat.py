@@ -1,0 +1,110 @@
+"""PostgreSQL-dialect compatibility shims (SURVEY §4.3 item 1).
+
+Everything here is built from native ``pyspark.sql.functions`` expressions so
+it stays inside whole-stage codegen — no Python UDFs in the hot path. The
+driver-side (plain-Python) variants exist for the engine layer's string
+formatting (hooks, export filenames).
+
+Reference behaviors emulated:
+- ``pg_size_pretty`` — reference: dba_top_tables/01_step.sql result columns.
+- ``quote_ident`` / ``format('%I')`` — reference: dbccore usage in
+  alert_check_autovacuum/01_step.sql:10, alert_int4_capacity/01_step.sql:21-27.
+- int-division semantics: PG ``int/int`` truncates; Spark ``/`` is double —
+  use ``F.expr('a div b')`` / :func:`int_div` for parity (SURVEY §2.9 math).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"^[a-z_][a-z0-9_$]*$")
+
+
+# ---------------------------------------------------------------------------
+# Column-level (JVM-side) shims
+# ---------------------------------------------------------------------------
+
+def pg_size_pretty(nbytes: Column) -> Column:
+    """PG's pg_size_pretty: bytes → '123 MB' style text, halving by 1024.
+
+    Mirrors PostgreSQL numeric formatting: unit thresholds at 10*unit with
+    round-half-even division (PG src: dbsize.c). Pure expression — codegen'd.
+    """
+    b = nbytes.cast("double")
+    kb, mb, gb, tb = 1024.0, 1024.0**2, 1024.0**3, 1024.0**4
+    return (
+        F.when(F.abs(b) < 10 * kb, F.concat(nbytes.cast("long").cast("string"), F.lit(" bytes")))
+        .when(F.abs(b) < 10 * mb, F.concat(F.round(b / kb).cast("long").cast("string"), F.lit(" kB")))
+        .when(F.abs(b) < 10 * gb, F.concat(F.round(b / mb).cast("long").cast("string"), F.lit(" MB")))
+        .when(F.abs(b) < 10 * tb, F.concat(F.round(b / gb).cast("long").cast("string"), F.lit(" GB")))
+        .otherwise(F.concat(F.round(b / tb).cast("long").cast("string"), F.lit(" TB")))
+    )
+
+
+def quote_ident(ident: Column) -> Column:
+    """PG quote_ident as a native expression: quote unless a safe lowercase
+    identifier; embedded double-quotes doubled."""
+    safe = ident.rlike("^[a-z_][a-z0-9_$]*$")
+    quoted = F.concat(F.lit('"'), F.regexp_replace(ident, '"', '""'), F.lit('"'))
+    return F.when(safe, ident).otherwise(quoted)
+
+
+def int_div(a: Column, b: Column) -> Column:
+    """PG integer/integer division (truncating toward zero), like SQL `div`."""
+    al, bl = a.cast("long"), b.cast("long")
+    # Spark's % follows the dividend's sign (like PG), so (a - a%b) is exactly
+    # divisible and the quotient truncates toward zero (PG int-div semantics).
+    return ((al - al % bl) / bl).cast("long")
+
+
+def generate_series(start, stop, step: int = 1) -> Column:
+    """PG generate_series(a,b[,step]) as an array column; pair with
+    ``F.explode`` for the set-returning form (SURVEY §2.2)."""
+    return F.sequence(F.lit(start), F.lit(stop), F.lit(step))
+
+
+# ---------------------------------------------------------------------------
+# Driver-side (plain Python) variants for the engine layer
+# ---------------------------------------------------------------------------
+
+def py_quote_ident(ident: str) -> str:
+    if _IDENT_RE.match(ident):
+        return ident
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def pg_format(fmt: str, *args) -> str:
+    """PG format(): supports %s (literal), %I (identifier), %L (quoted
+    literal), %% (percent). Used by the packet engine for dynamic SQL —
+    reference: dbccore format() usages in packets."""
+    out: list[str] = []
+    it = iter(args)
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                out.append("%")
+            elif spec == "s":
+                out.append(str(next(it)))
+            elif spec == "I":
+                out.append(py_quote_ident(str(next(it))))
+            elif spec == "L":
+                v = next(it)
+                out.append("NULL" if v is None else "'" + str(v).replace("'", "''") + "'")
+            else:
+                raise ValueError(f"unsupported format spec %{spec}")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def register_pg_compat(spark: SparkSession) -> None:
+    """Register SQL-callable shims so packet SQL can use PG names directly."""
+    spark.udf.register("quote_ident", py_quote_ident, "string")

@@ -1,1 +1,281 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators over the ``documents`` table — the LLM-data-
+pipeline extensions (north-star BASELINE.json): exact, normalized-
+fingerprint, MinHash signatures, MinHash-LSH banding, n-gram Jaccard, and
+SimHash.
+
+Scale notes (100 TB design stance):
+- Exact/normalized dedup is a hash-groupBy — one shuffle on the digest,
+  map-side partial aggregation, no skew (md5 is uniform).
+- MinHash signatures are computed per-document in the array domain
+  (``transform``/``aggregate`` over shingles) — NO explode, NO shuffle until
+  the final tiny aggregate; scales linearly and stays in whole-stage codegen.
+- LSH banding shuffles once on (band, bucket-key) — the classic way to avoid
+  the O(n²) pairwise join at scale. The brute-force inverted-index Jaccard
+  (dd05) is the *correctness* baseline; at 100 TB you run dd04's banding to
+  get candidates and only then compute exact Jaccard on candidates.
+- All hashes are md5-derived (portable to the DuckDB oracle bit-for-bit;
+  see functions/hashing.py). The reference identifies work the same way —
+  md5 of the action SQL (reference: dbccore/dbccore.py:941-951).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_converter_spark.catalog import register_views
+from db_converter_spark.registry import query
+
+# 8 universal-hash permutations for minhash: (a, b) with a < 2^21 so
+# a * md5_i32 + b stays well under 2^63 in both engines.
+MINHASH_PERMS = (
+    (1000003, 12345),
+    (999983, 54321),
+    (1000033, 98765),
+    (1000037, 13579),
+    (1000039, 24680),
+    (1000081, 11111),
+    (1000099, 22222),
+    (1000117, 33333),
+)
+MERSENNE61 = (1 << 61) - 1
+
+# --- shared SQL fragments, written in the dialect intersection ------------
+
+# 5-char shingle arrays (guarded so short docs still yield one shingle)
+_SHINGLES_SPARK = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> substring(text, i, 5))"
+_SHINGLES_DUCK = "[substring(text, i, 5) for i in generate_series(1, greatest(length(text) - 4, 1))]"
+
+
+def _minhash_cols(shingles_expr: str, md5_i64_fmt: str, min_fn: str = "array_min") -> str:
+    """Min over a hash permutation of every shingle, one column per perm.
+    ``md5_i64_fmt`` is a format string turning an expression into a portable
+    md5-derived integer. ``min_fn``: array_min (Spark) / list_min (DuckDB)."""
+    transform_fn = "transform" if min_fn == "array_min" else "list_transform"
+    cols = []
+    for j, (a, b) in enumerate(MINHASH_PERMS):
+        h = md5_i64_fmt.format(expr="s")
+        cols.append(
+            f"{min_fn}({transform_fn}({shingles_expr}, s -> ({a} * {h} + {b}) % {MERSENNE61})) AS h{j}"
+        )
+    return ",\n  ".join(cols)
+
+
+_SPARK_MD5_I32 = "(conv(substring(md5({expr}), 1, 8), 16, 10) AS LONG)"  # placeholder, see below
+
+
+def _spark_md5_i32(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _duck_md5_i32(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# dd01 — exact dedup
+# ---------------------------------------------------------------------------
+
+_DD01 = """
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+), groups AS (
+  SELECT digest, COUNT(*) AS n FROM hashed GROUP BY digest
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                   AS n_groups,
+  CAST(SUM(n) AS BIGINT)                                     AS n_docs,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)     AS n_dup_groups,
+  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)     AS n_docs_in_dup_groups,
+  CAST(SUM(n - 1) AS BIGINT)                                 AS n_removable
+FROM groups
+"""
+
+
+@query("dd01_dedup_exact", oracle=_DD01, tags=("dedup", "exact"))
+def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-digest hash-groupBy. At scale: single uniform shuffle
+    on the digest; keep-one semantics = min(doc_id) per group."""
+    return _sql(spark, sf_dir, _DD01)
+
+
+# ---------------------------------------------------------------------------
+# dd02 — normalized fingerprint dedup
+# ---------------------------------------------------------------------------
+
+_DD02_BODY = """
+WITH normed AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')))
+           AS fp
+  FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT)          AS n_docs,
+  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+FROM normed GROUP BY source
+"""
+
+
+@query("dd02_norm_fingerprint", oracle=_DD02_BODY, tags=("dedup", "fingerprint"))
+def dd02_norm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup (lowercase, strip non-alnum, collapse
+    whitespace → md5) — catches trivial near-dups exact hashing misses."""
+    return _sql(spark, sf_dir, _DD02_BODY)
+
+
+# ---------------------------------------------------------------------------
+# dd03 — MinHash signatures (array-domain, no explode)
+# ---------------------------------------------------------------------------
+
+_DD03_SPARK = f"""
+SELECT doc_id,
+  {_minhash_cols(_SHINGLES_SPARK, "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)")}
+FROM documents
+"""
+
+_DD03_DUCK = f"""
+SELECT doc_id,
+  {_minhash_cols(_SHINGLES_DUCK, "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)", "list_min")}
+FROM documents
+"""
+
+
+@query("dd03_minhash_signatures", oracle=_DD03_DUCK, tags=("dedup", "minhash"))
+def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document, computed entirely in the
+    array domain (shingle → hash → array_min via transform) — per-row work,
+    zero shuffle, codegen'd. The LSH step (dd04) builds on these."""
+    return _sql(spark, sf_dir, _DD03_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd04 — MinHash-LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _dd04(sig_sql: str) -> str:
+    # 4 bands × 2 rows: band key = md5 of the two minhash values
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING))) AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({sig_sql}),
+bands AS ({bands}),
+buckets AS (
+  SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+)
+SELECT CAST(band AS BIGINT) AS band,
+  CAST(COUNT(*) AS BIGINT)                   AS n_buckets,
+  CAST(MAX(n) AS BIGINT)                     AS max_bucket,
+  CAST(SUM(n * (n - 1) / 2) AS BIGINT)       AS candidate_pairs
+FROM buckets GROUP BY band
+"""
+
+
+_DD04_SPARK = _dd04(_DD03_SPARK).replace("AS STRING", "AS STRING")
+_DD04_DUCK = _dd04(_DD03_DUCK).replace("CAST(h", "CAST(h").replace("AS STRING", "AS VARCHAR")
+
+
+@query("dd04_minhash_lsh_bands", oracle=_DD04_DUCK, tags=("dedup", "minhash", "lsh"))
+def dd04_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (4 bands × 2 rows): shingle→minhash→band→bucket.
+    The single shuffle is on (band, bucket-key) — uniform md5 keys, no skew.
+    This is THE scale path for near-dup at 100 TB: candidate pairs come from
+    shared buckets (sum n·(n-1)/2 here), never from an O(n²) cross join."""
+    return _sql(spark, sf_dir, _DD04_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd05 — n-gram Jaccard (inverted-index, correctness baseline)
+# ---------------------------------------------------------------------------
+
+
+def _dd05(shingles: str) -> str:
+    return f"""
+WITH doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT doc_id, {{unnest}} AS sh FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM doc_sh a JOIN doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT da, db, common,
+         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS j
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                  AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_03,
+  CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
+  ROUND(MAX(j), 4)                                          AS max_jaccard
+FROM jac
+"""
+
+
+_DD05_SPARK = _dd05(_SHINGLES_SPARK).format(unnest=f"explode({_SHINGLES_SPARK})")
+_DD05_DUCK = _dd05(_SHINGLES_DUCK).format(unnest=f"unnest({_SHINGLES_DUCK})")
+
+
+@query("dd05_ngram_jaccard", oracle=_DD05_DUCK, tags=("dedup", "jaccard"))
+def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard over an inverted-index self-join — exact
+    near-dup ground truth. Documented scale caveat: the shingle join is
+    O(Σ bucket²); at 100 TB run dd04 (LSH) first and compute exact Jaccard
+    only on candidate pairs."""
+    return _sql(spark, sf_dir, _DD05_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd06 — SimHash
+# ---------------------------------------------------------------------------
+
+
+def _dd06(md5_i32_fmt, intdiv: str) -> str:
+    h = md5_i32_fmt("w")
+    return f"""
+WITH words AS (
+  SELECT doc_id, {{unnest}} AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM words WHERE w <> ''
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h {intdiv} CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed
+  CROSS JOIN {{bitsrc}}
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+_DD06_SPARK = (
+    _dd06(_spark_md5_i32, "div")
+    .format(unnest="explode(split(text, ' '))", bitsrc="(SELECT explode(sequence(0, 31)) AS b)")
+)
+_DD06_DUCK = (
+    _dd06(_duck_md5_i32, "//")
+    .format(unnest="unnest(string_split(text, ' '))", bitsrc="(SELECT CAST(g AS BIGINT) AS b FROM generate_series(0, 31) t(g))")
+)
+
+
+@query("dd06_simhash", oracle=_DD06_DUCK, tags=("dedup", "simhash"))
+def dd06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived hash, ±1 vote per
+    bit position, sign → bit. Near-dups then group by simhash (or small
+    hamming radius via 4-chunk pigeonhole — same banding trick as LSH)."""
+    return _sql(spark, sf_dir, _DD06_SPARK)

@@ -1,1 +1,154 @@
-"""Placeholder — filled in this round."""
+"""Multimodal-column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched Pandas
+UDFs via ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libs in this container —
+see ``decode_image_stub``); everything Spark-side is real and tested: the
+binary column, the mapInPandas batch iterator, the output schema, and the
+deterministic metadata derivation, which is md5-based so the DuckDB oracle
+can verify the plumbing end-to-end.
+
+At 100 TB: binary payloads ride in parquet with the metadata columns
+alongside; ``spark.sql.files.maxPartitionBytes`` bounds scan partitions;
+the Pandas UDF processes Arrow batches (``spark.sql.execution.arrow.
+maxRecordsPerBatch``) so peak memory is batch-bounded, not partition-bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from db_converter_spark.catalog import load_table, register_views
+from db_converter_spark.registry import query
+
+_MM01_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def _decode_binary_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, 'decode' the binary payload into
+    metadata. Real codecs (PIL/ffmpeg) slot in here unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        payload = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payload.map(len).astype("int64"),
+                "content_md5": payload.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+            }
+        )
+
+
+_MM01_DUCK = """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 10 = 0
+"""
+
+
+@query("mm01_binary_decode_plumbing", oracle=_MM01_DUCK, tags=("multimodal", "udf"))
+def mm01_binary_decode_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column → mapInPandas decode pipeline. The payload is the UTF-8
+    encoding of ``text`` (a stand-in for image bytes); the 'decode' extracts
+    byte length + md5 inside the Pandas UDF, so the oracle can verify the
+    whole Arrow round-trip produced exactly the original bytes."""
+    register_views(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return docs.mapInPandas(_decode_binary_batch, schema=_MM01_SCHEMA)
+
+
+_MM02_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB for the real image decoder (PIL/libvips not in this container).
+
+    Deterministic fake: dimensions derived from the payload's md5 so tests
+    and the oracle can check the plumbing. A real implementation returns
+    ``PIL.Image.open(io.BytesIO(payload))`` metadata; raise instead if strict
+    behavior is wanted:  ``raise NotImplementedError("image codec")``.
+    """
+    import hashlib
+
+    h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+    return {
+        "width": 64 + h % 512,
+        "height": 64 + (h // 512) % 512,
+        "n_frames": 1 + h % 4,
+        "format": ("png", "jpeg", "webp", "gif")[h % 4],
+    }
+
+
+def _decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = pdf["payload"].map(lambda b: decode_image_stub(bytes(b)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": metas.map(lambda m: m["width"]).astype("int64"),
+                "height": metas.map(lambda m: m["height"]).astype("int64"),
+                "n_frames": metas.map(lambda m: m["n_frames"]).astype("int64"),
+                "format": metas.map(lambda m: m["format"]),
+            }
+        )
+
+
+_MM02_DUCK = """
+WITH h AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+  CAST(64 + hv % 512 AS BIGINT)          AS width,
+  CAST(64 + (hv // 512) % 512 AS BIGINT) AS height,
+  CAST(1 + hv % 4 AS BIGINT)             AS n_frames,
+  (['png', 'jpeg', 'webp', 'gif'])[CAST(hv % 4 AS INT) + 1] AS format
+FROM h
+"""
+
+
+@query("mm02_image_metadata_stub", oracle=_MM02_DUCK, tags=("multimodal", "stub"))
+def mm02_image_metadata_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature-extraction plumbing with a clearly-marked stub decoder:
+    binary payload → mapInPandas → (width, height, n_frames, format). The
+    stub derives metadata from md5(payload) so the Arrow batch shape, UDF
+    signature, and schema are all verified against the oracle."""
+    register_views(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return docs.mapInPandas(_decode_image_batch, schema=_MM02_SCHEMA)

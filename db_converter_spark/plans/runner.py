@@ -1,0 +1,393 @@
+"""Packet runner — the reference's worker/step/action executor rebuilt on
+Spark (reference: worker_db_func + execute_step + execute_q,
+dbccore/dbccore.py:379-627, 831-903, 905-1181).
+
+Execution model:
+- one *target* = one Spark catalog database + its own SQLite ledger; targets
+  run in parallel driver threads over isolated ``spark.newSession()``
+  children (session-scoped SQL conf / current database / temp views), which
+  is the Spark analog of the reference's thread-per-DB fan-out
+  (reference: db_converter.py:633-647) — intra-query parallelism comes from
+  partitions, inter-target from threads sharing one SparkContext.
+- one *step* = one SQL (or Python) file; one *action* = one placeholder
+  binding of a step, identity = md5 of the final SQL, dedup'd against the
+  ledger for idempotent resume (reference: dbccore/dbccore.py:941-951).
+- "transaction" semantics: an action is recorded done only after every
+  statement in it succeeded; re-runs skip completed actions. Cross-table
+  atomicity is best-effort, same as the reference's reconnect-and-resume
+  behavior (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from db_converter_spark.plans.export import export_statements
+from db_converter_spark.plans.formatter import ANON_COLUMN, print_table
+from db_converter_spark.plans.ledger import ActionTracker
+from db_converter_spark.plans.model import (
+    CommandType,
+    DBCResult,
+    PacketStatus,
+    PacketType,
+    ResultCode,
+)
+from db_converter_spark.plans.packet import (
+    Packet,
+    apply_gen_placeholders,
+    parse_packet,
+)
+from db_converter_spark.plans.sqlsplit import (
+    is_read_only_ok,
+    split_statements,
+    statement_kind,
+)
+
+
+class ReadOnlyViolation(Exception):
+    """Write statement inside a read-only packet (reference:
+    ReadOnlyTransactionError path, dbccore/dbccore.py:1221-1402)."""
+
+
+class PacketHashChanged(Exception):
+    """Packet content changed since last (unfinished) run and --force not
+    given (reference: dbccore/dbccore.py:449-463)."""
+
+
+class RunContext:
+    """Per-(target, packet) execution context; also the ``ctx`` object handed
+    to Python steps (reference exposes ``self``/``db_local`` to py-steps,
+    dbccore/dbccore.py:1113-1115)."""
+
+    def __init__(self, spark: SparkSession, db_name: str, packet: Packet, read_only: bool):
+        self.spark = spark
+        self.db_name = db_name
+        self.packet = packet
+        self.read_only = read_only
+        self.messages: list[tuple[str, str]] = []  # (severity, text) — E16 channel
+        self.current_step_results: list = []
+
+    def raise_notice(self, severity: str, message: str) -> None:
+        """Engine message channel — the RAISE NOTICE analog (reference:
+        filter_notices, dbccore/dbccore.py:838-844)."""
+        self.messages.append((severity.upper(), message))
+        self.current_step_results.append([severity.upper(), message])
+
+    def execute(self, sql: str) -> list:
+        """Run one statement, capture like the engine does; for py-steps."""
+        return _run_statement(self, sql)
+
+
+def _capture_select(ctx: RunContext, df) -> list:
+    cols = [f if f else ANON_COLUMN for f in df.columns]
+    rows = [list(r) for r in df.collect()]
+    return [cols] + rows
+
+
+def _run_statement(ctx: RunContext, stmt: str) -> list:
+    kind = statement_kind(stmt)
+    if ctx.read_only and not is_read_only_ok(stmt):
+        raise ReadOnlyViolation(f"write statement in read-only packet: {stmt[:80]}...")
+    df = ctx.spark.sql(stmt)
+    if kind == "query":
+        table = _capture_select(ctx, df)
+        ctx.current_step_results.append(table)
+        return table
+    # DML/DDL/utility: Spark reports no rowcount; capture the command word as
+    # the status tuple (the reference captures e.g. ('UPDATE 100',),
+    # dbccore/dbccore.py:866-883 — rowcount is a documented gap on Spark)
+    df.collect()
+    status = [stmt.split()[0].upper()]
+    ctx.current_step_results.append([status])
+    return [status]
+
+
+_MAINT_VACUUM_ANALYZE = re.compile(r"^\s*vacuum\s+analyze\s+(\S+)", re.I)
+
+
+def _run_maint(ctx: RunContext, command: str) -> None:
+    """The generator's field-0 maintenance side channel (reference:
+    dbccore/dbccore.py:954-965). ``vacuum analyze t`` → ANALYZE TABLE;
+    other commands run verbatim; failures are notices, not errors."""
+    m = _MAINT_VACUUM_ANALYZE.match(command)
+    try:
+        if m:
+            ctx.spark.sql(f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS").collect()
+        else:
+            ctx.spark.sql(command).collect()
+        ctx.raise_notice("LOG", f"maint done: {command}")
+    except Exception as e:  # noqa: BLE001 — maint is advisory
+        ctx.raise_notice("WARNING", f"maint failed: {command}: {e}")
+
+
+class PacketRunner:
+    def __init__(self, spark: SparkSession, warehouse_dir: str | Path):
+        self.spark = spark
+        self.warehouse = Path(warehouse_dir)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        self._stop_requested: set[str] = set()
+        self._stop_lock = threading.Lock()
+
+    # -- target selection (reference: init_dbs_list, db_converter.py:459-484)
+
+    def expand_targets(self, mask: str, known: list[str]) -> list[str]:
+        """'ALL', 'ALL,exclude:a,b', glob masks, or comma lists."""
+        if mask.startswith("ALL"):
+            excl: list[str] = []
+            if ",exclude:" in mask:
+                excl = mask.split(",exclude:", 1)[1].split(",")
+            return [d for d in known if not any(fnmatch.fnmatch(d, e) for e in excl)]
+        out = []
+        for part in mask.split(","):
+            matched = [d for d in known if fnmatch.fnmatch(d, part)]
+            out.extend(matched or ([part] if part in known else []))
+        return sorted(dict.fromkeys(out))
+
+    def stop(self, db_name: str, packet_name: str) -> None:
+        """--stop analog: cancel the job group (reference terminates backends
+        by application_name, db_converter.py:390-411)."""
+        with self._stop_lock:
+            self._stop_requested.add(f"{db_name}:{packet_name}")
+        self.spark.sparkContext.cancelJobGroup(f"dbc_{db_name}_{packet_name}")
+
+    # -- main entry (reference: MainRoutine.run → run_on_db) ---------------
+
+    def run(
+        self,
+        packet_dir: str | Path,
+        dbs: list[str] | None = None,
+        placeholders: dict[str, str] | None = None,
+        packet_type: PacketType | None = None,
+        force: bool = False,
+        seq: bool = False,
+        skip_step_cancel: bool = False,
+        skip_action_cancel: bool = False,
+        export_dir: str | Path | None = None,
+    ) -> DBCResult:
+        pkt = parse_packet(packet_dir, placeholders)
+        ptype = packet_type or pkt.packet_type
+        dbs = dbs or ["default"]
+        result = DBCResult(CommandType.RUN, ptype)
+
+        def one(db: str) -> None:
+            try:
+                code, status, data = self._run_on_db(
+                    pkt, ptype, db, force, skip_step_cancel, skip_action_cancel, export_dir
+                )
+            except Exception as e:  # noqa: BLE001 — surface as FAIL
+                code, status, data = ResultCode.FAIL, PacketStatus.EXCEPTION, {
+                    "__error__": [str(e)]
+                }
+            result.result_code[db] = code
+            result.packet_status[db] = status
+            result.result_data[db] = data
+
+        if seq or len(dbs) == 1:
+            for db in dbs:
+                one(db)
+        else:
+            with ThreadPoolExecutor(max_workers=min(len(dbs), 16)) as pool:
+                list(pool.map(one, dbs))
+        return result
+
+    # -- per-target worker (reference: worker_db_func) ---------------------
+
+    def _run_on_db(
+        self,
+        pkt: Packet,
+        ptype: PacketType,
+        db: str,
+        force: bool,
+        skip_step_cancel: bool,
+        skip_action_cancel: bool,
+        export_dir: str | Path | None,
+    ):
+        session = self.spark.newSession()
+        for k, v in pkt.session_conf.items():
+            session.conf.set(k, v)
+        session.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        session.catalog.setCurrentDatabase(db)
+        session.sparkContext.setJobGroup(
+            f"dbc_{db}_{pkt.name}", f"packet {pkt.name} on {db}", interruptOnCancel=True
+        )
+
+        tracker = ActionTracker(self.warehouse / db / "dbc_ledger.sqlite")
+        lock_name = pkt.name
+        if not tracker.try_lock(lock_name):
+            return ResultCode.LOCKED, PacketStatus.NEW, {}
+        try:
+            read_only = ptype in (PacketType.READ_ONLY, PacketType.EXPORT_DATA)
+            track = ptype == PacketType.DEFAULT or ptype == PacketType.MAINTENANCE
+
+            prev_hash = tracker.packet_hash(pkt.name)
+            if track and prev_hash not in (None, pkt.packet_hash) and not force:
+                raise PacketHashChanged(
+                    f"packet {pkt.name} changed (was {prev_hash}, now {pkt.packet_hash});"
+                    " wipe or force"
+                )
+            packet_id = tracker.upsert_packet(pkt.name, pkt.packet_hash, pkt.meta) if track else -1
+
+            ctx = RunContext(session, db, pkt, read_only)
+            data: dict[str, list] = {}
+            status = PacketStatus.DONE
+
+            if ptype == PacketType.EXPORT_DATA:
+                out_dir = Path(export_dir or (self.warehouse / db / "export"))
+                for step in pkt.steps:
+                    ctx.current_step_results = []
+                    files = export_statements(
+                        session, db, split_statements(step.text), out_dir
+                    )
+                    ctx.current_step_results.append([["exported"], *[[f] for f in files]])
+                    data[step.name] = ctx.current_step_results
+                tracker.set_packet_status(pkt.name, "done") if track else None
+                return ResultCode.SUCCESS, PacketStatus.DONE, data
+
+            # generators are evaluated AFTER run_once (reference ordering,
+            # dbccore/dbccore.py:536-541)
+            steps = ([pkt.run_once] if pkt.run_once else []) + pkt.steps
+            gen_cache: dict[str, list] = {}
+
+            seen_hashes: set[str] = set()
+            for step in steps:
+                ctx.current_step_results = []
+                step_id = tracker.upsert_step(packet_id, step.name) if track else -1
+                try:
+                    if step.kind == "py":
+                        self._run_py_step(ctx, step.text)
+                    else:
+                        self._run_sql_step(
+                            ctx, tracker, track, packet_id, step_id, step, pkt,
+                            gen_cache, seen_hashes, skip_action_cancel,
+                        )
+                    if track:
+                        tracker.set_step_status(step_id, "done")
+                except Exception as e:  # noqa: BLE001
+                    if track:
+                        tracker.set_step_status(step_id, "exception", str(e)[:2000])
+                    ctx.raise_notice("EXCEPTION", str(e))
+                    if skip_step_cancel:
+                        continue
+                    status = PacketStatus.EXCEPTION
+                    data[step.name] = ctx.current_step_results
+                    break
+                finally:
+                    if ctx.current_step_results:
+                        data[step.name] = ctx.current_step_results
+
+                if step is pkt.run_once and not gen_cache:
+                    # evaluate generators once run_once completed
+                    gen_cache.update(self._eval_generators(session, pkt))
+
+            if not pkt.run_once and not gen_cache:
+                pass  # generators were evaluated lazily inside the step loop
+
+            if track:
+                tracker.set_packet_status(
+                    pkt.name, "done" if status == PacketStatus.DONE else "exception"
+                )
+            code = ResultCode.SUCCESS if status == PacketStatus.DONE else ResultCode.FAIL
+            return code, status, data
+        finally:
+            tracker.unlock(lock_name)
+            tracker.close()
+
+    # -- generators --------------------------------------------------------
+
+    def _eval_generators(self, session: SparkSession, pkt: Packet) -> dict[str, list]:
+        """collect() every generator resultset once (reference:
+        dbccore/dbccore.py:538-541). Generators are small parameter grids —
+        driver-side materialization is the point."""
+        out: dict[str, list] = {}
+        for idx, sql in pkt.gen_obj.items():
+            out[f"obj:{idx}"] = [tuple(r) for r in session.sql(sql).collect()]
+        for idx, sql in pkt.gen_nsp.items():
+            out[f"nsp:{idx}"] = [tuple(r) for r in session.sql(sql).collect()]
+        return out
+
+    def _run_sql_step(
+        self,
+        ctx: RunContext,
+        tracker: ActionTracker,
+        track: bool,
+        packet_id: int,
+        step_id: int,
+        step,
+        pkt: Packet,
+        gen_cache: dict[str, list],
+        seen_hashes: set[str],
+        skip_action_cancel: bool,
+    ) -> None:
+        session = ctx.spark
+        # lazily evaluate generators if not yet done (no run_once packets)
+        if (pkt.gen_obj or pkt.gen_nsp) and not gen_cache:
+            gen_cache.update(self._eval_generators(session, pkt))
+
+        obj_rows = gen_cache.get(f"obj:{step.index}")
+        nsp_rows = gen_cache.get(f"nsp:{step.index}")
+
+        def actions():
+            """Yield (action_sql, maint_cmd) per binding — the reference's
+            three fan-out cases (dbccore/dbccore.py:921-1087)."""
+            if obj_rows is not None and nsp_rows is not None:
+                for nrow in nsp_rows:  # cartesian nsp × obj (case 1)
+                    for orow in obj_rows:
+                        sql = apply_gen_placeholders(step.text, nrow, "GEN_NSP")
+                        sql = apply_gen_placeholders(sql, orow, "GEN_OBJ")
+                        yield sql, (orow[0] or nrow[0] if orow and nrow else None)
+            elif obj_rows is not None:
+                for orow in obj_rows:  # case 2
+                    yield apply_gen_placeholders(step.text, orow, "GEN_OBJ"), orow[0]
+            elif nsp_rows is not None:
+                for nrow in nsp_rows:  # case 3
+                    yield apply_gen_placeholders(step.text, nrow, "GEN_NSP"), nrow[0]
+            else:
+                yield step.text, None
+
+        for action_sql, maint in actions():
+            h = hashlib.md5(action_sql.encode()).hexdigest()
+            if h in seen_hashes or (track and tracker.is_action_done(packet_id, step_id, h)):
+                ctx.raise_notice("LOG", f"action {h[:8]} already applied, skipping")
+                continue
+            if maint:
+                _run_maint(ctx, str(maint))
+            try:
+                for stmt in split_statements(action_sql):
+                    _run_statement(ctx, stmt)
+            except ReadOnlyViolation:
+                raise
+            except Exception as e:  # noqa: BLE001
+                if skip_action_cancel:
+                    ctx.raise_notice("WARNING", f"action {h[:8]} failed, skipped: {e}")
+                    continue
+                raise
+            seen_hashes.add(h)
+            if track:
+                tracker.apply_action(packet_id, step_id, h)
+
+    # -- python steps (reference: dbccore/dbccore.py:1113-1115) ------------
+
+    def _run_py_step(self, ctx: RunContext, code: str) -> None:
+        scope = {"spark": ctx.spark, "ctx": ctx, "db_local": ctx}
+        exec(compile(code, "<py_step>", "exec"), scope)  # noqa: S102 — packet
+        # steps are trusted engine inputs, same stance as the reference
+
+
+def render_results(data: dict[str, list]) -> str:
+    """stdout sink: fixed-width tables per captured resultset (E15)."""
+    out = []
+    for step, results in data.items():
+        out.append(f"== {step} ==")
+        for res in results:
+            if res and isinstance(res[0], list):
+                out.append(print_table(res))
+            else:
+                out.append(str(res))
+    return "\n".join(out)

@@ -59,6 +59,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def create_information_schema_views(spark: SparkSession, db: str | None = None) -> None:
+    """Catalog-emulation views (SURVEY §4.3 item 2): the introspection
+    surface conditional migrations need — the reference probes
+    ``information_schema.columns`` before deciding to run
+    (reference: packets/test_int4_to_int8/01_step.sql:5-7).
+
+    Builds ``information_schema_columns`` (table_schema, table_name,
+    column_name, data_type, ordinal_position) from the live Spark catalog;
+    the PG-dialect rewriter maps ``information_schema.columns`` onto it.
+    Driver-side listing — catalogs are metadata, not data."""
+    db = db or spark.catalog.currentDatabase()
+    rows = []
+    for t in spark.catalog.listTables(db):
+        if t.tableType == "TEMPORARY":
+            continue
+        for i, c in enumerate(spark.catalog.listColumns(t.name, db)):
+            rows.append((db, t.name, c.name, c.dataType, i + 1))
+    schema = "table_schema string, table_name string, column_name string, data_type string, ordinal_position int"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "information_schema_columns"
+    )
+
+
 _registered: dict[int, str] = {}
 
 

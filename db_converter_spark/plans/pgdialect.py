@@ -1,0 +1,500 @@
+"""PostgreSQL → Spark SQL dialect rewriter (SURVEY §4.3 item 1).
+
+The reference ships SQL packets written for PostgreSQL and hands them to the
+server verbatim (reference: dbccore/dbccore.py:852-865). Our engine executes
+through Spark SQL, whose dialect covers almost all of the corpus natively
+(CTEs, joins, ordinals, ``ilike``, ``||``, ``IS DISTINCT FROM``, interval
+literals, ``bool_or`` …). This module textually rewrites the remaining
+PG-isms so reference-style packets run unmodified:
+
+- ``expr::type`` casts → ``CAST(expr AS type)`` with PG→Spark type mapping
+  (``int4``→``int``, ``text``→``string``, ``serial``→``bigint`` …);
+  ``'…'::interval`` → ``INTERVAL '…'`` literal; ``'{a,b}'::text[]`` →
+  ``array('a','b')``.
+- set-returning ``generate_series(a,b[,s])`` → ``explode(sequence(a,b[,s]))``
+  (valid in both SELECT-list and FROM positions — Spark TVF).
+- ``regexp_split_to_table(x,p)`` → ``explode(split(x,p))``;
+  ``unnest(x)`` → ``explode(x)``.
+- ``array_to_string`` → ``array_join``; ``array_agg(DISTINCT x)`` →
+  ``array_sort(collect_set(x))`` (deterministic, SURVEY §7.4.3);
+  ``array_agg(x)`` → ``collect_list(x)``; ``string_agg(x,s)`` →
+  ``array_join(collect_list(x), s)``.
+- ``substring(x from a for b)`` → ``substr(x,a,b)``;
+  ``substring(x from 'regex')`` → ``regexp_extract(x,'regex',0)``.
+- regex operators ``~ ~* !~ !~*`` → ``RLIKE`` (case-insensitive via an
+  inline ``(?i)`` flag on literal patterns).
+- ``x = ANY(arr)`` → ``array_contains(arr, x)``.
+- ``IS NOT DISTINCT FROM`` → ``<=>``.
+- ``a ^ b`` → ``power(a, b)`` (simple operands).
+- ``now()`` / ``clock_timestamp()`` → ``current_timestamp()``;
+  ``current_setting('k')`` → constant folded from the engine's settings map
+  (reference: prepare_session GUCs, dbccore/dbccore.py:347-377).
+- ``row_number() OVER ()`` → ``OVER (ORDER BY monotonically_increasing_id())``
+  — PG's "whole-set numbering in arrival order" (SURVEY §2.6); callers who
+  need a deterministic order should order the window explicitly.
+- ``DO $$…$$`` blocks raise :class:`UnsupportedConstruct` directing authors
+  to a ``.py`` step — the design decision of SURVEY §2.10.
+
+The rewriter is token-safe: string literals, quoted identifiers, and
+comments are sentinel-protected before any pass runs, so nothing inside
+quotes is ever rewritten.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["rewrite", "UnsupportedConstruct"]
+
+
+class UnsupportedConstruct(Exception):
+    """A PG construct with no Spark translation (DO blocks, nextval)."""
+
+
+_SENT = "\x01{}\x01"
+_SENT_RE = re.compile("\x01(\\d+)\x01")
+
+# PG type name → Spark SQL type (SURVEY §1.3 table).
+_TYPE_MAP = {
+    "int2": "smallint",
+    "smallint": "smallint",
+    "int4": "int",
+    "int": "int",
+    "integer": "int",
+    "int8": "bigint",
+    "bigint": "bigint",
+    "serial": "bigint",
+    "bigserial": "bigint",
+    "float4": "float",
+    "real": "float",
+    "float8": "double",
+    "double precision": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "text": "string",
+    "varchar": "string",
+    "bpchar": "string",
+    "char": "string",
+    "name": "string",
+    "uuid": "string",
+    "json": "string",
+    "jsonb": "string",
+    "xml": "string",
+    "bytea": "binary",
+    "numeric": "decimal(38,18)",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "oid": "bigint",
+    "regclass": "string",
+}
+
+
+def _map_type(pg_type: str) -> str:
+    t = pg_type.strip().lower()
+    if t.endswith("[]"):
+        return f"array<{_map_type(t[:-2])}>"
+    m = re.match(r"(\w+)\s*\(([\d\s,]+)\)$", t)
+    if m and m.group(1) in ("numeric", "decimal"):
+        return f"decimal({m.group(2)})"
+    if m and m.group(1) in ("varchar", "char", "bpchar"):
+        return "string"
+    return _TYPE_MAP.get(t, t)
+
+
+# ------------------------------------------------------------------ protect
+
+
+def _protect(sql: str) -> tuple[str, list[str]]:
+    """Replace strings / quoted idents / comments / dollar-quotes with
+    ``\\x01<i>\\x01`` sentinels (same scanner rules as sqlsplit)."""
+    lits: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(sql)
+
+    def keep(seg: str) -> None:
+        out.append(_SENT.format(len(lits)))
+        lits.append(seg)
+
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if ch == "-" and nxt == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            keep(sql[i:j])
+            i = j
+        elif ch == "/" and nxt == "*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            keep(sql[i:j])
+            i = j
+        elif ch == "'" or (ch in "eE" and nxt == "'"):
+            j = i + (2 if ch in "eE" else 1)
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                if sql[j] == "\\" and ch in "eE":
+                    j += 2
+                    continue
+                j += 1
+            keep(sql[i:j])
+            i = j
+        elif ch == '"':
+            j = sql.find('"', i + 1)
+            j = n if j < 0 else j + 1
+            keep(sql[i:j])
+            i = j
+        elif ch == "$":
+            m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n if j < 0 else j + len(tag)
+                keep(sql[i:j])
+                i = j
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _restore(text: str, lits: list[str]) -> str:
+    return _SENT_RE.sub(lambda m: lits[int(m.group(1))], text)
+
+
+def _is_string_lit(tok: str, lits: list[str]) -> bool:
+    m = _SENT_RE.fullmatch(tok)
+    return bool(m) and lits[int(m.group(1))].startswith(("'", "e'", "E'"))
+
+
+def _lit_value(tok: str, lits: list[str]) -> str:
+    """Unquoted value of a protected string literal."""
+    raw = lits[int(_SENT_RE.fullmatch(tok).group(1))]
+    if raw[0] in "eE":
+        raw = raw[1:]
+    return raw[1:-1].replace("''", "'")
+
+
+# ---------------------------------------------------------- balanced calls
+
+
+def _find_call(text: str, name: str, start: int = 0) -> tuple[int, int, int] | None:
+    """Locate ``name ( … )`` → (name_start, args_start, close_paren_idx)."""
+    pat = re.compile(rf"(?<![\w.])({name})\s*\(", re.I)
+    m = pat.search(text, start)
+    if not m:
+        return None
+    depth, j = 1, m.end()
+    while j < len(text) and depth:
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+        j += 1
+    return m.start(), m.end(), j - 1
+
+
+def _split_args(argtext: str) -> list[str]:
+    args, depth, buf = [], 0, []
+    for ch in argtext:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _rewrite_calls(text: str, name: str, fn) -> str:
+    """Repeatedly rewrite every ``name(...)`` call via ``fn(args_text)``."""
+    pos = 0
+    while True:
+        hit = _find_call(text, name, pos)
+        if hit is None:
+            return text
+        s, a, e = hit
+        replacement = fn(text[a:e])
+        text = text[:s] + replacement + text[e + 1 :]
+        pos = s + len(replacement)
+
+
+# ----------------------------------------------------------------- passes
+
+
+def _rw_do_block(text: str, lits: list[str]) -> None:
+    if re.match(r"\s*do\s+\x01", text, re.I):
+        raise UnsupportedConstruct(
+            "DO $$…$$ blocks have no Spark translation; write this step as a"
+            " NN_step.py python step (SURVEY §2.10)"
+        )
+
+
+def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
+    text = _rewrite_calls(
+        text, "generate_series", lambda a: f"explode(sequence({a}))"
+    )
+    text = _rewrite_calls(
+        text,
+        "regexp_split_to_table",
+        lambda a: "explode(split({}, {}))".format(*_split_args(a)[:2]),
+    )
+    text = _rewrite_calls(text, "unnest", lambda a: f"explode({a})")
+    text = _rewrite_calls(text, "array_to_string", lambda a: f"array_join({a})")
+
+    def agg(a: str) -> str:
+        m = re.match(r"\s*distinct\s+(.*)$", a, re.I | re.S)
+        if m:
+            return f"array_sort(collect_set({m.group(1)}))"
+        return f"collect_list({a})"
+
+    text = _rewrite_calls(text, "array_agg", agg)
+    text = _rewrite_calls(
+        text,
+        "string_agg",
+        lambda a: "array_join(collect_list({}), {})".format(*_split_args(a)[:2]),
+    )
+
+    def substring(a: str) -> str:
+        m = re.match(r"(.*?)\s+from\s+(.*?)(?:\s+for\s+(.*))?$", a, re.I | re.S)
+        if not m:
+            return f"substring({a})"
+        x, frm, length = m.group(1), m.group(2), m.group(3)
+        if length is not None:
+            return f"substr({x}, {frm}, {length})"
+        if _is_string_lit(frm.strip(), lits):
+            return f"regexp_extract({x}, {frm}, 0)"
+        return f"substr({x}, {frm})"
+
+    text = _rewrite_calls(text, "substring", substring)
+    text = _rewrite_calls(text, "now", lambda a: "current_timestamp()")
+    text = _rewrite_calls(text, "clock_timestamp", lambda a: "current_timestamp()")
+
+    def current_setting(a: str) -> str:
+        tok = a.strip()
+        if _is_string_lit(tok, lits):
+            v = settings.get(_lit_value(tok, lits))
+            if v is None:
+                return "CAST(NULL AS STRING)"
+            return "'" + str(v).replace("'", "''") + "'"
+        return "CAST(NULL AS STRING)"
+
+    text = _rewrite_calls(text, "current_setting", current_setting)
+
+    if re.search(r"(?<![\w.])nextval\s*\(", text, re.I):
+        raise UnsupportedConstruct(
+            "nextval()/sequences are not portable to Spark; use identity"
+            " policy (row_number/monotonically_increasing_id) — SURVEY §7.4.6"
+        )
+    return text
+
+
+_OPERAND = r"[\w.\x01]+(?:\[[^\]]*\])?"
+
+# words that can precede "(" without being a function name
+_KEYWORDS = frozenset(
+    "select where and or not from when then else case end on join in as by"
+    " group order having union all distinct values set like ilike between is"
+    " limit offset exists intersect except using with lateral cross inner"
+    " left right full outer".split()
+)
+
+
+def _rw_any(text: str) -> str:
+    """``x = ANY(arr)`` → ``array_contains(arr, x)`` (SURVEY §2.3)."""
+    while True:
+        m = re.search(rf"({_OPERAND})\s*=\s*any\s*\(", text, re.I)
+        if not m:
+            return text
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        arr = text[m.end() : j - 1]
+        text = text[: m.start()] + f"array_contains({arr}, {m.group(1)})" + text[j:]
+
+
+def _rw_casts(text: str, lits: list[str]) -> str:
+    """``expr::type`` → ``CAST(expr AS type)`` with special interval/array
+    literal forms. Handles identifier, literal-sentinel, and ``(...)``/
+    function-call left operands; chained casts resolve innermost-first."""
+    # multi-word types are limited to the known PG spellings so the regex
+    # never swallows following keywords ("x::int8 from t")
+    type_re = re.compile(
+        r"::\s*(\w+(?:\s+precision|\s+with(?:out)?\s+time\s+zone)?"
+        r"(?:\s*\([\d\s,]+\))?(?:\s*\[\s*\])?)",
+        re.I,
+    )
+    while True:
+        m = type_re.search(text)
+        if not m:
+            return text
+        pg_type = re.sub(r"\s*\[\s*\]", "[]", m.group(1).strip())
+        # find left operand
+        left_end = m.start()
+        seg = text[:left_end]
+        if seg.rstrip().endswith(")"):
+            j = len(seg.rstrip()) - 1
+            depth = 1
+            k = j - 1
+            while k >= 0 and depth:
+                if seg[k] == ")":
+                    depth += 1
+                elif seg[k] == "(":
+                    depth -= 1
+                k -= 1
+            # include a preceding function name if present (but never a SQL
+            # keyword — "select (a+b)::text" has no function call)
+            fn = re.search(r"[\w.\x01]+\s*$", seg[: k + 1])
+            start = k + 1
+            if fn and fn.group(0).strip().lower() not in _KEYWORDS:
+                start = fn.start()
+            operand = seg[start:].rstrip()
+        else:
+            om = re.search(rf"({_OPERAND})\s*$", seg)
+            if not om:  # nothing to our left — leave as-is to avoid loops
+                return text
+            start = om.start()
+            operand = om.group(1)
+        rest = text[m.end() :]
+        base = pg_type.rstrip("[]").strip().lower()
+        if base == "interval" and _is_string_lit(operand.strip(), lits):
+            repl = f"INTERVAL {operand}"
+        elif pg_type.endswith("[]") and _is_string_lit(operand.strip(), lits):
+            items = [
+                s.strip().strip('"')
+                for s in _lit_value(operand.strip(), lits).strip("{}").split(",")
+                if s.strip()
+            ]
+            elem = _map_type(pg_type[:-2])
+            if elem == "string":
+                inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+            else:
+                inner = ", ".join(items)
+            repl = f"array({inner})" if items else f"CAST(array() AS array<{elem}>)"
+        else:
+            repl = f"CAST({operand} AS {_map_type(pg_type)})"
+        text = text[:start] + repl + rest
+
+
+def _rw_operators(text: str, lits: list[str]) -> str:
+    # null-safe equality phrase → operator (Spark parses IS DISTINCT FROM
+    # natively; only the NOT form needs help)
+    text = re.sub(r"\bis\s+not\s+distinct\s+from\b", "<=>", text, flags=re.I)
+
+    # regex matches — longest operators first
+    def ci(pat_tok: str) -> str:
+        if _is_string_lit(pat_tok, lits):
+            idx = int(_SENT_RE.fullmatch(pat_tok).group(1))
+            val = _lit_value(pat_tok, lits)
+            lits[idx] = "'(?i)" + val.replace("'", "''") + "'"
+        return pat_tok
+
+    text = re.sub(
+        rf"({_OPERAND})\s*!~\*\s*({_OPERAND})",
+        lambda m: f"NOT ({m.group(1)} RLIKE {ci(m.group(2))})",
+        text,
+    )
+    text = re.sub(
+        rf"({_OPERAND})\s*!~\s*({_OPERAND})",
+        lambda m: f"NOT ({m.group(1)} RLIKE {m.group(2)})",
+        text,
+    )
+    text = re.sub(
+        rf"({_OPERAND})\s*~\*\s*({_OPERAND})",
+        lambda m: f"{m.group(1)} RLIKE {ci(m.group(2))}",
+        text,
+    )
+    text = re.sub(
+        rf"({_OPERAND})\s*(?<![<>!~=])~\s*({_OPERAND})",
+        lambda m: f"{m.group(1)} RLIKE {m.group(2)}",
+        text,
+    )
+    # power
+    text = re.sub(
+        rf"({_OPERAND})\s*\^\s*({_OPERAND})",
+        lambda m: f"power({m.group(1)}, {m.group(2)})",
+        text,
+    )
+    # empty window → arrival-order numbering
+    text = re.sub(
+        r"\bover\s*\(\s*\)",
+        "OVER (ORDER BY monotonically_increasing_id())",
+        text,
+        flags=re.I,
+    )
+    # catalog emulation: information_schema.columns → the temp view built by
+    # catalog.create_information_schema_views (SURVEY §4.3 item 2)
+    text = re.sub(
+        r"\binformation_schema\s*\.\s*columns\b",
+        "information_schema_columns",
+        text,
+        flags=re.I,
+    )
+    return text
+
+
+def _rw_types_ddl(text: str) -> str:
+    """Map PG column types inside CREATE TABLE (... ) bodies."""
+    m = re.search(r"\bcreate\s+table\b[^(]*\(", text, re.I)
+    if not m:
+        return text
+    depth, j = 1, m.end()
+    while j < len(text) and depth:
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+        j += 1
+    body = text[m.end() : j - 1]
+    for pg, sp in sorted(_TYPE_MAP.items(), key=lambda kv: -len(kv[0])):
+        if pg == sp:
+            continue
+        body = re.sub(rf"\b{pg}\b", sp, body, flags=re.I)
+    return text[: m.end()] + body + text[j - 1 :]
+
+
+def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
+    """Rewrite one PostgreSQL statement into Spark SQL. ``settings`` feeds
+    ``current_setting()`` constant folding."""
+    text, lits = _protect(sql)
+    _rw_do_block(text, lits)
+    text = _rw_functions(text, lits, settings or {})
+    text = _rw_any(text)
+    text = _rw_casts(text, lits)
+    text = _rw_operators(text, lits)
+    text = _rw_types_ddl(text)
+    # string-literal escape semantics: PG plain '…' strings treat backslash
+    # literally while Spark treats it as an escape → double them; PG E'…'
+    # strings already use escape semantics → just drop the E prefix
+    for i, raw in enumerate(lits):
+        if raw.startswith("'"):
+            lits[i] = "'" + raw[1:-1].replace("\\", "\\\\") + "'"
+        elif raw.startswith(("e'", "E'")):
+            lits[i] = raw[1:]
+    return _restore(text, lits)

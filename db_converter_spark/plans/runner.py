@@ -44,6 +44,9 @@ from db_converter_spark.plans.packet import (
     apply_gen_placeholders,
     parse_packet,
 )
+from db_converter_spark.plans.hooks import ChatHook, notify_error, notify_results
+from db_converter_spark.plans.pgdialect import rewrite as pg_rewrite
+from db_converter_spark.plans.watchdog import StepWatchdog
 from db_converter_spark.plans.sqlsplit import (
     is_read_only_ok,
     split_statements,
@@ -71,6 +74,15 @@ class RunContext:
         self.db_name = db_name
         self.packet = packet
         self.read_only = read_only
+        # "postgres" → run each statement through the PG→Spark rewriter so
+        # reference-style packets execute unmodified (meta_data.json key
+        # ``dialect``; SURVEY §7.1 L2 dialect level)
+        self.dialect = packet.meta.get("dialect", "spark")
+        # no_commit = dry-run: queries run, writes are validated with EXPLAIN
+        # but never executed (reference executes + rolls back,
+        # dbccore/dbccore.py:886-888; Spark has no rollback, so validation
+        # stops at the optimized plan — documented gap, SURVEY §2.1 E13)
+        self.no_commit = False
         self.messages: list[tuple[str, str]] = []  # (severity, text) — E16 channel
         self.current_step_results: list = []
 
@@ -95,6 +107,19 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
     kind = statement_kind(stmt)
     if ctx.read_only and not is_read_only_ok(stmt):
         raise ReadOnlyViolation(f"write statement in read-only packet: {stmt[:80]}...")
+    if ctx.dialect == "postgres":
+        stmt = pg_rewrite(stmt, ctx.packet.session_conf)
+    if ctx.no_commit and kind != "query":
+        # dry-run: analyze + optimize the statement without executing it.
+        # EXPLAIN reports analysis failures as text, not exceptions — detect
+        # and re-raise so a dry-run still validates (reference rolls back
+        # real execution, so errors surfaced there too)
+        plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
+        if "Exception" in plan.split("== Optimized Logical Plan ==")[0]:
+            raise RuntimeError(f"no_commit validation failed: {plan[:500]}")
+        status = [stmt.split()[0].upper(), "no_commit"]
+        ctx.current_step_results.append([status])
+        return [status]
     df = ctx.spark.sql(stmt)
     if kind == "query":
         table = _capture_select(ctx, df)
@@ -128,10 +153,16 @@ def _run_maint(ctx: RunContext, command: str) -> None:
 
 
 class PacketRunner:
-    def __init__(self, spark: SparkSession, warehouse_dir: str | Path):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str | Path,
+        hook: ChatHook | None = None,
+    ):
         self.spark = spark
         self.warehouse = Path(warehouse_dir)
         self.warehouse.mkdir(parents=True, exist_ok=True)
+        self.hook = hook  # chat webhook (E17/E18); None = no notifications
         self._stop_requested: set[str] = set()
         self._stop_lock = threading.Lock()
 
@@ -147,7 +178,11 @@ class PacketRunner:
         out = []
         for part in mask.split(","):
             matched = [d for d in known if fnmatch.fnmatch(d, part)]
-            out.extend(matched or ([part] if part in known else []))
+            # non-glob names pass through verbatim — targets need not be
+            # pre-declared (Spark databases are created on demand)
+            if not matched and not any(c in part for c in "*?["):
+                matched = [part]
+            out.extend(matched)
         return sorted(dict.fromkeys(out))
 
     def stop(self, db_name: str, packet_name: str) -> None:
@@ -185,9 +220,15 @@ class PacketRunner:
                 code, status, data = ResultCode.FAIL, PacketStatus.EXCEPTION, {
                     "__error__": [str(e)]
                 }
+                notify_error(self.hook, pkt.name, db, str(e))
             result.result_code[db] = code
             result.packet_status[db] = status
             result.result_data[db] = data
+            if code == ResultCode.SUCCESS:
+                notify_results(
+                    self.hook, pkt.name, db, data,
+                    verbosity=pkt.meta.get("verbosity", "all"),
+                )
 
         if seq or len(dbs) == 1:
             for db in dbs:
@@ -225,6 +266,9 @@ class PacketRunner:
         try:
             read_only = ptype in (PacketType.READ_ONLY, PacketType.EXPORT_DATA)
             track = ptype == PacketType.DEFAULT or ptype == PacketType.MAINTENANCE
+            # per-step budget in seconds (reference: statement_timeout GUC,
+            # db_converter.py:78; enforced here by the job-group watchdog E21)
+            step_timeout = pkt.meta.get("statement_timeout")
 
             prev_hash = tracker.packet_hash(pkt.name)
             if track and prev_hash not in (None, pkt.packet_hash) and not force:
@@ -235,6 +279,7 @@ class PacketRunner:
             packet_id = tracker.upsert_packet(pkt.name, pkt.packet_hash, pkt.meta) if track else -1
 
             ctx = RunContext(session, db, pkt, read_only)
+            ctx.no_commit = ptype == PacketType.NO_COMMIT
             data: dict[str, list] = {}
             status = PacketStatus.DONE
 
@@ -260,12 +305,20 @@ class PacketRunner:
                 ctx.current_step_results = []
                 step_id = tracker.upsert_step(packet_id, step.name) if track else -1
                 try:
-                    if step.kind == "py":
-                        self._run_py_step(ctx, step.text)
-                    else:
-                        self._run_sql_step(
-                            ctx, tracker, track, packet_id, step_id, step, pkt,
-                            gen_cache, seen_hashes, skip_action_cancel,
+                    with StepWatchdog(
+                        session, f"dbc_{db}_{pkt.name}", step_timeout
+                    ) as wd:
+                        if step.kind == "py":
+                            self._run_py_step(ctx, step.text)
+                        else:
+                            self._run_sql_step(
+                                ctx, tracker, track, packet_id, step_id, step, pkt,
+                                gen_cache, seen_hashes, skip_action_cancel,
+                            )
+                    if wd.fired:
+                        raise TimeoutError(
+                            f"step {step.name} exceeded statement_timeout="
+                            f"{step_timeout}s; job group cancelled"
                         )
                     if track:
                         tracker.set_step_status(step_id, "done")

@@ -20,12 +20,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # fresh warehouse per test session — engine tests CREATE TABLEs, and a
+    # cwd-persistent spark-warehouse would collide across runs
+    wh = tmp_path_factory.mktemp("spark-warehouse")
     s = build_session(
         app_name="dbc-spark-tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.warehouse.dir": str(wh),
+        },
     )
     yield s
 

@@ -1,0 +1,149 @@
+"""Migration operator tests — semantic port of the reference's flagship
+int4→int8 chunked-migration workload (reference: packets/test_int4_to_int8,
+tests/test_packets.py:500-544): same fixture shape (200 010 rows scaled
+down), same assertions (row counts preserved, final schema widened, values
+intact), Spark-first execution (single parallel rewrite instead of 20
+UPDATE transactions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_converter_spark.catalog import create_information_schema_views
+from db_converter_spark.operators.migration import (
+    change_column_type,
+    chunk_grid,
+    chunked_backfill,
+    delete_where,
+    merge_update,
+)
+from db_converter_spark.plans.model import ResultCode
+from db_converter_spark.plans.runner import PacketRunner
+
+
+@pytest.fixture()
+def mig_table(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS migdb")
+    spark.sql("USE migdb")
+    spark.sql("DROP TABLE IF EXISTS mig_t")
+    spark.range(1, 2011).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 100).cast("int").alias("fld_1"),
+        F.concat(F.lit("text_"), F.col("id")).alias("fld_2"),
+    ).write.saveAsTable("mig_t")
+    yield "migdb.mig_t"
+    spark.sql("DROP TABLE IF EXISTS migdb.mig_t")
+    spark.sql("USE default")
+
+
+def test_change_column_type(spark, mig_table):
+    before = spark.table(mig_table)
+    assert dict(before.dtypes)["id"] == "int"
+    total = before.count()
+    checksum = before.agg(F.sum("id")).collect()[0][0]
+
+    change_column_type(spark, mig_table, "id", "bigint")
+
+    after = spark.table(mig_table)
+    assert dict(after.dtypes)["id"] == "bigint"
+    assert after.count() == total
+    assert after.agg(F.sum("id")).collect()[0][0] == checksum
+    # no leftover staging tables
+    names = [t.name for t in spark.catalog.listTables("migdb")]
+    assert names == ["mig_t"]
+
+
+def test_merge_update(spark, mig_table):
+    src = spark.range(1, 101).select(F.col("id").cast("int").alias("id"))
+    merge_update(
+        spark, mig_table, src, on=["id"], set_map={"fld_1": "t.fld_1 + 1000"}
+    )
+    df = spark.table(mig_table)
+    assert df.where("id <= 100 AND fld_1 < 1000").count() == 0
+    assert df.where("id > 100 AND fld_1 >= 1000").count() == 0
+    assert df.count() == 2010
+
+
+def test_delete_where(spark, mig_table):
+    delete_where(spark, mig_table, "id % 2 = 0")
+    df = spark.table(mig_table)
+    assert df.count() == 1005
+    assert df.where("id % 2 = 0").count() == 0
+
+
+def test_chunk_grid(spark, mig_table):
+    grid = chunk_grid(spark, mig_table, "id", chunk_size=500).collect()
+    # ids 1..2010 → starts at 1, 501, 1001, 1501, 2001
+    assert [(r["a"], r["b"]) for r in grid] == [
+        (1, 500), (501, 1000), (1001, 1500), (1501, 2000), (2001, 2500),
+    ]
+
+
+def test_chunked_backfill(spark, mig_table):
+    n = chunked_backfill(
+        spark, mig_table, "id", {"fld_1": "t.fld_1 + 1"}, chunk_size=1000
+    )
+    assert n == 3
+    df = spark.table(mig_table)
+    # every row updated exactly once
+    assert df.agg(F.sum("fld_1")).collect()[0][0] == sum(
+        (i % 100) + 1 for i in range(1, 2011)
+    )
+
+
+def test_information_schema_probe(spark, mig_table):
+    """The reference's conditional-migration probe: check column type via
+    information_schema before migrating (reference:
+    packets/test_int4_to_int8/01_step.sql:5-7), via the PG dialect."""
+    from db_converter_spark.plans.pgdialect import rewrite
+
+    create_information_schema_views(spark, "migdb")
+    rows = spark.sql(
+        rewrite(
+            "select data_type from information_schema.columns"
+            " where table_name = 'mig_t' and column_name = 'id'"
+        )
+    ).collect()
+    assert rows[0][0] == "int"
+
+
+def test_int4_to_int8_packet_end_to_end(spark, tmp_path):
+    """Full packet port: fixture table → conditional py-step migration →
+    verify (the reference's test asserts DONE + row counts; we add schema
+    and checksum assertions)."""
+    pdir = tmp_path / "int4_to_int8"
+    pdir.mkdir()
+    (pdir / "run_once.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS i48_t USING parquet AS"
+        " SELECT CAST(id AS INT) AS id, CONCAT('v_', id) AS payload"
+        " FROM RANGE(1, 1001)"
+    )
+    (pdir / "01_step.py").write_text(
+        "from db_converter_spark.catalog import create_information_schema_views\n"
+        "from db_converter_spark.operators.migration import change_column_type\n"
+        "db = spark.catalog.currentDatabase()\n"
+        "create_information_schema_views(spark, db)\n"
+        "typ = spark.sql(\"select data_type from information_schema_columns\"\n"
+        "                \" where table_name='i48_t' and column_name='id'\").collect()[0][0]\n"
+        "if typ == 'int':\n"
+        "    change_column_type(spark, f'{db}.i48_t', 'id', 'bigint')\n"
+        "    ctx.raise_notice('NOTICE', 'migrated id to bigint')\n"
+        "else:\n"
+        "    ctx.raise_notice('NOTICE', f'skip: id is {typ}')\n"
+    )
+    (pdir / "02_step.sql").write_text(
+        "select count(*) as n, sum(id) as checksum from i48_t"
+    )
+    runner = PacketRunner(spark, tmp_path / "wh")
+    res = runner.run(pdir, dbs=["i48db"])
+    assert res.result_code["i48db"] == ResultCode.SUCCESS
+    table = res.result_data["i48db"]["02_step.sql"][0]
+    assert table[1] == [1000, 500500]
+    assert dict(spark.table("i48db.i48_t").dtypes)["id"] == "bigint"
+    # idempotent re-run: py-step probes again, sees bigint, skips
+    res2 = runner.run(pdir, dbs=["i48db"])
+    assert res2.result_code["i48db"] == ResultCode.SUCCESS
+    assert any(
+        "skip" in str(r) for r in res2.result_data["i48db"]["01_step.py"]
+    )

@@ -1,0 +1,183 @@
+"""PG→Spark dialect rewriter tests.
+
+The strongest checks run the ORIGINAL PostgreSQL text on DuckDB (whose
+dialect is PG-compatible) and the REWRITTEN text on Spark, asserting equal
+results — the same shape as the driver's oracle harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from db_converter_spark.plans.pgdialect import UnsupportedConstruct, rewrite
+from db_converter_spark.plans.runner import PacketRunner
+from db_converter_spark.plans.model import ResultCode
+
+# ------------------------------------------------------------- unit rewrites
+
+
+@pytest.mark.parametrize(
+    ("pg", "spark_sql"),
+    [
+        ("select x::int8 from t", "select CAST(x AS bigint) from t"),
+        ("select x::numeric", "select CAST(x AS decimal(38,18))"),
+        ("select x::numeric(10,2)", "select CAST(x AS decimal(10,2))"),
+        ("select (a + b)::text", "select CAST((a + b) AS string)"),
+        ("select f(a)::int4", "select CAST(f(a) AS int)"),
+        ("select x::int::text", "select CAST(CAST(x AS int) AS string)"),
+        ("select '15 days'::interval", "select INTERVAL '15 days'"),
+        ("select '{a,b}'::text[]", "select array('a', 'b')"),
+        ("select '{1,2}'::int4[]", "select array(1, 2)"),
+        (
+            "select generate_series(1, 10, 2) as g",
+            "select explode(sequence(1, 10, 2)) as g",
+        ),
+        ("select unnest(arr) from t", "select explode(arr) from t"),
+        (
+            "select regexp_split_to_table(s, ',') from t",
+            "select explode(split(s, ',')) from t",
+        ),
+        (
+            "select array_to_string(a, ',') from t",
+            "select array_join(a, ',') from t",
+        ),
+        (
+            "select array_agg(distinct x) from t",
+            "select array_sort(collect_set(x)) from t",
+        ),
+        ("select array_agg(x) from t", "select collect_list(x) from t"),
+        (
+            "select string_agg(x, ';') from t",
+            "select array_join(collect_list(x), ';') from t",
+        ),
+        (
+            "select substring(s from 2 for 3)",
+            "select substr(s, 2, 3)",
+        ),
+        (
+            # PG plain-literal backslash is literal; Spark escapes → doubled
+            "select substring(s from '\\d+')",
+            "select regexp_extract(s, '\\\\d+', 0)",
+        ),
+        ("select a ~ 'x' from t", "select a RLIKE 'x' from t"),
+        ("select a !~ '^pg_' from t", "select NOT (a RLIKE '^pg_') from t"),
+        ("select a ~* 'x' from t", "select a RLIKE '(?i)x' from t"),
+        ("select 2^31", "select power(2, 31)"),
+        ("where a.attnum = any(i.indkey)", "where array_contains(i.indkey, a.attnum)"),
+        ("a is not distinct from b", "a <=> b"),
+        ("select now()", "select current_timestamp()"),
+        (
+            "select row_number() over () as id",
+            "select row_number() OVER (ORDER BY monotonically_increasing_id()) as id",
+        ),
+        # strings are protected — no rewriting inside literals
+        ("select 'a::b ~ now()'", "select 'a::b ~ now()'"),
+        ("select x -- c::text\nfrom t", "select x -- c::text\nfrom t"),
+    ],
+)
+def test_rewrite_unit(pg, spark_sql):
+    assert rewrite(pg) == spark_sql
+
+
+def test_rewrite_create_table_types():
+    out = rewrite(
+        "CREATE TABLE t (id serial, a int4, b text, c timestamptz, d numeric)"
+    )
+    assert "bigint" in out and "string" in out
+    assert "serial" not in out and "int4" not in out and "text" not in out.lower().replace("string", "")
+
+
+def test_current_setting_folding():
+    assert rewrite("select current_setting('tz')", {"tz": "UTC"}) == "select 'UTC'"
+    assert "NULL" in rewrite("select current_setting('nope')")
+
+
+def test_do_block_raises():
+    with pytest.raises(UnsupportedConstruct, match="py"):
+        rewrite("DO $$ begin null; end $$")
+
+
+def test_nextval_raises():
+    with pytest.raises(UnsupportedConstruct):
+        rewrite("select nextval('seq')")
+
+
+# -------------------------------------------- cross-engine (DuckDB vs Spark)
+
+_CROSS_ENGINE = {
+    # the canonical chunk-grid generator shape (reference:
+    # packets/test_int4_to_int8/02_gen_obj.sql, re-expressed over testdata)
+    "chunk_grid": """
+with grid_a as (
+  select T.point_a, row_number() over (order by T.point_a) as id
+  from generate_series(0, 2500, 500) as T(point_a)
+),
+grid_b as (
+  select T.point_b, row_number() over (order by T.point_b) as id
+  from generate_series(499, 2999, 500) as T(point_b)
+)
+select A.point_a as a, B.point_b as b
+from grid_a A join grid_b B on A.id = B.id
+order by 1
+""",
+    "casts_and_concat": """
+select (v % 3)::text as k,
+       count(1)::int8 as n,
+       max('text_' || v) as mx
+from generate_series(1, 100) as T(v)
+group by 1
+order by 1
+""",
+    "string_and_regex": """
+select string_agg(s, ';') as joined
+from (
+  select s from (select 'alpha' as s union all select 'pg_toast'
+                 union all select 'beta') T
+  where s !~ '^pg_.*'
+  order by s
+) T
+""",
+    "substr_forms": """
+select substring('abcdef' from 2 for 3) as mid,
+       substring('abcdef' from 4) as tail4
+""",
+}
+
+
+def test_substring_regex_form(spark):
+    # DuckDB lacks PG's substring(x from 'regex'); check Spark side directly
+    out = spark.sql(rewrite("select substring('id=42x' from '\\d+') as num")).collect()
+    assert out[0][0] == "42"
+
+
+@pytest.mark.parametrize("name", sorted(_CROSS_ENGINE))
+def test_cross_engine(name, spark, duck):
+    pg_sql = _CROSS_ENGINE[name]
+    spark_rows = [tuple(r) for r in spark.sql(rewrite(pg_sql)).collect()]
+    duck_rows = [tuple(r) for r in duck.execute(pg_sql).fetchall()]
+    assert spark_rows == duck_rows, f"{name}: {spark_rows[:3]} vs {duck_rows[:3]}"
+
+
+# ------------------------------------------------- packet-level integration
+
+
+def test_pg_dialect_packet(spark, tmp_path):
+    """A reference-style PG packet (casts, generate_series, serial DDL) runs
+    unmodified under dialect=postgres."""
+    pdir = tmp_path / "pg_pkt"
+    pdir.mkdir()
+    (pdir / "run_once.sql").write_text(
+        "CREATE TABLE pgd_t (id int8, fld text);\n"
+        "INSERT INTO pgd_t SELECT T.v::int8, 'text_' || T.v"
+        " from (SELECT generate_series(1, 50) as v) T;"
+    )
+    (pdir / "01_step.sql").write_text(
+        "select count(1)::int8 as n, max(fld) as mx from pgd_t where id::int4 % 2 = 0"
+    )
+    (pdir / "meta_data.json").write_text('{"dialect": "postgres"}')
+    runner = PacketRunner(spark, tmp_path / "wh")
+    res = runner.run(pdir, dbs=["pgd_db"])
+    assert res.result_code["pgd_db"] == ResultCode.SUCCESS
+    table = res.result_data["pgd_db"]["01_step.sql"][0]
+    assert table[0] == ["n", "mx"]
+    assert table[1] == [25, "text_8"]  # lexicographic max of 'text_N'

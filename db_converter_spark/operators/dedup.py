@@ -25,19 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from db_converter_spark.catalog import register_views
 from db_converter_spark.registry import query
 
-# 8 universal-hash permutations for minhash: (a, b) with a < 2^21 so
-# a * md5_i32 + b stays well under 2^63 in both engines.
+# 8 minhash "permutations": (a, b, r). Each permutes the 60-bit base hash h
+# via an xor-shift mix THEN an affine map:
+#     v_j = (a_j * ((h ^ (h >> r_j)) % 2^32) + b_j) % (2^61 - 1)
+# The xor-shift (distinct r per permutation) is what makes the argmin differ
+# across permutations — a bare affine map a*h+b with a*h < 2^61 never wraps
+# the modulus, stays monotonic in h, and would pick the SAME min shingle for
+# every permutation (degenerate signature: 8 affine copies of one value).
 MINHASH_PERMS = (
-    (1000003, 12345),
-    (999983, 54321),
-    (1000033, 98765),
-    (1000037, 13579),
-    (1000039, 24680),
-    (1000081, 11111),
-    (1000099, 22222),
-    (1000117, 33333),
+    (1000003, 12345, 7),
+    (999983, 54321, 13),
+    (1000033, 98765, 17),
+    (1000037, 13579, 23),
+    (1000039, 24680, 29),
+    (1000081, 11111, 31),
+    (1000099, 22222, 37),
+    (1000117, 33333, 41),
 )
 MERSENNE61 = (1 << 61) - 1
+_U32 = 1 << 32
 
 # --- shared SQL fragments, written in the dialect intersection ------------
 
@@ -46,15 +52,16 @@ _SHINGLES_SPARK = "transform(sequence(1, greatest(length(text) - 4, 1)), i -> su
 _SHINGLES_DUCK = "[substring(text, i, 5) for i in generate_series(1, greatest(length(text) - 4, 1))]"
 
 
-def _minhash_sig_sql(shingles_expr: str, md5_i32: str, min_fn: str) -> str:
-    """Signature query: hash every shingle ONCE (md5 is the expensive part),
-    then 8 cheap integer permutations over the hashed array. ``min_fn``:
-    array_min (Spark) / list_min (DuckDB)."""
+def _minhash_sig_sql(shingles_expr: str, md5_i60: str, min_fn: str, mix: str) -> str:
+    """Signature query: md5-hash every shingle ONCE to a 60-bit int (md5 is
+    the expensive part), then 8 cheap mixed-affine permutations over the
+    hashed array. ``min_fn``: array_min (Spark) / list_min (DuckDB);
+    ``mix``: engine spelling of ``h ^ (h >> r)`` with ``{r}`` placeholder."""
     transform_fn = "transform" if min_fn == "array_min" else "list_transform"
-    h = md5_i32.format(expr="s")
+    h = md5_i60.format(expr="s")
     cols = ",\n  ".join(
-        f"{min_fn}({transform_fn}(hs, h -> ({a} * h + {b}) % {MERSENNE61})) AS h{j}"
-        for j, (a, b) in enumerate(MINHASH_PERMS)
+        f"{min_fn}({transform_fn}(hs, h -> ({a} * (({mix.format(r=r)}) % {_U32}) + {b}) % {MERSENNE61})) AS h{j}"
+        for j, (a, b, r) in enumerate(MINHASH_PERMS)
     )
     return f"""
 WITH hashed AS (
@@ -139,10 +146,16 @@ def dd02_norm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DD03_SPARK = _minhash_sig_sql(
-    _SHINGLES_SPARK, "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)", "array_min"
+    _SHINGLES_SPARK,
+    "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)",
+    "array_min",
+    "h ^ shiftright(h, {r})",
 )
 _DD03_DUCK = _minhash_sig_sql(
-    _SHINGLES_DUCK, "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)", "list_min"
+    _SHINGLES_DUCK,
+    "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)",
+    "list_min",
+    "xor(h, h >> {r})",
 )
 
 
@@ -159,15 +172,8 @@ def dd03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dd04(sig_sql: str) -> str:
-    # 4 bands × 2 rows: band key = md5 of the two minhash values
-    bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING))) AS bkey FROM sig"
-        for b in range(4)
-    )
-    return f"""
-WITH sig AS ({sig_sql}),
-bands AS ({bands}),
+def _dd04_tail() -> str:
+    return """
 buckets AS (
   SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
 )
@@ -179,8 +185,37 @@ FROM buckets GROUP BY band
 """
 
 
-_DD04_SPARK = _dd04(_DD03_SPARK).replace("AS STRING", "AS STRING")
-_DD04_DUCK = _dd04(_DD03_DUCK).replace("CAST(h", "CAST(h").replace("AS STRING", "AS VARCHAR")
+def _dd04_spark(sig_sql: str) -> str:
+    # ONE pass over sig: all 4 band keys as an array + posexplode. The
+    # UNION-ALL formulation re-evaluates the (expensive, md5-heavy) inlined
+    # signature CTE once per band — 4× the work for identical output.
+    keys = ",\n    ".join(
+        f"md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING)))"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({sig_sql}),
+bands AS (
+  SELECT posexplode(array(
+    {keys}
+  )) AS (band, bkey) FROM sig
+),
+{_dd04_tail()}"""
+
+
+def _dd04_duck(sig_sql: str) -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat(CAST(h{2*b} AS VARCHAR), ',', CAST(h{2*b+1} AS VARCHAR))) AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({sig_sql}),
+bands AS ({bands}),
+{_dd04_tail()}"""
+
+
+_DD04_SPARK = _dd04_spark(_DD03_SPARK)
+_DD04_DUCK = _dd04_duck(_DD03_DUCK)
 
 
 @query("dd04_minhash_lsh_bands", oracle=_DD04_DUCK, tags=("dedup", "minhash", "lsh"))

@@ -1,0 +1,115 @@
+"""Event-stream analytics over the ``events`` table — the batch twins of the
+streaming layer (db_converter_spark/streaming/) plus operational helpers.
+
+The reference's alert packets are periodic aggregations over activity views
+(reference: packets/alert_stat/01_step.sql, alert_max_connections/01_step.
+sql); here the same shapes run over an event table and, unchanged, over a
+Structured Stream (see streaming/incremental.py — ev01 is literally the
+same code path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_converter_spark.catalog import load_table, register_views
+from db_converter_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# ev01 — tumbling-window event stats (batch twin of windowed_event_stats)
+# ---------------------------------------------------------------------------
+
+_EV01_DUCK = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("ev01_windowed_event_stats", oracle=_EV01_DUCK, tags=("events", "window", "streaming"))
+def ev01_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window stats — the exact aggregation the streaming
+    layer runs with a watermark (streaming/incremental.py:
+    windowed_event_stats); batch/stream parity is tested in
+    tests/test_streaming.py."""
+    from db_converter_spark.streaming import windowed_event_stats
+
+    register_views(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return windowed_event_stats(events).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev02 — sessionization (gap-based) — shared ANSI SQL, both engines
+# ---------------------------------------------------------------------------
+
+# 30-minute inactivity gap splits sessions. Window-function SQL in the
+# dialect intersection of Spark and DuckDB, so the oracle IS the query.
+_EV02 = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL '30' MINUTE
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)        AS n_sessions,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(MAX(n_events) AS BIGINT)   AS max_session_events,
+  CAST(SUM(n_events) AS BIGINT)   AS n_events_total
+FROM per_session
+"""
+
+
+@query("ev02_sessionization", oracle=_EV02, tags=("events", "window", "session"))
+def ev02_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    partitioned by user so the shuffle is on user_id and each partition
+    sorts independently; no global sort. The streaming twin would be
+    ``applyInPandasWithState`` with a session timeout."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV02)
+
+
+# ---------------------------------------------------------------------------
+# mg01 — migration chunk grid (batch twin of operators/migration.chunk_grid)
+# ---------------------------------------------------------------------------
+
+_MG01_DUCK = """
+WITH b AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem)
+SELECT CAST(a AS BIGINT) AS a, CAST(a + 99999 AS BIGINT) AS b
+FROM (SELECT unnest(generate_series(lo, hi, 100000)) AS a FROM b) t
+"""
+
+
+@query("mg01_chunk_grid", oracle=_MG01_DUCK, tags=("migration", "chunking"))
+def mg01_chunk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chunked-migration PK grid (reference:
+    packets/test_int4_to_int8/02_gen_obj.sql:1-27) as one aggregate +
+    sequence explode — the generator that fans a backfill into bounded
+    range actions (operators/migration.chunked_backfill)."""
+    register_views(spark, sf_dir)
+    from db_converter_spark.operators.migration import chunk_grid
+
+    return chunk_grid(spark, "lineitem", "l_orderkey", chunk_size=100_000)

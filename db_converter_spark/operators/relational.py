@@ -207,20 +207,24 @@ LIMIT 10
 )
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + group + top-k (TPC-H-Q3 shape; reference inner equi joins,
-    alert_bloat/01_step.sql:19-26). DataFrame API; the customer side is
-    broadcast (small dim) so only orders⋈lineitem shuffles; top-k compiles to
-    TakeOrderedAndProject — no global sort at scale."""
+    alert_bloat/01_step.sql:19-26). Scale shape: lineitem is pre-aggregated
+    by orderkey BEFORE the join (map-side combine — the shuffle carries one
+    row per order, not one per lineitem, and no re-aggregation happens after
+    the join); customer is broadcast; top-k compiles to
+    TakeOrderedAndProject — no global sort."""
     register_views(spark, sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     revenue_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    rev_by_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue_cents).alias("revenue_cents")
+    )
     return (
         F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderkey", "c_name")
-        .agg(F.sum(revenue_cents).alias("revenue_cents"))
+        .join(rev_by_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "c_name", "revenue_cents")
         .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
         .limit(10)
     )

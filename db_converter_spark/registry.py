@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         textops,
         multimodal,
+        events,
     )
 
     return QUERIES

@@ -1,0 +1,142 @@
+"""Structured Streaming tests: incremental file ingest with digest dedup +
+checkpoint resume, and watermarked windowed aggregation (batch/stream
+parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_converter_spark.catalog import load_table
+from db_converter_spark.streaming import (
+    start_incremental_ingest,
+    windowed_event_stats,
+)
+
+_SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def _drop(spark, table):
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _fresh(spark, table):
+    """Read past the session's relation cache (the stream appended from its
+    own cloned session)."""
+    spark.catalog.refreshTable(table)
+    return spark.table(table)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    return d
+
+
+def _write_batch(spark, landing, rows, name):
+    """Land one flat parquet file (landing zones deliver files, not
+    directories — and FileStreamSource discovers new *files* under the
+    source path)."""
+    import shutil
+
+    stage = landing.parent / f"__stage_{name}"
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    part = next(stage.glob("part-*.parquet"))
+    shutil.move(str(part), str(landing / f"{name}.parquet"))
+    shutil.rmtree(stage)
+
+
+def test_incremental_ingest_dedup_and_resume(spark, tmp_path, landing):
+    target = "default.stream_tgt"
+    _drop(spark, target)
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: 3 rows, one internal duplicate text
+    _write_batch(spark, landing, [(1, "aaa"), (2, "bbb"), (3, "aaa")], "b1")
+    q = start_incremental_ingest(
+        spark, str(landing), target, ckpt, _SCHEMA, digest_cols=("text",)
+    )
+    q.awaitTermination(120)
+    assert _fresh(spark, target).count() == 2  # in-batch dedup kept aaa once
+
+    # batch 2 (restart with same checkpoint): one new, one cross-batch dup
+    _write_batch(spark, landing, [(4, "ccc"), (5, "bbb")], "b2")
+    q2 = start_incremental_ingest(
+        spark, str(landing), target, ckpt, _SCHEMA, digest_cols=("text",)
+    )
+    q2.awaitTermination(120)
+    texts = sorted(r.text for r in _fresh(spark, target).select("text").collect())
+    assert texts == ["aaa", "bbb", "ccc"]  # bbb not re-ingested
+
+    # restart again with NO new files: checkpoint resume is a no-op
+    q3 = start_incremental_ingest(
+        spark, str(landing), target, ckpt, _SCHEMA, digest_cols=("text",)
+    )
+    q3.awaitTermination(120)
+    assert _fresh(spark, target).count() == 3
+    _drop(spark, target)
+
+
+def test_windowed_event_stats_batch_parity(spark, duck):
+    """The same windowed aggregation code runs on the batch events table and
+    must agree with a DuckDB oracle (1-hour tumbling windows)."""
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in windowed_event_stats(events).collect()
+    }
+    oracle = duck.execute(
+        f"""
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS tv
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(got) == len(oracle)
+    for ws, et, n, tv in oracle:
+        k = (ws.isoformat(), et)
+        assert k in got, f"missing window {k}"
+        assert got[k][0] == n
+        assert abs(got[k][1] - tv) < 1e-6
+
+
+def test_windowed_event_stats_streaming(spark, tmp_path):
+    """The SAME aggregation as a real stream: rate-limited file source,
+    watermark active, availableNow drain into a memory sink."""
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    load_table(spark, "/root/testdata/sf0.001", "events").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(src_dir / "chunk"))
+
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    agg = windowed_event_stats(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ev_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ev"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; the final
+    # (max-ts) window stays open, so expect a strict, non-empty subset
+    batch_n = windowed_event_stats(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).count()
+    emitted = spark.sql("select count(*) from ev_stats").collect()[0][0]
+    assert 0 < emitted <= batch_n

@@ -322,3 +322,81 @@ def dd06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit position, sign → bit. Near-dups then group by simhash (or small
     hamming radius via 4-chunk pigeonhole — same banding trick as LSH)."""
     return _sql(spark, sf_dir, _DD06_SPARK)
+
+# ---------------------------------------------------------------------------
+# dd07 — embedding-cosine near-dup (LSH-candidates + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def _dd07_spark() -> str:
+    from db_converter_spark.operators.similarity import _ss02_spark_bucket_expr
+
+    bucket = _ss02_spark_bucket_expr()
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, sequence(1, size(embedding)) AS idx FROM embeddings
+), b AS (
+  SELECT vec_id, embedding,
+    CAST({bucket} AS BIGINT) AS bucket,
+    sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   0.0D, (acc, x) -> acc + x)) AS nrm
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS va, c.vec_id AS vb,
+    ROUND(
+      aggregate(zip_with(a.embedding, c.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                0.0D, (acc, x) -> acc + x) / (a.nrm * c.nrm), 6) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                    AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN sim >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_099,
+  CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_095,
+  CAST(SUM(CASE WHEN sim >= 0.90 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_090,
+  ROUND(MAX(sim), 6)                                           AS max_sim
+FROM pairs
+"""
+
+
+def _dd07_duck() -> str:
+    from db_converter_spark.operators.similarity import _ss02_duck_bucket_expr
+
+    bucket = _ss02_duck_bucket_expr()
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    [CAST(g AS INT) for g in generate_series(1, len(embedding))] AS idx
+  FROM embeddings
+), b AS (
+  SELECT vec_id, embedding, idx,
+    CAST({bucket} AS BIGINT) AS bucket,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS va, c.vec_id AS vb,
+    ROUND(
+      list_sum(list_transform(a.idx,
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (a.nrm * c.nrm), 6) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                    AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN sim >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_099,
+  CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_095,
+  CAST(SUM(CASE WHEN sim >= 0.90 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_090,
+  ROUND(MAX(sim), 6)                                           AS max_sim
+FROM pairs
+"""
+
+
+@query("dd07_embedding_neardup", oracle=_dd07_duck(), tags=("dedup", "embedding", "ann"))
+def dd07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, production shape: candidates come from an
+    equality self-join on the random-hyperplane LSH bucket (ss02's
+    signature — a plain shuffle join on a 6-bit key, NEVER an O(n²) cross
+    join), then exact double-precision cosine reranks candidates against
+    thresholds. At 100 TB the bucket column is precomputed and the table
+    clustered by it, so the self-join is co-partitioned."""
+    return _sql(spark, sf_dir, _dd07_spark())

@@ -152,3 +152,85 @@ def mm02_image_metadata_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return docs.mapInPandas(_decode_image_batch, schema=_MM02_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mm03 — frame sampling (video-style payload → every k-th frame)
+# ---------------------------------------------------------------------------
+
+_MM03_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sample_md5", StringType()),
+    ]
+)
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames_stub(payload: bytes) -> tuple[int, int, bytes]:
+    """STUB for a real frame sampler (ffmpeg/pyav not in this container).
+
+    Treats the payload as a stream of fixed 16-byte "frames" and keeps every
+    4th one — the deterministic stand-in for keyframe extraction. A real
+    implementation decodes with ``av.open(io.BytesIO(payload))`` and yields
+    the same (n_frames, n_sampled, sampled_bytes) contract."""
+    frames = [
+        payload[i : i + _FRAME_BYTES]
+        for i in range(0, len(payload) - _FRAME_BYTES + 1, _FRAME_BYTES)
+    ]
+    sampled = frames[::_FRAME_STRIDE]
+    return len(frames), len(sampled), b"".join(sampled)
+
+
+def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = pdf["payload"].map(lambda b: sample_frames_stub(bytes(b)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                "n_sampled": out.map(lambda t: t[1]).astype("int64"),
+                "sample_md5": out.map(lambda t: hashlib.md5(t[2]).hexdigest()),
+            }
+        )
+
+
+# oracle recomputes the same sampling on the text payload with list ops
+_MM03_DUCK = f"""
+WITH f AS (
+  SELECT doc_id, strlen(text) AS n,
+    [substring(text, 1 + (i - 1) * {_FRAME_BYTES}, {_FRAME_BYTES})
+     for i in generate_series(1, strlen(text) // {_FRAME_BYTES})] AS frames
+  FROM documents WHERE doc_id % 25 = 0
+), s AS (
+  SELECT doc_id, len(frames) AS n_frames,
+    [frames[i] for i in generate_series(1, len(frames), {_FRAME_STRIDE})] AS sampled
+  FROM f
+)
+SELECT doc_id,
+  CAST(n_frames AS BIGINT) AS n_frames,
+  CAST(len(sampled) AS BIGINT) AS n_sampled,
+  md5(array_to_string(sampled, '')) AS sample_md5
+FROM s
+"""
+
+
+@query("mm03_frame_sample_plumbing", oracle=_MM03_DUCK, tags=("multimodal", "video", "stub"))
+def mm03_frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload → mapInPandas → every
+    4th fixed-size frame, fingerprinted. The Arrow batch shape, stride
+    arithmetic, and byte-exact reassembly are verified against the oracle;
+    swap :func:`sample_frames_stub` for a real decoder to productionize."""
+    register_views(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return docs.mapInPandas(_sample_frames_batch, schema=_MM03_SCHEMA)

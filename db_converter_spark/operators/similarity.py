@@ -91,7 +91,9 @@ def ss01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate(); DuckDB with list_sum (both sequential over the array).
 
 
-def _ss02_spark() -> str:
+def _ss02_spark_bucket_expr() -> str:
+    """Random-hyperplane bucket id over `embedding`/`idx` columns (Spark
+    spelling) — shared with dd07's near-dup candidate join."""
     planes = []
     for p in range(N_PLANES):
         w = f"CAST(conv(substring(md5(concat('{p}', '_', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
@@ -101,7 +103,11 @@ def _ss02_spark() -> str:
             f"), 0.0D, (acc, x) -> acc + x)"
         )
         planes.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(planes)
+    return " + ".join(planes)
+
+
+def _ss02_spark() -> str:
+    bucket = _ss02_spark_bucket_expr()
     return f"""
 WITH v AS (
   SELECT vec_id, embedding, sequence(1, size(embedding)) AS idx FROM embeddings
@@ -113,7 +119,7 @@ FROM bucketed GROUP BY bucket
 """
 
 
-def _ss02_duck() -> str:
+def _ss02_duck_bucket_expr() -> str:
     planes = []
     for p in range(N_PLANES):
         w = f"(('0x' || substr(md5(concat('{p}', '_', CAST(i AS STRING))), 1, 8))::BIGINT)"
@@ -123,7 +129,11 @@ def _ss02_duck() -> str:
             f"))"
         )
         planes.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(planes)
+    return " + ".join(planes)
+
+
+def _ss02_duck() -> str:
+    bucket = _ss02_duck_bucket_expr()
     return f"""
 WITH v AS (
   SELECT vec_id, embedding, [CAST(g AS INT) for g in generate_series(1, len(embedding))] AS idx

@@ -1,0 +1,54 @@
+"""JDBC source with chunked-read parity.
+
+The reference bounds every read/write by PK ranges (10 000-row cursor
+chunks for export, 10 000-id UPDATE transactions for migration — reference:
+dbccore/dbccore.py:744, packets/test_int4_to_int8/02_gen_obj.sql). Spark's
+JDBC source expresses the same thing declaratively: a ``predicates`` list
+makes one partition (one remote cursor) per range, so a 1000-executor
+cluster fans a single PG table scan into bounded parallel range reads.
+
+No live PostgreSQL exists in this environment, so ``read_jdbc_chunked`` is
+exercised by tests only at the predicate-construction level; the call shape
+is the standard ``spark.read.jdbc`` contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def chunk_predicates(lo: int, hi: int, chunk_size: int, key: str) -> list[str]:
+    """[lo, hi] inclusive → ["key >= a AND key <= b", ...] covering ranges.
+
+    The last chunk is clamped to ``hi`` so predicates partition the key
+    space exactly (no overlap, no gap) — each predicate becomes one Spark
+    partition = one bounded remote cursor."""
+    if hi < lo:
+        return []
+    out = []
+    a = lo
+    while a <= hi:
+        b = min(a + chunk_size - 1, hi)
+        out.append(f"{key} >= {a} AND {key} <= {b}")
+        a = b + 1
+    return out
+
+
+def read_jdbc_chunked(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    key: str,
+    lo: int,
+    hi: int,
+    chunk_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Chunked JDBC table read: one partition per key range (the Spark
+    spelling of the reference's 10 000-row cursor loop)."""
+    return spark.read.jdbc(
+        url,
+        table,
+        predicates=chunk_predicates(lo, hi, chunk_size, key),
+        properties=properties or {},
+    )

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python SQL machinery:
+the statement splitter and the PG dialect rewriter must never corrupt
+quoted content, lose statements, or crash on adversarial input."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from db_converter_spark.plans.pgdialect import UnsupportedConstruct, rewrite
+from db_converter_spark.plans.sqlsplit import split_statements
+
+# identifiers / simple exprs / literals with nasty content
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_lit_body = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="\x00\x01"
+    ),
+    max_size=20,
+)
+
+
+@st.composite
+def _statement(draw):
+    """A SELECT with a string literal (possibly containing ; -- :: ~ $$)."""
+    col = draw(_ident)
+    body = draw(_lit_body).replace("'", "''")
+    tbl = draw(_ident)
+    return f"select {col}, '{body}' from {tbl}"
+
+
+@given(st.lists(_statement(), min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_preserves_statement_count_and_content(stmts):
+    joined = ";\n".join(stmts) + ";"
+    out = split_statements(joined)
+    assert len(out) == len(stmts)
+    for orig, got in zip(stmts, out):
+        assert got == orig.strip()
+
+
+@given(_lit_body)
+@settings(max_examples=300, deadline=None)
+def test_rewrite_never_touches_literal_interiors(body):
+    """Whatever PG-looking operators live INSIDE a string literal must
+    survive rewrite byte-for-byte (modulo the documented backslash
+    doubling)."""
+    lit = body.replace("'", "''")
+    sql = f"select '{lit}' as c from t"
+    try:
+        out = rewrite(sql)
+    except UnsupportedConstruct:
+        return  # DO-block lookalikes may trip the guard; that's a clean error
+    expected_lit = lit.replace("\\", "\\\\")
+    m = re.search(r"select '(.*)' as c from t", out, re.S)
+    assert m is not None, f"literal structure lost: {out!r}"
+    assert m.group(1) == expected_lit
+
+
+@given(st.lists(st.sampled_from(
+    ["select a::int8 from t", "select x ~ 'p' from u", "select 2^8",
+     "select generate_series(1, 3)", "select now()"]
+), min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_rewrite_is_idempotent_on_its_output(stmts):
+    """rewrite(rewrite(x)) == rewrite(x) — the output dialect contains no
+    PG-isms left to rewrite (xor-free casts, no ::, no ~ operators)."""
+    for s in stmts:
+        once = rewrite(s)
+        assert rewrite(once) == once
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00\x01"), max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_split_and_rewrite_never_crash(garbage):
+    """Total functions over arbitrary ASCII input: clean exceptions only."""
+    split_statements(garbage)
+    try:
+        rewrite(garbage)
+    except UnsupportedConstruct:
+        pass

@@ -1,0 +1,46 @@
+"""Source-layer tests: export→reimport CSV round-trip and JDBC chunk
+predicate construction."""
+
+from __future__ import annotations
+
+from db_converter_spark.plans.export import export_statements
+from db_converter_spark.sources import chunk_predicates, read_export_csv
+
+
+def test_export_csv_roundtrip_through_source(spark, tmp_path):
+    files = export_statements(
+        spark,
+        "rt",
+        [
+            "select id, concat('name_', id) as name,"
+            " case when id % 3 = 0 then null else id * 1.5 end as score"
+            " from range(1, 101)"
+        ],
+        tmp_path / "exp",
+    )
+    df = read_export_csv(spark, files[0], schema="id BIGINT, name STRING, score DOUBLE")
+    assert df.count() == 100
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[3]["score"] is None  # NULL survived the round trip
+    assert rows[4]["score"] == 6.0
+    assert rows[7]["name"] == "name_7"
+
+
+def test_chunk_predicates_partition_exactly():
+    preds = chunk_predicates(1, 25, 10, "id")
+    assert preds == [
+        "id >= 1 AND id <= 10",
+        "id >= 11 AND id <= 20",
+        "id >= 21 AND id <= 25",
+    ]
+    assert chunk_predicates(5, 5, 10, "id") == ["id >= 5 AND id <= 5"]
+    assert chunk_predicates(10, 5, 10, "id") == []
+
+
+def test_chunk_predicates_cover_all_rows(spark):
+    """Union of chunk reads == full read (predicates have no gaps/overlap)."""
+    df = spark.range(1, 1001).selectExpr("id", "id * 2 AS v")
+    total = 0
+    for pred in chunk_predicates(1, 1000, 300, "id"):
+        total += df.where(pred).count()
+    assert total == 1000

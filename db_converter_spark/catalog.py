@@ -48,6 +48,11 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+@lru_cache(maxsize=None)
+def _row_groups(path: str) -> int:
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
@@ -56,6 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (~1.7e18) exceeds double's 2^53 exact range, float division would
         # corrupt the low digits. Truncation matches DuckDB's ns→us cast.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # A parquet row group is Spark's minimum split unit: the driver-generated
+    # testdata ships ONE row group per table, which would pin every scan —
+    # and all downstream per-row compute (minhash, simhash, winnowing) — to
+    # a single core. Spread under-split tables across the cluster once here;
+    # Catalyst still pushes filters and column pruning below the repartition.
+    # (A 100 TB deployment has thousands of files/row groups and skips this.)
+    cores = spark.sparkContext.defaultParallelism
+    if _row_groups(path) < max(2, cores // 4):
+        df = df.repartition(cores)
     return df
 
 

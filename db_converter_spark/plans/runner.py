@@ -153,6 +153,14 @@ def _run_maint(ctx: RunContext, command: str) -> None:
 
 
 class PacketRunner:
+    """Packet executor over per-target child sessions.
+
+    NOTE on visibility: each target runs in ``spark.newSession()``; Spark
+    caches parquet-table file listings per session, so a session that read
+    a table BEFORE a packet wrote to it must ``catalog.refreshTable(t)``
+    to see the writes. Fresh sessions (and the packet's own statements)
+    always see current data."""
+
     def __init__(
         self,
         spark: SparkSession,

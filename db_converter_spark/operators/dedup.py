@@ -21,6 +21,7 @@ Scale notes (100 TB design stance):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_converter_spark.catalog import register_views
 from db_converter_spark.registry import query
@@ -400,3 +401,107 @@ def dd07_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds. At 100 TB the bucket column is precomputed and the table
     clustered by it, so the self-join is co-partitioned."""
     return _sql(spark, sf_dir, _dd07_spark())
+
+
+# ---------------------------------------------------------------------------
+# dd08 — near-dup cluster assignment (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+# Banding (dd04) only COUNTS candidate pairs; a real dedup pipeline must
+# assign every document to a duplicate CLUSTER (keep min-id, drop the rest).
+# Clusters = connected components of the "shares an LSH bucket" graph.
+# Scale design: edges are STAR edges (doc → min-doc of its bucket), linear
+# in bucket size — never the O(k²) within-bucket pair expansion.
+
+
+def _dd08_bands_spark() -> str:
+    keys = ",\n    ".join(
+        f"md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING)))"
+        for b in range(4)
+    )
+    return f"""
+WITH sig AS ({_DD03_SPARK}),
+bands AS (
+  SELECT doc_id, band, bkey FROM sig
+  LATERAL VIEW posexplode(array(
+    {keys}
+  )) t AS band, bkey
+),
+star AS (
+  SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY band, bkey) AS dst
+  FROM bands
+)
+SELECT DISTINCT src, dst FROM star WHERE src <> dst
+"""
+
+
+def _dd08_duck() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat(CAST(h{2*b} AS VARCHAR), ',', CAST(h{2*b+1} AS VARCHAR))) AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH RECURSIVE sig AS ({_DD03_DUCK}),
+bands AS ({bands}),
+star AS (
+  SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY band, bkey) AS dst
+  FROM bands
+),
+edges AS (SELECT DISTINCT src, dst FROM star WHERE src <> dst),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach(doc_id, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS comp_id FROM reach GROUP BY doc_id)
+SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY comp_id HAVING COUNT(*) >= 2
+"""
+
+
+@query("dd08_neardup_components", oracle=_dd08_duck(), tags=("dedup", "lsh", "graph"))
+def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the MinHash-LSH
+    bucket graph via iterative min-label propagation (each round: one join +
+    one min-aggregate, both shuffling on doc_id; rounds ≈ graph diameter,
+    which LSH star edges keep small). ``localCheckpoint`` cuts the lineage
+    per round — on a production cluster use a reliable checkpoint dir.
+    Oracle = DuckDB recursive-CTE transitive closure of the same graph."""
+    register_views(spark, sf_dir)
+    edges = spark.sql(_dd08_bands_spark())
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(50):
+        prop = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select(F.col("label").alias("comp_id"), "n_docs")
+    )

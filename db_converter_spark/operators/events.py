@@ -113,3 +113,120 @@ def mg01_chunk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_converter_spark.operators.migration import chunk_grid
 
     return chunk_grid(spark, "lineitem", "l_orderkey", chunk_size=100_000)
+
+
+# ---------------------------------------------------------------------------
+# mg02 — incremental-sync change detection (snapshot diff)
+# ---------------------------------------------------------------------------
+# The north-star's "incremental sync" (BASELINE.json): detect which rows of
+# a table changed between two snapshots by full-outer-joining on the key and
+# comparing a ROW HASH — never the wide row itself. The "new" snapshot here
+# is a deterministic modulo-derived mutation of orders (deletes %101=3,
+# updates %97=0, inserts = shifted copies of %103=5) so the oracle sees the
+# identical input. At 100 TB: both snapshots partitioned/bucketed by the
+# key ⇒ the full-outer join co-locates; the hash collapses N columns to one
+# comparison and is computed scan-side.
+
+
+def _mg02(cast_str: str) -> str:
+    h = (
+        "md5(concat_ws('|', CAST(o_custkey AS {c}), o_orderstatus, o_orderpriority))"
+    ).replace("{c}", cast_str)
+    h_upd = h.replace(
+        "o_custkey", "o_custkey + (CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH old AS (
+  SELECT o_orderkey AS k, {h} AS h FROM orders
+), new AS (
+  SELECT o_orderkey AS k, {h_upd} AS h
+  FROM orders WHERE o_orderkey % 101 <> 3
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS k, {h} AS h
+  FROM orders WHERE o_orderkey % 103 = 5
+), diff AS (
+  SELECT
+    CASE
+      WHEN old.k IS NULL THEN 'insert'
+      WHEN new.k IS NULL THEN 'delete'
+      WHEN old.h <> new.h THEN 'update'
+      ELSE 'unchanged'
+    END AS change_type
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM diff GROUP BY change_type
+"""
+
+
+@query("mg02_incremental_diff", oracle=_mg02("VARCHAR"), tags=("migration", "sync", "cdc"))
+def mg02_incremental_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-row detection between table snapshots (insert/update/delete/
+    unchanged) via row-hash compare over a keyed full-outer join — the batch
+    CDC primitive behind incremental sync and MERGE-based replication
+    (reference's migration model: re-runnable UPDATE...FROM steps,
+    packets/test_int4_to_int8/02_step.sql:3-5)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_mg02("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# ev03 — Structured Streaming windowed aggregation (real readStream)
+# ---------------------------------------------------------------------------
+
+_EV03_DUCK = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+@query("ev03_streaming_window", oracle=_EV03_DUCK, tags=("events", "streaming", "watermark"))
+def ev03_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation run as an ACTUAL Structured Stream:
+    ``readStream`` over the events parquet → 2 h watermark → 1 h windowed
+    count/sum → memory sink, ``availableNow`` trigger (process the backlog,
+    then stop — the batch-parity mode; a live deployment drops the trigger
+    and appends to a table sink). Watermark bounds state at scale; sums are
+    integer cents so the oracle compares exactly. ``ts`` is declared BIGINT
+    because the session reads parquet NANOS timestamps as longs
+    (see catalog.py) — converted with the same div-1000 truncation."""
+    sink = "ev03_sink"
+    # File stream sources require a DIRECTORY (new files land, get listed
+    # incrementally); glob-filter it down to the events table.
+    src = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.withColumn("ts", F.expr("timestamp_micros(`ts` div 1000)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("total_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

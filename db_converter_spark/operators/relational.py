@@ -895,3 +895,43 @@ def q31_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     element_at, SURVEY §2.9 array; reference indkey[0] at
     dba_idx_diag/07_step.sql:15)."""
     return _sql(spark, sf_dir, _Q31_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# q32 / q33 — set-op completeness + pagination (SURVEY §2.7 gaps)
+# ---------------------------------------------------------------------------
+
+_Q32 = """
+WITH c95 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+), c96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96) t) AS BIGINT) AS n_both,
+  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM c95 EXCEPT    SELECT o_custkey FROM c96) t) AS BIGINT) AS n_only_95
+"""
+
+
+@query("q32_intersect_except", oracle=_Q32, tags=("setop",))
+def q32_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — completes the set-op family beyond the corpus's
+    UNION/UNION ALL (SURVEY §2.7 lists them as absent from the reference;
+    both are native Catalyst ops: semi/anti joins after distinct)."""
+    return _sql(spark, sf_dir, _Q32)
+
+
+_Q33 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@query("q33_offset_fetch", oracle=_Q33, tags=("sort", "limit"))
+def q33_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyset-less pagination: ORDER BY ... LIMIT/OFFSET
+    (absent from the corpus, SURVEY §2.7; Spark ≥3.4 supports OFFSET and
+    still plans TakeOrderedAndProject — no global sort)."""
+    return _sql(spark, sf_dir, _Q33)

@@ -219,3 +219,122 @@ def ss03_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("cell_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ss04 — IVF top-k probe search (the query path over ss03's index)
+# ---------------------------------------------------------------------------
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len({a}))], "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_SS04_DUCK = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM vecs WHERE vec_id % 16 = 0
+), q AS (
+  SELECT embedding AS qv, nrm AS qnrm FROM vecs WHERE vec_id = 0
+), probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+      ROW_NUMBER() OVER (ORDER BY ROUND({_duck_dot('c.cv', 'q.qv')} / (c.cnrm * q.qnrm), 6) DESC, c.cid) AS rn
+    FROM centroids c CROSS JOIN q
+  ) t WHERE rn <= 4
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY ROUND({_duck_dot('v.embedding', 'c.cv')} / (v.nrm * c.cnrm), 6) DESC, c.cid
+      ) AS rn
+    FROM vecs v CROSS JOIN centroids c
+  ) t WHERE rn = 1
+)
+SELECT v.vec_id, v.label,
+  ROUND({_duck_dot('v.embedding', 'q.qv')} / (v.nrm * q.qnrm), 6) AS cos_sim
+FROM vecs v
+JOIN assign a ON a.vec_id = v.vec_id
+JOIN probe p ON p.cid = a.cid
+CROSS JOIN q
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT 10
+"""
+
+
+@query("ss04_ivf_topk", oracle=_SS04_DUCK, tags=("similarity", "ivf", "ann", "knn"))
+def ss04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF QUERY path: rank centroids against the query vector, probe the
+    nearest 4 cells, exact-cosine rerank only vectors assigned there, top-10.
+    At 100 TB the assignment is precomputed (table partitioned by cid), so a
+    query touches nprobe/n_cells of the data — here the assignment is inlined
+    (same argmin as ss03) to keep the operator self-contained. Probe set and
+    centroids broadcast; the only wide op is ss03's argmin shuffle, and the
+    final top-k is TakeOrderedAndProject, never a global sort."""
+    register_views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    from db_converter_spark.functions.vectors import dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    c = e.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    probe = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cnrm") * F.col("qnrm")), 6
+            ).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), "cid")
+        .limit(4)
+        .select("cid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                dot(F.col("embedding"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+                6,
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )

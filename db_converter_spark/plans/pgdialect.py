@@ -271,11 +271,26 @@ def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
         return f"collect_list({a})"
 
     text = _rewrite_calls(text, "array_agg", agg)
-    text = _rewrite_calls(
-        text,
-        "string_agg",
-        lambda a: "array_join(collect_list({}), {})".format(*_split_args(a)[:2]),
-    )
+
+    def string_agg(a: str) -> str:
+        # PG: string_agg(x, sep [ORDER BY k [ASC|DESC]]).  Without the inner
+        # ORDER BY the concatenation order is unspecified in PG, Spark and
+        # DuckDB alike; with it, sort the collected (key, value) pairs.
+        x, rest = _split_args(a)[:2]
+        m = re.match(r"(.*?)\s+order\s+by\s+(.*)$", rest, re.I | re.S)
+        if not m:
+            return f"array_join(collect_list({x}), {rest})"
+        sep, key = m.group(1).strip(), m.group(2).strip()
+        desc = False
+        km = re.match(r"(.*?)\s+(asc|desc)\s*$", key, re.I | re.S)
+        if km:
+            key, desc = km.group(1).strip(), km.group(2).lower() == "desc"
+        arr = f"array_sort(collect_list(struct({key} as _k, {x} as _v)))"
+        if desc:
+            arr = f"reverse({arr})"
+        return f"array_join(transform({arr}, p -> p._v), {sep})"
+
+    text = _rewrite_calls(text, "string_agg", string_agg)
 
     def substring(a: str) -> str:
         m = re.match(r"(.*?)\s+from\s+(.*?)(?:\s+for\s+(.*))?$", a, re.I | re.S)

@@ -129,13 +129,16 @@ group by 1
 order by 1
 """,
     "string_and_regex": """
-select string_agg(s, ';') as joined
+select string_agg(s, ';' order by s) as joined
 from (
   select s from (select 'alpha' as s union all select 'pg_toast'
                  union all select 'beta') T
   where s !~ '^pg_.*'
-  order by s
 ) T
+""",
+    "string_agg_desc": """
+select string_agg(s, ',' order by s desc) as joined
+from (select 'a' as s union all select 'c' union all select 'b') T
 """,
     "substr_forms": """
 select substring('abcdef' from 2 for 3) as mid,

@@ -230,3 +230,112 @@ def ev03_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# ev04 — as-of join (backward): an operator Spark lacks as a built-in
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Distributed backward as-of join: for every ``left`` row, attach the
+    most recent ``payload`` columns from the ``right`` row with
+    ``right.ts_col <= left.ts_col`` on the same ``on`` keys (same-instant
+    right rows count; ties inside one side break on ``seq_col``).
+
+    Not a Spark built-in (SURVEY §2.4 notes the reference has no as-of/range
+    joins either — this is a north-star extra). Formulated as union + running
+    ``last(_, ignorenulls)`` window rather than a per-key loop or a range
+    join: ONE shuffle on the join keys, one sort per partition, linear work,
+    zero Python in the row path. At 100 TB both sides co-partition on ``on``
+    and the window never crosses partitions; skewed keys split under AQE.
+
+    ``right`` must carry the same-named ``on`` + ``ts_col`` (+ ``seq_col``)
+    columns; ``left``-only columns pass through; payload columns come back
+    prefixed ``asof_``.
+    """
+    from pyspark.sql.window import Window
+
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    shared = on + [ts_col] + ([seq_col] if seq_col else [])
+    left_extra = [c for c in left.columns if c not in shared]
+    l2 = left.select(
+        *shared,
+        *left_extra,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"asof_{c}") for c in payload],
+    )
+    r2 = right.select(
+        *shared,
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_extra],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"asof_{c}") for c in payload],
+    )
+    order = [F.col(ts_col), F.col("_side")] + ([F.col(seq_col)] if seq_col else [])
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2)
+    for c in payload:
+        u = u.withColumn(f"asof_{c}", F.last(f"asof_{c}", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")
+
+
+_EV04_DUCK = """
+WITH cp AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'click'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS click_cents,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS purchase_cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT event_id, user_id, ts, side, purchase_cents,
+         LAST_VALUE(click_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_cents
+  FROM cp
+)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       purchase_cents, last_click_cents
+FROM w WHERE side = 1
+"""
+
+
+@query("ev04_asof_join", oracle=_EV04_DUCK, tags=("events", "join", "asof"))
+def ev04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style as-of join: each purchase event picks up the value
+    of the user's most recent click at-or-before it (NULL when no prior
+    click). Exercises the generic ``asof_join`` operator above; the oracle
+    states the identical semantics as one ANSI window query."""
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", cents.alias("purchase_cents")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", cents.alias("click_cents")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        payload=["click_cents"], seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "purchase_cents",
+        F.col("asof_click_cents").alias("last_click_cents"),
+    )

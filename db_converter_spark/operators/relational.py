@@ -935,3 +935,24 @@ def q33_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (absent from the corpus, SURVEY §2.7; Spark ≥3.4 supports OFFSET and
     still plans TakeOrderedAndProject — no global sort)."""
     return _sql(spark, sf_dir, _Q33)
+
+
+_Q34 = """
+SELECT
+  COALESCE(l_returnflag, 'ALL')  AS returnflag,
+  COALESCE(l_linestatus, 'ALL')  AS linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+"""
+
+
+@query("q34_cube_grouping_sets", oracle=_Q34, tags=("agg", "cube"))
+def q34_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS spelling out the full CUBE lattice — completes
+    the grouping family next to q25's ROLLUP (absent from the reference
+    corpus, SURVEY §2.5; Catalyst expands the sets into one Expand + single
+    hash aggregate, so at scale this stays one shuffle)."""
+    return _sql(spark, sf_dir, _Q34)

@@ -339,3 +339,126 @@ def ev04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_cents",
         F.col("asof_click_cents").alias("last_click_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev05 — range join (point-in-interval) via bucket decomposition
+# ---------------------------------------------------------------------------
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    pt_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Non-equi point-in-interval join (``start <= pt < end``) with no shared
+    equi key — the second classic join Spark lacks a scalable built-in for
+    (a theta join plans as BroadcastNestedLoopJoin, O(n·m) and broadcast-
+    bound). Bucket decomposition makes it linear: quantize time into
+    ``bucket_seconds`` buckets, explode each interval over the buckets it
+    covers, tag each point with its single bucket, equi-join on the bucket,
+    then apply the exact range filter. Each point lands in exactly one
+    bucket so no dedup is needed. At 100 TB both sides shuffle once on the
+    uniform bucket key; pick ``bucket_seconds`` ≈ typical interval length so
+    intervals explode into O(1) rows each.
+    """
+    b = float(bucket_seconds)
+    pts = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(pt_col)) / b).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, "_bucket")
+        .filter((F.col(pt_col) >= F.col(start_col)) & (F.col(pt_col) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
+_EV05_DUCK = """
+WITH e AS (
+  SELECT event_id AS err_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT e.err_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+FROM e LEFT JOIN c ON c.ts >= e.start_ts AND c.ts < e.end_ts
+GROUP BY e.err_id
+"""
+
+
+@query("ev05_range_join", oracle=_EV05_DUCK, tags=("events", "join", "range"))
+def ev05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many clicks landed inside the 30 minutes after each error event —
+    a pure non-equi interval join (no shared key) through the bucketed
+    ``point_in_interval_join`` operator; zero-click errors restored with a
+    hash join back to the interval side. The oracle states the same join as
+    a plain theta LEFT JOIN."""
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    hits = (
+        point_in_interval_join(clicks, "ts", errors, "start_ts", "end_ts", 1800)
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return errors.join(hits, "err_id", "left").select(
+        "err_id", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev06 — hypertable-style multi-granularity rollup (one pass)
+# ---------------------------------------------------------------------------
+
+_EV06_TEMPLATE = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT
+  CASE WHEN GROUPING(h) = 0 THEN 'hour' WHEN GROUPING(d) = 0 THEN 'day'
+       WHEN GROUPING(event_type) = 0 THEN 'type' ELSE 'total' END AS grain,
+  COALESCE({day_fmt}, 'ALL')  AS day_bucket,
+  COALESCE({hour_fmt}, 'ALL') AS hour_bucket,
+  COALESCE(event_type, 'ALL') AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM b
+GROUP BY GROUPING SETS ((d, h, event_type), (d, event_type), (event_type), ())
+"""
+
+_EV06_SPARK = _EV06_TEMPLATE.format(
+    day_fmt="date_format(d, 'yyyy-MM-dd')", hour_fmt="date_format(h, 'yyyy-MM-dd HH:00')"
+)
+_EV06_DUCK = _EV06_TEMPLATE.format(
+    day_fmt="strftime(d, '%Y-%m-%d')", hour_fmt="strftime(h, '%Y-%m-%d %H:00')"
+)
+
+
+@query("ev06_multi_rollup", oracle=_EV06_DUCK, tags=("events", "rollup", "timeseries"))
+def ev06_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day, per-type and
+    grand-total grains materialized in ONE scan via GROUPING SETS — Catalyst
+    plans a single Expand + partial/final aggregate, so at 100 TB every
+    grain shares one shuffle instead of four scans. GROUPING() disambiguates
+    rolled-up NULLs from data NULLs."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV06_SPARK)

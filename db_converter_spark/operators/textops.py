@@ -10,8 +10,9 @@ whole-stage-codegen'd, linear at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from db_converter_spark.catalog import register_views
+from db_converter_spark.catalog import load_table, register_views
 from db_converter_spark.registry import query
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -223,3 +224,27 @@ def ta04_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     array domain — no explode, no window shuffle; the per-doc sketch then
     feeds plagiarism/near-dup indexes."""
     return _sql(spark, sf_dir, _TA04_SPARK)
+
+
+@query("ta05_hll_distinct", oracle=None, tags=("text", "sketch", "approx"))
+def ta05_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-document cardinality per source via Datasketches
+    HLL (``hll_sketch_agg``, Spark ≥3.5). Sketches are tiny, mergeable
+    partial-aggregate state — at 100 TB this is the only sane way to count
+    distincts across re-partitions/unions (union sketches, estimate once),
+    and the same sketch column can be stored and rolled up incrementally.
+    No SQL oracle: the estimate is non-deterministic across engines by
+    design; tests/test_sketch.py asserts the ±ε bound against the exact
+    count instead (driver records the rows-only check, as documented)."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(md5(text), 14))").alias(
+                "approx_distinct_texts"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )

@@ -100,17 +100,55 @@ def merge_update(
     spark.sql(f"DROP TABLE {bak}")
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
-    """``DELETE FROM t WHERE p`` for parquet tables: anti-filter rewrite
-    (reference: packets/test_insert_info/01_step.sql:1)."""
-    kept = spark.table(table).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
-    tmp, bak = f"{table}__del_tmp", f"{table}__del_old"
+def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Atomically-enough replace ``table`` with ``df``: write a sibling,
+    rename the old out, rename the new in, drop the old. The write is
+    partition-parallel; renames are catalog metadata ops."""
+    tmp, bak = f"{table}__swap_tmp", f"{table}__swap_old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    kept.write.saveAsTable(tmp)
+    df.write.saveAsTable(tmp)
     spark.sql(f"DROP TABLE IF EXISTS {bak}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {bak}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     spark.sql(f"DROP TABLE {bak}")
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str | None) -> None:
+    """``DELETE FROM t [WHERE p]`` for parquet tables: anti-filter rewrite
+    (reference: packets/test_insert_info/01_step.sql:1). ``predicate=None``
+    deletes every row."""
+    df = spark.table(table)
+    kept = (
+        df.limit(0)
+        if predicate is None
+        else df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
+    )
+    _swap_write(spark, table, kept)
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    set_map: dict[str, str],
+    predicate: str | None,
+) -> None:
+    """``UPDATE t SET c = e, … [WHERE p]`` for parquet tables: a
+    conditional-projection rewrite — one scan, no join, partition-parallel
+    write. All SET expressions are evaluated in a single SELECT so each
+    right-hand side sees the OLD row values (PostgreSQL semantics), even
+    when one SET column references another."""
+    df = spark.table(table)
+    cond = F.expr(predicate) if predicate is not None else F.lit(True)
+    cols = [
+        F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
+        if c in set_map
+        else F.col(c)
+        for c in df.columns
+    ]
+    unknown = set(set_map) - set(df.columns)
+    if unknown:
+        raise ValueError(f"UPDATE {table}: unknown columns {sorted(unknown)}")
+    _swap_write(spark, table, df.select(*cols))
 
 
 def chunk_grid(

@@ -120,6 +120,10 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
         status = [stmt.split()[0].upper(), "no_commit"]
         ctx.current_step_results.append([status])
         return [status]
+    routed = _route_v1_dml(ctx, stmt)
+    if routed is not None:
+        ctx.current_step_results.append([routed])
+        return [routed]
     df = ctx.spark.sql(stmt)
     if kind == "query":
         table = _capture_select(ctx, df)
@@ -132,6 +136,63 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
     status = [stmt.split()[0].upper()]
     ctx.current_step_results.append([status])
     return [status]
+
+
+_DELETE_RE = re.compile(
+    r"^\s*delete\s+from\s+([\w.`]+)\s*(?:where\s+(.+))?$", re.I | re.S
+)
+_UPDATE_RE = re.compile(r"^\s*update\s+([\w.`]+)\s+set\s+(.+)$", re.I | re.S)
+
+
+def _split_set_clause(tail: str) -> tuple[dict[str, str], str | None]:
+    """Parse ``c1 = e1, c2 = e2 [WHERE p]`` (top-level commas only)."""
+    m = re.search(r"\swhere\s", tail, re.I)
+    set_part, predicate = (
+        (tail[: m.start()], tail[m.end() :].strip()) if m else (tail, None)
+    )
+    set_map: dict[str, str] = {}
+    depth, buf, parts = 0, [], []
+    for ch in set_part:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not _:
+            raise ValueError(f"cannot parse SET clause item: {p!r}")
+        set_map[col.strip().strip("`")] = expr.strip()
+    return set_map, predicate
+
+
+def _route_v1_dml(ctx: RunContext, stmt: str) -> list | None:
+    """Spark cannot run DELETE/UPDATE against v1 (parquet) catalog tables —
+    route them through the migration rewrites (anti-filter delete,
+    conditional-projection update; operators/migration.py) so reference
+    packets like test_insert_info/01_step.sql:1 run unmodified. Returns the
+    command-status tuple, or None for statements Spark handles natively."""
+    from db_converter_spark.operators import migration
+
+    m = _DELETE_RE.match(stmt)
+    if m:
+        migration.delete_where(ctx.spark, m.group(1).strip("`"), m.group(2))
+        return ["DELETE"]
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        tail = m.group(2)
+        if re.search(r"\sfrom\s", re.sub(r"\(.*?\)", "", tail, flags=re.S), re.I):
+            raise ValueError(
+                "UPDATE ... FROM needs join semantics — use a python step"
+                " calling operators.migration.merge_update (SURVEY §2.8)"
+            )
+        set_map, predicate = _split_set_clause(tail)
+        migration.update_where(ctx.spark, m.group(1).strip("`"), set_map, predicate)
+        return ["UPDATE"]
+    return None
 
 
 _MAINT_VACUUM_ANALYZE = re.compile(r"^\s*vacuum\s+analyze\s+(\S+)", re.I)

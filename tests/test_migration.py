@@ -147,3 +147,16 @@ def test_int4_to_int8_packet_end_to_end(spark, tmp_path):
     assert any(
         "skip" in str(r) for r in res2.result_data["i48db"]["01_step.py"]
     )
+
+
+def test_update_where_old_row_semantics(spark):
+    spark.sql("DROP TABLE IF EXISTS upd_sem_tbl")
+    spark.sql("CREATE TABLE upd_sem_tbl (a BIGINT, b BIGINT) USING parquet")
+    spark.sql("INSERT INTO upd_sem_tbl VALUES (1, 10), (2, 20)")
+    from db_converter_spark.operators.migration import update_where
+
+    # both right-hand sides must see OLD values: a←b, b←a swaps (PG semantics)
+    update_where(spark, "upd_sem_tbl", {"a": "b", "b": "a"}, "a = 1")
+    got = sorted(tuple(r) for r in spark.table("upd_sem_tbl").collect())
+    assert got == [(2, 20), (10, 1)]
+    spark.sql("DROP TABLE upd_sem_tbl")

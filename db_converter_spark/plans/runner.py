@@ -141,7 +141,42 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
 _DELETE_RE = re.compile(
     r"^\s*delete\s+from\s+([\w.`]+)\s*(?:where\s+(.+))?$", re.I | re.S
 )
-_UPDATE_RE = re.compile(r"^\s*update\s+([\w.`]+)\s+set\s+(.+)$", re.I | re.S)
+_UPDATE_RE = re.compile(
+    r"^\s*update\s+([\w.`]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?\s+set\s+", re.I
+)
+
+
+def _find_top_level(text: str, word: str) -> int:
+    """Index of keyword ``word`` at paren depth 0 (word-bounded), or -1."""
+    tl, wl = text.lower(), word.lower()
+    depth = 0
+    for i in range(len(text)):
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and tl.startswith(wl, i):
+            before = tl[i - 1] if i else " "
+            j = i + len(wl)
+            after = tl[j] if j < len(tl) else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+    return -1
+
+
+def _split_top_level_and(text: str) -> list[str]:
+    parts, last = [], 0
+    rest = text
+    while True:
+        i = _find_top_level(rest, "and")
+        if i == -1:
+            parts.append(rest.strip())
+            return parts
+        parts.append(rest[:i].strip())
+        rest = rest[i + 3 :]
 
 
 def _split_set_clause(tail: str) -> tuple[dict[str, str], str | None]:
@@ -183,16 +218,70 @@ def _route_v1_dml(ctx: RunContext, stmt: str) -> list | None:
         return ["DELETE"]
     m = _UPDATE_RE.match(stmt)
     if m:
-        tail = m.group(2)
-        if re.search(r"\sfrom\s", re.sub(r"\(.*?\)", "", tail, flags=re.S), re.I):
-            raise ValueError(
-                "UPDATE ... FROM needs join semantics — use a python step"
-                " calling operators.migration.merge_update (SURVEY §2.8)"
-            )
-        set_map, predicate = _split_set_clause(tail)
-        migration.update_where(ctx.spark, m.group(1).strip("`"), set_map, predicate)
+        table, talias = m.group(1).strip("`"), m.group(2)
+        rest = stmt[m.end() :].rstrip().rstrip(";")
+        fi = _find_top_level(rest, "from")
+        if fi == -1:
+            set_map, predicate = _split_set_clause(rest)
+            migration.update_where(ctx.spark, table, set_map, predicate)
+            return ["UPDATE"]
+        _update_from(ctx, table, talias, rest[:fi], rest[fi + 4 :])
         return ["UPDATE"]
     return None
+
+
+def _update_from(
+    ctx: RunContext, table: str, talias: str | None, set_part: str, from_part: str
+) -> None:
+    """PostgreSQL ``UPDATE tgt [a] SET ... FROM (subquery|table) s WHERE
+    a.k = s.k [AND ...]`` — the reference's canonical chunked-migration
+    statement (reference: packets/test_int4_to_int8/02_step.sql:3-5) —
+    compiled onto operators.migration.merge_update (broadcast left-join
+    conditional projection; the parameter subquery is small by design)."""
+    from db_converter_spark.operators import migration
+
+    talias = talias or table.split(".")[-1]
+    wi = _find_top_level(from_part, "where")
+    if wi == -1:
+        raise ValueError("UPDATE ... FROM requires a WHERE join condition")
+    src_text, where_text = from_part[:wi].strip(), from_part[wi + 5 :].strip()
+    sm = re.match(r"^\((.*)\)\s*(?:as\s+)?(\w+)\s*$", src_text, re.I | re.S)
+    if sm:
+        src_sql, salias = sm.group(1), sm.group(2)
+    else:
+        tm = re.match(r"^([\w.`]+)\s+(?:as\s+)?(\w+)\s*$", src_text, re.I)
+        if not tm:
+            raise ValueError(f"cannot parse UPDATE ... FROM source: {src_text!r}")
+        src_sql, salias = f"SELECT * FROM {tm.group(1)}", tm.group(2)
+    on: list[str] = []
+    for cond in _split_top_level_and(where_text):
+        cm = re.match(r"^\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*$", cond)
+        if not cm or {cm.group(1), cm.group(3)} != {talias, salias}:
+            raise ValueError(
+                f"unsupported UPDATE ... FROM condition {cond!r} — only"
+                " target.col = source.col equi-conditions are compiled;"
+                " use a python step with migration.merge_update otherwise"
+            )
+        tcol, scol = (
+            (cm.group(2), cm.group(4))
+            if cm.group(1) == talias
+            else (cm.group(4), cm.group(2))
+        )
+        if tcol != scol:
+            raise ValueError(
+                f"join key names must match on both sides ({tcol} vs {scol});"
+                " alias the source column to the target name"
+            )
+        on.append(tcol)
+
+    def realias(expr: str) -> str:
+        expr = re.sub(rf"\b{re.escape(salias)}\.", "\x02.", expr)
+        expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
+        return expr.replace("\x02.", "s.")
+
+    raw_set, _ = _split_set_clause(set_part)
+    set_map = {c: realias(e) for c, e in raw_set.items()}
+    migration.merge_update(ctx.spark, table, ctx.spark.sql(src_sql), on, set_map)
 
 
 _MAINT_VACUUM_ANALYZE = re.compile(r"^\s*vacuum\s+analyze\s+(\S+)", re.I)

@@ -160,3 +160,31 @@ def test_update_where_old_row_semantics(spark):
     got = sorted(tuple(r) for r in spark.table("upd_sem_tbl").collect())
     assert got == [(2, 20), (10, 1)]
     spark.sql("DROP TABLE upd_sem_tbl")
+
+
+def test_update_from_statement_routing(spark, tmp_path):
+    """The reference's canonical chunked-migration statement (packets/
+    test_int4_to_int8/02_step.sql:3-5) must run as plain packet SQL."""
+    from db_converter_spark.plans.model import ResultCode
+    from db_converter_spark.plans.runner import PacketRunner
+
+    pkt = tmp_path / "upd_from_pkt"
+    pkt.mkdir()
+    (pkt / "run_once.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS mig_tbl (id BIGINT, id_new BIGINT) USING parquet"
+    )
+    (pkt / "01_step.sql").write_text(
+        "INSERT INTO mig_tbl SELECT id, CAST(NULL AS BIGINT) FROM range(1, 21)"
+    )
+    (pkt / "02_step.sql").write_text(
+        """UPDATE mig_tbl a SET id_new = t.id
+FROM ( select s.id from mig_tbl s where s.id >= 1 and s.id <= 10 ) AS t
+WHERE a.id = t.id;
+"""
+    )
+    runner = PacketRunner(spark, tmp_path / "wh")
+    res = runner.run(pkt, dbs=["mig_db"])
+    assert res.result_code["mig_db"] == ResultCode.SUCCESS, res.result_data["mig_db"]
+    rows = spark.table("mig_db.mig_tbl")
+    assert rows.filter("id_new = id").count() == 10
+    assert rows.filter("id_new IS NULL AND id > 10").count() == 10

@@ -51,7 +51,7 @@ def test_sweep_rerun_is_idempotent(runner, spark):
     assert spark.table(f"{db}.demo_gen_tbl").count() == n
 
 
-@pytest.mark.parametrize("name", ["demo_read_only", "demo_pg_dialect", "demo_dml"])
+@pytest.mark.parametrize("name", ["demo_read_only", "demo_pg_dialect", "demo_dml", "demo_chunked_migration"])
 def test_packet_goldens(runner, name):
     """Captured resultsets must match the committed golden files
     byte-for-byte (``<SKIP>`` lines masked)."""

@@ -53,8 +53,25 @@ def _row_groups(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_row_groups
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make THIS session able to scan timestamp[ns] parquet.
+
+    The conf is runtime-settable and must be set on whichever session actually
+    reads — callers (the correctness driver, notebooks) supply vanilla
+    sessions that our own session factory never touched. Without this, every
+    read of the driver testdata dies with PARQUET_TYPE_ILLEGAL before any
+    query logic runs."""
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        # Read-only conf entry on some builds; reads will fail loudly there.
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         # integer nanos → micros. Integral `div`, not `/1000`: epoch-nanos
@@ -96,17 +113,16 @@ def create_information_schema_views(spark: SparkSession, db: str | None = None) 
     )
 
 
-_registered: dict[int, str] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (memoized per session).
 
     Views are cheap (no scan happens until an action); filters and column
-    pruning push down through them to the parquet scan.
+    pruning push down through them to the parquet scan. The memo lives on the
+    session object itself (not an id()-keyed dict: ids get reused after GC,
+    which would silently skip registration on a fresh session).
     """
-    if _registered.get(id(spark)) == sf_dir:
+    if getattr(spark, "_dbc_registered_sf", None) == sf_dir:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _registered[id(spark)] = sf_dir
+    spark._dbc_registered_sf = sf_dir

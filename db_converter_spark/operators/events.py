@@ -199,6 +199,9 @@ def ev03_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the session reads parquet NANOS timestamps as longs
     (see catalog.py) — converted with the same div-1000 truncation."""
     sink = "ev03_sink"
+    from ..catalog import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
     # File stream sources require a DIRECTORY (new files land, get listed
     # incrementally); glob-filter it down to the events table.
     src = (

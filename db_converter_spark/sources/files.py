@@ -38,4 +38,7 @@ def read_export_csv(
 def read_parquet_dir(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet directory read — schema from footers, pushdown/pruning
     native. Exists for symmetry in the source registry."""
+    from ..catalog import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
     return spark.read.parquet(path)

@@ -50,6 +50,9 @@ def start_incremental_ingest(
     Readers in OTHER sessions should ``spark.catalog.refreshTable(target)``
     after the query finishes — per-session relation caches do not see the
     stream's appends on their own."""
+    from ..catalog import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

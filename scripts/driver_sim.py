@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from pyspark.sql import SparkSession
+
 from db_converter_spark.catalog import TABLES
-from db_converter_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
 
@@ -51,11 +52,15 @@ def _rows(pdf):
 
 def main() -> int:
     mod = importlib.import_module("__spark_entry__")
-    spark = build_session(
-        app_name="driver-sim",
-        master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
+    # VANILLA session, deliberately NOT build_session: the grading driver
+    # constructs its own SparkSession without any of our confs (round-1
+    # lesson — engine must be self-sufficient on a session it didn't build).
+    spark = (
+        SparkSession.builder.appName("driver-sim")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
     )
 
     rows = mod.entry(spark).collect()

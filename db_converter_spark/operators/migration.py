@@ -54,31 +54,68 @@ def change_column_type(
     spark.sql(f"DROP TABLE {bak}")
 
 
-def merge_update(
+def merge_update_plan(
     spark: SparkSession,
     target_table: str,
     source: DataFrame,
-    on: list[str],
+    on: list[str] | None,
     set_map: dict[str, str],
     broadcast_source: bool = True,
-) -> None:
-    """Emulated ``MERGE INTO … WHEN MATCHED THEN UPDATE`` /
+    condition: str | None = None,
+) -> DataFrame:
+    """Logical plan of :func:`merge_update` — built (and analyzed) without
+    writing, so no-commit dry-runs validate the exact plan a real run would
+    execute. Emulated ``MERGE INTO … WHEN MATCHED THEN UPDATE`` /
     ``UPDATE … FROM`` (reference: packets/test_int4_to_int8/02_step.sql:3-5)
     for plain parquet tables (no Delta in this environment).
 
-    Semantics: rows of ``target_table`` matching ``source`` on the ``on``
-    keys get ``set_map`` column expressions (resolvable against
-    target-aliased ``t`` and source-aliased ``s``); unmatched rows pass
-    through unchanged. Implemented as a left-join rewrite: one scan of the
-    target, joined against a (broadcast) source, written back.
+    Semantics: rows of ``target_table`` matching ``source`` — on the ``on``
+    equi-keys, or on an arbitrary SQL ``condition`` over aliases ``t``/``s``
+    (range/cross-named predicates) — get ``set_map`` column expressions;
+    unmatched rows pass through unchanged. PostgreSQL updates each target
+    row AT MOST ONCE even when several source rows match, so:
 
-    At scale: target never shuffles (broadcast-hash join), the write is
-    partition-parallel. For a huge source, set ``broadcast_source=False``
-    to let AQE pick a sort-merge join."""
-    t = spark.table(target_table).alias("t")
-    s = (F.broadcast(source) if broadcast_source else source).alias("s")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
-    matched = F.col(f"s.{on[0]}").isNotNull()
+    - equi path: the source is deduplicated on the join keys before the
+      left join (one hash-dedup of the SMALL side — a duplicate-keyed
+      source would otherwise multiply target rows);
+    - condition path: each target row is tagged with a unique id and only
+      the first matching source row (deterministic order over the source
+      columns) contributes, via one row_number window on the id.
+
+    At scale: the equi path never shuffles the target (broadcast-hash
+    join + partition-parallel write). The condition path adds one window
+    shuffle keyed by the synthetic id — unavoidable for arbitrary
+    predicates; keep the source small/broadcast there (it plans as a
+    broadcast nested-loop join). For a huge equi source, pass
+    ``broadcast_source=False`` to let AQE pick a sort-merge join."""
+    if (on is None) == (condition is None):
+        raise ValueError("merge_update: pass exactly one of `on` or `condition`")
+    if on is not None:
+        t = spark.table(target_table).alias("t")
+        src = source.dropDuplicates(on)
+        s = (F.broadcast(src) if broadcast_source else src).alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        matched = F.col(f"s.{on[0]}").isNotNull()
+        joined = t.join(s, cond, "left")
+    else:
+        from pyspark.sql.window import Window
+
+        uid = "__merge_uid"
+        flag = "__merge_matched"
+        t = spark.table(target_table).withColumn(
+            uid, F.monotonically_increasing_id()
+        ).alias("t")
+        src = source.withColumn(flag, F.lit(True))
+        s = (F.broadcast(src) if broadcast_source else src).alias("s")
+        w = Window.partitionBy(uid).orderBy(
+            *[F.col(f"s.{c}").asc_nulls_last() for c in source.columns]
+        )
+        matched = F.col(flag).isNotNull()
+        joined = (
+            t.join(s, F.expr(condition), "left")
+            .withColumn("__merge_rn", F.row_number().over(w))
+            .where(F.col("__merge_rn") == 1)
+        )
     out_cols = []
     for name, _ in _columns(spark, target_table):
         if name in set_map:
@@ -87,17 +124,27 @@ def merge_update(
             )
         else:
             out_cols.append(F.col(f"t.{name}").alias(name))
-    joined = t.join(s, cond, "left").select(*out_cols)
-    # two-phase write: materialize to a staging table, then swap — a plain
-    # INSERT OVERWRITE cannot read from the table it overwrites
-    tmp = f"{target_table}__merge_tmp"
-    bak = f"{target_table}__merge_old"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    joined.write.saveAsTable(tmp)
-    spark.sql(f"DROP TABLE IF EXISTS {bak}")
-    spark.sql(f"ALTER TABLE {target_table} RENAME TO {bak}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {target_table}")
-    spark.sql(f"DROP TABLE {bak}")
+    return joined.select(*out_cols)
+
+
+def merge_update(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    on: list[str] | None,
+    set_map: dict[str, str],
+    broadcast_source: bool = True,
+    condition: str | None = None,
+) -> None:
+    """Execute :func:`merge_update_plan` via two-phase swap write (a plain
+    INSERT OVERWRITE cannot read from the table it overwrites)."""
+    _swap_write(
+        spark,
+        target_table,
+        merge_update_plan(
+            spark, target_table, source, on, set_map, broadcast_source, condition
+        ),
+    )
 
 
 def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
@@ -113,17 +160,22 @@ def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
     spark.sql(f"DROP TABLE {bak}")
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str | None) -> None:
-    """``DELETE FROM t [WHERE p]`` for parquet tables: anti-filter rewrite
-    (reference: packets/test_insert_info/01_step.sql:1). ``predicate=None``
-    deletes every row."""
+def delete_plan(spark: SparkSession, table: str, predicate: str | None) -> DataFrame:
+    """Kept-rows plan of :func:`delete_where` (anti-filter); analyzed eagerly
+    so dry-runs surface bad predicates without writing."""
     df = spark.table(table)
-    kept = (
+    return (
         df.limit(0)
         if predicate is None
         else df.where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
     )
-    _swap_write(spark, table, kept)
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str | None) -> None:
+    """``DELETE FROM t [WHERE p]`` for parquet tables: anti-filter rewrite
+    (reference: packets/test_insert_info/01_step.sql:1). ``predicate=None``
+    deletes every row."""
+    _swap_write(spark, table, delete_plan(spark, table, predicate))
 
 
 def update_where(
@@ -137,7 +189,20 @@ def update_where(
     write. All SET expressions are evaluated in a single SELECT so each
     right-hand side sees the OLD row values (PostgreSQL semantics), even
     when one SET column references another."""
+    _swap_write(spark, table, update_plan(spark, table, set_map, predicate))
+
+
+def update_plan(
+    spark: SparkSession,
+    table: str,
+    set_map: dict[str, str],
+    predicate: str | None,
+) -> DataFrame:
+    """Conditional-projection plan of :func:`update_where`."""
     df = spark.table(table)
+    unknown = set(set_map) - set(df.columns)
+    if unknown:
+        raise ValueError(f"UPDATE {table}: unknown columns {sorted(unknown)}")
     cond = F.expr(predicate) if predicate is not None else F.lit(True)
     cols = [
         F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
@@ -145,10 +210,7 @@ def update_where(
         else F.col(c)
         for c in df.columns
     ]
-    unknown = set(set_map) - set(df.columns)
-    if unknown:
-        raise ValueError(f"UPDATE {table}: unknown columns {sorted(unknown)}")
-    _swap_write(spark, table, df.select(*cols))
+    return df.select(*cols)
 
 
 def chunk_grid(

@@ -49,6 +49,7 @@ from db_converter_spark.plans.pgdialect import rewrite as pg_rewrite
 from db_converter_spark.plans.watchdog import StepWatchdog
 from db_converter_spark.plans.sqlsplit import (
     is_read_only_ok,
+    mask_strings,
     split_statements,
     statement_kind,
 )
@@ -110,13 +111,17 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
     if ctx.dialect == "postgres":
         stmt = pg_rewrite(stmt, ctx.packet.session_conf)
     if ctx.no_commit and kind != "query":
-        # dry-run: analyze + optimize the statement without executing it.
-        # EXPLAIN reports analysis failures as text, not exceptions — detect
-        # and re-raise so a dry-run still validates (reference rolls back
-        # real execution, so errors surfaced there too)
-        plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
-        if "Exception" in plan.split("== Optimized Logical Plan ==")[0]:
-            raise RuntimeError(f"no_commit validation failed: {plan[:500]}")
+        # dry-run: analyze the statement without executing it. Routed
+        # UPDATE/DELETE (which Spark itself cannot even EXPLAIN on v1
+        # parquet tables) build and analyze the SAME rewrite plan a real
+        # run would execute; everything else goes through EXPLAIN EXTENDED,
+        # where a missing Physical Plan section marks failure (Spark prints
+        # the error text in place of the plan — never the literal word
+        # 'Exception' the old sniff looked for).
+        if _route_v1_dml(ctx, stmt, dry=True) is None:
+            plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
+            if "== Physical Plan ==" not in plan or "Error occurred during query planning" in plan:
+                raise RuntimeError(f"no_commit validation failed: {plan[:500]}")
         status = [stmt.split()[0].upper(), "no_commit"]
         ctx.current_step_results.append([status])
         return [status]
@@ -147,11 +152,14 @@ _UPDATE_RE = re.compile(
 
 
 def _find_top_level(text: str, word: str) -> int:
-    """Index of keyword ``word`` at paren depth 0 (word-bounded), or -1."""
-    tl, wl = text.lower(), word.lower()
+    """Index of keyword ``word`` at paren depth 0 (word-bounded), or -1.
+    Scans the literal-masked copy (sqlsplit.mask_strings) so a keyword
+    inside a string literal, quoted identifier, or comment never matches —
+    ``SET note = 'a where b'`` keeps its literal intact."""
+    tl, wl = mask_strings(text).lower(), word.lower()
     depth = 0
-    for i in range(len(text)):
-        ch = text[i]
+    for i in range(len(tl)):
+        ch = tl[i]
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -180,41 +188,48 @@ def _split_top_level_and(text: str) -> list[str]:
 
 
 def _split_set_clause(tail: str) -> tuple[dict[str, str], str | None]:
-    """Parse ``c1 = e1, c2 = e2 [WHERE p]`` (top-level commas only)."""
-    m = re.search(r"\swhere\s", tail, re.I)
+    """Parse ``c1 = e1, c2 = e2 [WHERE p]``. All keyword/comma/= scanning
+    runs over the literal-masked copy so quoted text never splits a clause
+    (top-level WHERE and commas only; indices map 1:1 onto the original)."""
+    wi = _find_top_level(tail, "where")
     set_part, predicate = (
-        (tail[: m.start()], tail[m.end() :].strip()) if m else (tail, None)
+        (tail[:wi], tail[wi + 5 :].strip()) if wi != -1 else (tail, None)
     )
     set_map: dict[str, str] = {}
-    depth, buf, parts = 0, [], []
-    for ch in set_part:
+    mask = mask_strings(set_part)
+    depth, parts, last = 0, [], 0
+    for i, ch in enumerate(mask):
         depth += ch == "("
         depth -= ch == ")"
         if ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    parts.append("".join(buf))
+            parts.append(set_part[last:i])
+            last = i + 1
+    parts.append(set_part[last:])
     for p in parts:
-        col, _, expr = p.partition("=")
-        if not _:
+        eq = mask_strings(p).find("=")
+        if eq < 0:
             raise ValueError(f"cannot parse SET clause item: {p!r}")
+        col, expr = p[:eq], p[eq + 1 :]
         set_map[col.strip().strip("`")] = expr.strip()
     return set_map, predicate
 
 
-def _route_v1_dml(ctx: RunContext, stmt: str) -> list | None:
+def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     """Spark cannot run DELETE/UPDATE against v1 (parquet) catalog tables —
     route them through the migration rewrites (anti-filter delete,
     conditional-projection update; operators/migration.py) so reference
     packets like test_insert_info/01_step.sql:1 run unmodified. Returns the
-    command-status tuple, or None for statements Spark handles natively."""
+    command-status tuple, or None for statements Spark handles natively.
+    ``dry=True`` builds and analyzes the rewrite plan (surfacing bad
+    tables/columns/expressions) without writing — the no-commit path."""
     from db_converter_spark.operators import migration
 
     m = _DELETE_RE.match(stmt)
     if m:
-        migration.delete_where(ctx.spark, m.group(1).strip("`"), m.group(2))
+        if dry:
+            migration.delete_plan(ctx.spark, m.group(1).strip("`"), m.group(2)).schema
+        else:
+            migration.delete_where(ctx.spark, m.group(1).strip("`"), m.group(2))
         return ["DELETE"]
     m = _UPDATE_RE.match(stmt)
     if m:
@@ -223,21 +238,32 @@ def _route_v1_dml(ctx: RunContext, stmt: str) -> list | None:
         fi = _find_top_level(rest, "from")
         if fi == -1:
             set_map, predicate = _split_set_clause(rest)
-            migration.update_where(ctx.spark, table, set_map, predicate)
+            if dry:
+                migration.update_plan(ctx.spark, table, set_map, predicate).schema
+            else:
+                migration.update_where(ctx.spark, table, set_map, predicate)
             return ["UPDATE"]
-        _update_from(ctx, table, talias, rest[:fi], rest[fi + 4 :])
+        _update_from(ctx, table, talias, rest[:fi], rest[fi + 4 :], dry=dry)
         return ["UPDATE"]
     return None
 
 
 def _update_from(
-    ctx: RunContext, table: str, talias: str | None, set_part: str, from_part: str
+    ctx: RunContext,
+    table: str,
+    talias: str | None,
+    set_part: str,
+    from_part: str,
+    dry: bool = False,
 ) -> None:
     """PostgreSQL ``UPDATE tgt [a] SET ... FROM (subquery|table) s WHERE
-    a.k = s.k [AND ...]`` — the reference's canonical chunked-migration
-    statement (reference: packets/test_int4_to_int8/02_step.sql:3-5) —
-    compiled onto operators.migration.merge_update (broadcast left-join
-    conditional projection; the parameter subquery is small by design)."""
+    <cond>`` — the reference's canonical chunked-migration statement
+    (reference: packets/test_int4_to_int8/02_step.sql:3-5) — compiled onto
+    operators.migration.merge_update. Same-named ``t.k = s.k`` equi-key
+    conjunctions take the broadcast left-join path (target never shuffles);
+    anything else (range predicates, cross-named keys, OR trees) compiles
+    to the arbitrary-``condition`` path, which updates each target row at
+    most once via a first-match window — full PG UPDATE...FROM surface."""
     from db_converter_spark.operators import migration
 
     talias = talias or table.split(".")[-1]
@@ -253,35 +279,42 @@ def _update_from(
         if not tm:
             raise ValueError(f"cannot parse UPDATE ... FROM source: {src_text!r}")
         src_sql, salias = f"SELECT * FROM {tm.group(1)}", tm.group(2)
-    on: list[str] = []
-    for cond in _split_top_level_and(where_text):
-        cm = re.match(r"^\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*$", cond)
-        if not cm or {cm.group(1), cm.group(3)} != {talias, salias}:
-            raise ValueError(
-                f"unsupported UPDATE ... FROM condition {cond!r} — only"
-                " target.col = source.col equi-conditions are compiled;"
-                " use a python step with migration.merge_update otherwise"
-            )
-        tcol, scol = (
-            (cm.group(2), cm.group(4))
-            if cm.group(1) == talias
-            else (cm.group(4), cm.group(2))
-        )
-        if tcol != scol:
-            raise ValueError(
-                f"join key names must match on both sides ({tcol} vs {scol});"
-                " alias the source column to the target name"
-            )
-        on.append(tcol)
 
     def realias(expr: str) -> str:
         expr = re.sub(rf"\b{re.escape(salias)}\.", "\x02.", expr)
         expr = re.sub(rf"\b{re.escape(talias)}\.", "t.", expr)
         return expr.replace("\x02.", "s.")
 
+    on: list[str] | None = []
+    for cond in _split_top_level_and(where_text):
+        cm = re.match(r"^\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*$", cond)
+        if not cm or {cm.group(1), cm.group(3)} != {talias, salias}:
+            on = None  # not a pure equi conjunction → general condition path
+            break
+        tcol, scol = (
+            (cm.group(2), cm.group(4))
+            if cm.group(1) == talias
+            else (cm.group(4), cm.group(2))
+        )
+        if tcol != scol:
+            on = None
+            break
+        on.append(tcol)
+    condition = None if on else realias(where_text)
+    if on == []:
+        on = None
+
     raw_set, _ = _split_set_clause(set_part)
     set_map = {c: realias(e) for c, e in raw_set.items()}
-    migration.merge_update(ctx.spark, table, ctx.spark.sql(src_sql), on, set_map)
+    src_df = ctx.spark.sql(src_sql)
+    if dry:
+        migration.merge_update_plan(
+            ctx.spark, table, src_df, on, set_map, condition=condition
+        ).schema
+    else:
+        migration.merge_update(
+            ctx.spark, table, src_df, on, set_map, condition=condition
+        )
 
 
 _MAINT_VACUUM_ANALYZE = re.compile(r"^\s*vacuum\s+analyze\s+(\S+)", re.I)
@@ -545,30 +578,46 @@ class PacketRunner:
         nsp_rows = gen_cache.get(f"nsp:{step.index}")
 
         def actions():
-            """Yield (action_sql, maint_cmd) per binding — the reference's
-            three fan-out cases (dbccore/dbccore.py:921-1087)."""
+            """Yield (action_sql, [maint_cmds]) per binding — the reference's
+            three fan-out cases (dbccore/dbccore.py:921-1087). In the
+            cartesian case the reference runs BOTH maintenance commands —
+            the nsp row's first, then the obj row's with GEN_NSP
+            placeholders applied to it."""
             if obj_rows is not None and nsp_rows is not None:
                 for nrow in nsp_rows:  # cartesian nsp × obj (case 1)
                     for orow in obj_rows:
                         sql = apply_gen_placeholders(step.text, nrow, "GEN_NSP")
                         sql = apply_gen_placeholders(sql, orow, "GEN_OBJ")
-                        yield sql, (orow[0] or nrow[0] if orow and nrow else None)
+                        maints = []
+                        if nrow and nrow[0]:
+                            maints.append(str(nrow[0]))
+                        if orow and orow[0]:
+                            maints.append(
+                                apply_gen_placeholders(str(orow[0]), nrow, "GEN_NSP")
+                            )
+                        yield sql, maints
             elif obj_rows is not None:
                 for orow in obj_rows:  # case 2
-                    yield apply_gen_placeholders(step.text, orow, "GEN_OBJ"), orow[0]
+                    yield (
+                        apply_gen_placeholders(step.text, orow, "GEN_OBJ"),
+                        [str(orow[0])] if orow and orow[0] else [],
+                    )
             elif nsp_rows is not None:
                 for nrow in nsp_rows:  # case 3
-                    yield apply_gen_placeholders(step.text, nrow, "GEN_NSP"), nrow[0]
+                    yield (
+                        apply_gen_placeholders(step.text, nrow, "GEN_NSP"),
+                        [str(nrow[0])] if nrow and nrow[0] else [],
+                    )
             else:
-                yield step.text, None
+                yield step.text, []
 
-        for action_sql, maint in actions():
+        for action_sql, maints in actions():
             h = hashlib.md5(action_sql.encode()).hexdigest()
             if h in seen_hashes or (track and tracker.is_action_done(packet_id, step_id, h)):
                 ctx.raise_notice("LOG", f"action {h[:8]} already applied, skipping")
                 continue
-            if maint:
-                _run_maint(ctx, str(maint))
+            for mc in maints:
+                _run_maint(ctx, mc)
             try:
                 for stmt in split_statements(action_sql):
                     _run_statement(ctx, stmt)

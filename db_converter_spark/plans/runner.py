@@ -48,6 +48,7 @@ from db_converter_spark.plans.hooks import ChatHook, notify_error, notify_result
 from db_converter_spark.plans.pgdialect import rewrite as pg_rewrite
 from db_converter_spark.plans.watchdog import StepWatchdog
 from db_converter_spark.plans.sqlsplit import (
+    _strip_leading_comments,
     is_read_only_ok,
     mask_strings,
     split_statements,
@@ -122,7 +123,7 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
             plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
             if "== Physical Plan ==" not in plan or "Error occurred during query planning" in plan:
                 raise RuntimeError(f"no_commit validation failed: {plan[:500]}")
-        status = [stmt.split()[0].upper(), "no_commit"]
+        status = [_strip_leading_comments(stmt).split()[0].upper(), "no_commit"]
         ctx.current_step_results.append([status])
         return [status]
     routed = _route_v1_dml(ctx, stmt)
@@ -138,7 +139,7 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
     # the status tuple (the reference captures e.g. ('UPDATE 100',),
     # dbccore/dbccore.py:866-883 — rowcount is a documented gap on Spark)
     df.collect()
-    status = [stmt.split()[0].upper()]
+    status = [_strip_leading_comments(stmt).split()[0].upper()]
     ctx.current_step_results.append([status])
     return [status]
 
@@ -224,6 +225,9 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     tables/columns/expressions) without writing — the no-commit path."""
     from db_converter_spark.operators import migration
 
+    # reference packets wrap statements in '-- tx start/end' comment markers;
+    # the route match must see the first keyword, not the comment
+    stmt = _strip_leading_comments(stmt)
     m = _DELETE_RE.match(stmt)
     if m:
         if dry:
@@ -455,7 +459,12 @@ class PacketRunner:
         if not tracker.try_lock(lock_name):
             return ResultCode.LOCKED, PacketStatus.NEW, {}
         try:
-            read_only = ptype in (PacketType.READ_ONLY, PacketType.EXPORT_DATA)
+            # READ_ONLY gates writes; EXPORT_DATA does NOT — in the reference
+            # only all-SELECT steps export, any other step executes normally
+            # (test_export_data/01_test.sql creates its tables in-packet;
+            # reference: export_data returns False on mixed statements and
+            # the step falls through to normal execution, dbccore:724-831)
+            read_only = ptype == PacketType.READ_ONLY
             track = ptype == PacketType.DEFAULT or ptype == PacketType.MAINTENANCE
             # per-step budget in seconds (reference: statement_timeout GUC,
             # db_converter.py:78; enforced here by the job-group watchdog E21)
@@ -478,10 +487,20 @@ class PacketRunner:
                 out_dir = Path(export_dir or (self.warehouse / db / "export"))
                 for step in pkt.steps:
                     ctx.current_step_results = []
-                    files = export_statements(
-                        session, db, split_statements(step.text), out_dir
-                    )
-                    ctx.current_step_results.append([["exported"], *[[f] for f in files]])
+                    stmts = split_statements(step.text)
+                    if stmts and all(statement_kind(s) == "query" for s in stmts):
+                        files = export_statements(
+                            session, db, stmts, out_dir,
+                            export_options=pkt.meta.get("export_options"),
+                        )
+                        ctx.current_step_results.append(
+                            [["exported"], *[[f] for f in files]]
+                        )
+                    else:
+                        # mixed/DDL step: executes normally (reference
+                        # behavior — setup steps live inside export packets)
+                        for stmt in stmts:
+                            _run_statement(ctx, stmt)
                     data[step.name] = ctx.current_step_results
                 tracker.set_packet_status(pkt.name, "done") if track else None
                 return ResultCode.SUCCESS, PacketStatus.DONE, data
@@ -570,8 +589,11 @@ class PacketRunner:
         skip_action_cancel: bool,
     ) -> None:
         session = ctx.spark
-        # lazily evaluate generators if not yet done (no run_once packets)
-        if (pkt.gen_obj or pkt.gen_nsp) and not gen_cache:
+        # lazily evaluate generators if not yet done (packets without
+        # run_once) — but NEVER while executing run_once itself: generators
+        # may reference tables run_once is about to create (reference
+        # evaluates generators strictly after run_once, dbccore:536-541)
+        if step is not pkt.run_once and (pkt.gen_obj or pkt.gen_nsp) and not gen_cache:
             gen_cache.update(self._eval_generators(session, pkt))
 
         obj_rows = gen_cache.get(f"obj:{step.index}")

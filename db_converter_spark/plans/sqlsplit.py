@@ -89,7 +89,7 @@ def split_statements(sql: str) -> list[str]:
                 continue
         if ch == ";":
             stmt = "".join(buf).strip()
-            if stmt:
+            if stmt and _strip_leading_comments(stmt):
                 stmts.append(stmt)
             buf = []
             i += 1
@@ -97,7 +97,9 @@ def split_statements(sql: str) -> list[str]:
         buf.append(ch)
         i += 1
     tail = "".join(buf).strip()
-    if tail:
+    # comment-only fragments (e.g. a trailing '-- tx end' marker) are not
+    # statements — the reference's sqlparse splitter drops them too
+    if tail and _strip_leading_comments(tail):
         stmts.append(tail)
     return stmts
 
@@ -173,7 +175,7 @@ def _strip_leading_comments(stmt: str) -> str:
     prev = None
     while prev != stmt:
         prev = stmt
-        stmt = re.sub(r"^\s*--[^\n]*\n", "", stmt)
+        stmt = re.sub(r"^\s*--[^\n]*(\n|$)", "", stmt)
         stmt = re.sub(r"^\s*/\*.*?\*/", "", stmt, flags=re.S)
         stmt = stmt.lstrip()
     return stmt

@@ -105,6 +105,23 @@ def pg_format(fmt: str, *args) -> str:
     return "".join(out)
 
 
+def py_pg_size_pretty(nbytes) -> str | None:
+    """Driver/UDF twin of :func:`pg_size_pretty` (same PG thresholds)."""
+    if nbytes is None:
+        return None
+    b = float(nbytes)
+    if abs(b) < 10 * 1024:
+        return f"{int(nbytes)} bytes"
+    for unit, div in (("kB", 1024), ("MB", 1024**2), ("GB", 1024**3)):
+        if abs(b) < 10 * div * 1024:
+            return f"{round(b / div)} {unit}"
+    return f"{round(b / 1024**4)} TB"
+
+
 def register_pg_compat(spark: SparkSession) -> None:
-    """Register SQL-callable shims so packet SQL can use PG names directly."""
+    """Register SQL-callable shims so packet SQL can use PG names directly.
+    These are catalog/DDL-surface helpers (alert and dba packets format a
+    handful of driver-scale rows with them), not data-path operators —
+    row-at-a-time UDF cost is irrelevant here."""
     spark.udf.register("quote_ident", py_quote_ident, "string")
+    spark.udf.register("pg_size_pretty", py_pg_size_pretty, "string")

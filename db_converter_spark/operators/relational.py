@@ -1049,6 +1049,15 @@ _Q35_LEGS: tuple[tuple[str, str, str | None], ...] = (
         None,
     ),
     (
+        # the Spark leg is produced BY the PG dialect rewriter at import time,
+        # so this probe officially exercises the @> compilation itself
+        # (reference: alert_check_autovacuum/01_step.sql:6)
+        "array_containment",
+        None,  # filled below via pgdialect.rewrite
+        "CAST(list_has_all(['a','b','c'], ['b','c']) AS STRING) || '/' || "
+        "CAST(list_has_all(['a'], ['b']) AS STRING)",
+    ),
+    (
         "intersect_except",
         "CAST((SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer INTERSECT "
         "SELECT n_nationkey FROM nation)) AS STRING) || '/' || "
@@ -1059,9 +1068,20 @@ _Q35_LEGS: tuple[tuple[str, str, str | None], ...] = (
 )
 
 
+def _pg_containment_leg() -> str:
+    from db_converter_spark.plans.pgdialect import rewrite as _pg_rewrite
+
+    return _pg_rewrite(
+        "CAST('{a,b,c}'::text[] @> '{b,c}'::text[] AS STRING) || '/' || "
+        "CAST('{a}'::text[] @> '{b}'::text[] AS STRING)"
+    ).strip()
+
+
 def _q35_text(dialect: str) -> str:
     parts = []
     for name, spark_leg, duck_leg in _Q35_LEGS:
+        if spark_leg is None:
+            spark_leg = _pg_containment_leg()
         expr = spark_leg if dialect == "spark" or duck_leg is None else duck_leg
         parts.append(f"SELECT '{name}' AS construct, {expr} AS val")
     return "\nUNION ALL\n".join(parts)

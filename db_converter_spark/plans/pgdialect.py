@@ -354,6 +354,67 @@ def _rw_any(text: str) -> str:
         text = text[: m.start()] + f"array_contains({arr}, {m.group(1)})" + text[j:]
 
 
+# an operand that may carry a PG array-cast suffix ('{a,b}'::text[]), which
+# _rw_casts later rewrites to an array(...) literal
+_CONT_OPERAND = rf"{_OPERAND}(?:\s*::\s*\w+\s*\[\s*\])?"
+
+
+def _rw_containment(text: str) -> str:
+    """Array containment operators (SURVEY §2.3; reference:
+    alert_check_autovacuum/01_step.sql:6 ``'{...}'::text[] @> reloptions``).
+
+    ``X @> Y`` (X contains Y) → ``size(array_except(Y, X)) = 0``; ``<@`` is
+    the mirror. NULL semantics match PG: array_except propagates NULL, so a
+    NULL operand (e.g. reloptions on an optionless table) never matches.
+    Runs before cast rewriting so the operand pattern can carry the
+    ``::text[]`` suffix."""
+    text = re.sub(
+        rf"({_CONT_OPERAND})\s*@>\s*({_CONT_OPERAND})",
+        lambda m: f"(size(array_except({m.group(2)}, {m.group(1)})) = 0)",
+        text,
+    )
+    text = re.sub(
+        rf"({_CONT_OPERAND})\s*<@\s*({_CONT_OPERAND})",
+        lambda m: f"(size(array_except({m.group(1)}, {m.group(2)})) = 0)",
+        text,
+    )
+    return text
+
+
+_ALTER_SET_RE = re.compile(
+    r"^(\s*alter\s+table\s+(?:if\s+exists\s+)?[\w.\x01`\"]+\s+)set\s*\((.+)\)\s*$",
+    re.I | re.S,
+)
+_ALTER_RESET_RE = re.compile(
+    r"^(\s*alter\s+table\s+(?:if\s+exists\s+)?[\w.\x01`\"]+\s+)reset\s*\((.+)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _rw_alter_options(text: str, lits: list[str]) -> str:
+    """PG storage-parameter DDL onto Spark table properties (reference:
+    ``ALTER TABLE ... SET (autovacuum_enabled = false)``,
+    packets/test_insert_info/01_step.sql:2). The pg_catalog emulation
+    renders TBLPROPERTIES back as reloptions, so options set through this
+    path are visible to the alert packets exactly as in PG."""
+    m = _ALTER_SET_RE.match(text)
+    if m:
+        pairs = []
+        for item in m.group(2).split(","):
+            k, _, v = item.partition("=")
+            if not _:
+                return text  # not a k=v option list — leave untouched
+            v = v.strip()
+            v = _lit_value(v, lits) if _is_string_lit(v, lits) else v
+            pairs.append(f"'{k.strip()}'='{v}'")
+        return f"{m.group(1)}SET TBLPROPERTIES ({', '.join(pairs)})"
+    m = _ALTER_RESET_RE.match(text)
+    if m:
+        keys = ", ".join(f"'{k.strip()}'" for k in m.group(2).split(","))
+        return f"{m.group(1)}UNSET TBLPROPERTIES IF EXISTS ({keys})"
+    return text
+
+
 def _rw_casts(text: str, lits: list[str]) -> str:
     """``expr::type`` → ``CAST(expr AS type)`` with special interval/array
     literal forms. Handles identifier, literal-sentinel, and ``(...)``/
@@ -501,6 +562,8 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     _rw_do_block(text, lits)
     text = _rw_functions(text, lits, settings or {})
     text = _rw_any(text)
+    text = _rw_containment(text)
+    text = _rw_alter_options(text, lits)
     text = _rw_casts(text, lits)
     text = _rw_operators(text, lits)
     text = _rw_types_ddl(text)

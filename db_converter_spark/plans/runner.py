@@ -94,6 +94,17 @@ class RunContext:
         self.messages.append((severity.upper(), message))
         self.current_step_results.append([severity.upper(), message])
 
+    def refresh_catalog(self) -> None:
+        """Rebuild the pg_catalog / information_schema emulation views from
+        the live Spark catalog. PG's catalog is transactionally live; the
+        emulation is a snapshot — py-steps that create tables and then
+        introspect them call this in between."""
+        from db_converter_spark.catalog import create_information_schema_views
+        from db_converter_spark.pg_catalog import create_pg_catalog_views
+
+        create_pg_catalog_views(self.spark, [self.db_name])
+        create_information_schema_views(self.spark, self.db_name)
+
     def execute(self, sql: str) -> list:
         """Run one statement, capture like the engine does; for py-steps."""
         return _run_statement(self, sql)
@@ -480,6 +491,15 @@ class PacketRunner:
 
             ctx = RunContext(session, db, pkt, read_only)
             ctx.no_commit = ptype == PacketType.NO_COMMIT
+            if ctx.dialect == "postgres":
+                # PG-dialect packets get the full introspection surface the
+                # reference's alert_*/dba_* family expects: pg_catalog +
+                # information_schema emulation views and the PG-named SQL
+                # shims (quote_ident etc.). Driver-side metadata, no scans.
+                from db_converter_spark.functions import register_pg_compat
+
+                register_pg_compat(session)
+                ctx.refresh_catalog()
             data: dict[str, list] = {}
             status = PacketStatus.DONE
 
@@ -545,9 +565,14 @@ class PacketRunner:
                     if ctx.current_step_results:
                         data[step.name] = ctx.current_step_results
 
-                if step is pkt.run_once and not gen_cache:
-                    # evaluate generators once run_once completed
-                    gen_cache.update(self._eval_generators(session, pkt))
+                if step is pkt.run_once:
+                    if ctx.dialect == "postgres":
+                        # run_once DDL changed the catalog; re-snapshot the
+                        # emulation views before generators query them
+                        ctx.refresh_catalog()
+                    if not gen_cache:
+                        # evaluate generators once run_once completed
+                        gen_cache.update(self._eval_generators(session, pkt))
 
             if not pkt.run_once and not gen_cache:
                 pass  # generators were evaluated lazily inside the step loop
@@ -567,11 +592,17 @@ class PacketRunner:
     def _eval_generators(self, session: SparkSession, pkt: Packet) -> dict[str, list]:
         """collect() every generator resultset once (reference:
         dbccore/dbccore.py:538-541). Generators are small parameter grids —
-        driver-side materialization is the point."""
+        driver-side materialization is the point. PG-dialect packets run
+        their generator SQL through the same rewriter as step SQL."""
         out: dict[str, list] = {}
-        for idx, sql in pkt.gen_obj.items():
+        if pkt.meta.get("dialect") == "postgres":
+            gen_obj = {i: pg_rewrite(s, pkt.session_conf) for i, s in pkt.gen_obj.items()}
+            gen_nsp = {i: pg_rewrite(s, pkt.session_conf) for i, s in pkt.gen_nsp.items()}
+        else:
+            gen_obj, gen_nsp = pkt.gen_obj, pkt.gen_nsp
+        for idx, sql in gen_obj.items():
             out[f"obj:{idx}"] = [tuple(r) for r in session.sql(sql).collect()]
-        for idx, sql in pkt.gen_nsp.items():
+        for idx, sql in gen_nsp.items():
             out[f"nsp:{idx}"] = [tuple(r) for r in session.sql(sql).collect()]
         return out
 

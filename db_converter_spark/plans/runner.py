@@ -539,7 +539,24 @@ class PacketRunner:
                         session, f"dbc_{db}_{pkt.name}", step_timeout
                     ) as wd:
                         if step.kind == "py":
-                            self._run_py_step(ctx, step.text)
+                            # A py step is one action: same md5 exactly-once
+                            # dedup as SQL actions (reference applies the
+                            # ActionTracker to every statement; py twins of
+                            # plpgsql steps must skip on rerun the same way —
+                            # reference: tests/test_packets.py:669-702 reruns
+                            # test_dba_clone_schema expecting dedup).
+                            h = hashlib.md5(step.text.encode()).hexdigest()
+                            if track and tracker.is_action_done(
+                                packet_id, step_id, h
+                            ):
+                                ctx.raise_notice(
+                                    "LOG",
+                                    f"action {h[:8]} already applied, skipping",
+                                )
+                            else:
+                                self._run_py_step(ctx, step.text)
+                                if track:
+                                    tracker.apply_action(packet_id, step_id, h)
                         else:
                             self._run_sql_step(
                                 ctx, tracker, track, packet_id, step_id, step, pkt,

@@ -167,6 +167,38 @@ def test_port_skip_action_cancel(runner, spark):
     assert any("failed, skipped" in str(r) for r in step2)  # action 2 skipped
 
 
+def test_port_clone_schema(runner, spark):
+    """Reference TestDBCCloneSchema (tests/test_packets.py:669-702): test
+    packet, dba packet twice (rerun must be idempotent via the ledger), test
+    packet again — all DONE/SUCCESS. Then the parameterized clone path:
+    placeholders drive clone_schema over a second template and the clone
+    carries the data."""
+    db = "port_clone"
+    for i in range(2):
+        res = runner.run(PACKETS_DIR / "test_dba_clone_schema", dbs=[db])
+        assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+        res = runner.run(PACKETS_DIR / "dba_clone_schema", dbs=[db])
+        assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+        if i == 1:  # second pass: everything exactly-once deduped
+            flat = str(res.result_data[db])
+            assert "already applied, skipping" in flat
+
+    spark.sql("DROP DATABASE IF EXISTS clone_dst CASCADE")
+    spark.sql("DROP DATABASE IF EXISTS clone_src CASCADE")
+    spark.sql("CREATE DATABASE clone_src")
+    spark.sql("CREATE TABLE clone_src.t USING parquet AS SELECT 1 AS id, 'a' AS s")
+    spark.sql("CREATE VIEW clone_src.t_v AS SELECT id FROM clone_src.t")
+    res = runner.run(
+        PACKETS_DIR / "dba_clone_schema",
+        dbs=[db],
+        placeholders={"CLONE_SRC": "clone_src", "CLONE_DST": "clone_dst"},
+        force=True,
+    )
+    assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+    assert spark.table("clone_dst.t").count() == 1
+    assert spark.table("clone_dst.t_v").collect()[0]["id"] == 1
+
+
 @pytest.mark.parametrize(
     "name", ["test_gens", "test_read_only", "test_py_step"]
 )

@@ -118,6 +118,16 @@ def py_pg_size_pretty(nbytes) -> str | None:
     return f"{round(b / 1024**4)} TB"
 
 
+def _pg_sleep(seconds) -> bool:
+    """PG pg_sleep: driver-side wait. Packets use it as a pacing/test
+    primitive (reference: packets/test_sleep/01_step.sql, test_common/
+    06_step.sql) — a control-flow function, never a data-path operator."""
+    import time
+
+    time.sleep(float(seconds or 0))
+    return True
+
+
 def register_pg_compat(spark: SparkSession) -> None:
     """Register SQL-callable shims so packet SQL can use PG names directly.
     These are catalog/DDL-surface helpers (alert and dba packets format a
@@ -125,3 +135,4 @@ def register_pg_compat(spark: SparkSession) -> None:
     row-at-a-time UDF cost is irrelevant here."""
     spark.udf.register("quote_ident", py_quote_ident, "string")
     spark.udf.register("pg_size_pretty", py_pg_size_pretty, "string")
+    spark.udf.register("pg_sleep", _pg_sleep, "boolean")

@@ -150,10 +150,32 @@ def merge_update(
 def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Atomically-enough replace ``table`` with ``df``: write a sibling,
     rename the old out, rename the new in, drop the old. The write is
-    partition-parallel; renames are catalog metadata ops."""
+    partition-parallel; renames are catalog metadata ops.
+
+    User TBLPROPERTIES (reloptions, recorded index definitions) are carried
+    over — PG's rewrite paths (VACUUM FULL, table rewrites) preserve storage
+    parameters and indexes, so the swap must too."""
+    from db_converter_spark.pg_catalog import _INTERNAL_PROP_RE
+
     tmp, bak = f"{table}__swap_tmp", f"{table}__swap_old"
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            # user reloptions + the dbc.* index registry; never Spark
+            # bookkeeping (stale statistics props would poison the new table)
+            if r["key"].startswith("dbc.") or not _INTERNAL_PROP_RE.match(r["key"])
+        }
+    except Exception:  # noqa: BLE001 — fresh table, nothing to carry
+        props = {}
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     df.write.saveAsTable(tmp)
+    if props:
+        kv = ", ".join(
+            f"'{k}' = '{v}'".replace("\\", "\\\\")
+            for k, v in sorted(props.items())
+        )
+        spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
     spark.sql(f"DROP TABLE IF EXISTS {bak}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {bak}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

@@ -53,7 +53,7 @@ _PG_TYPNAME = {
 
 # TBLPROPERTIES keys that are Spark/parquet bookkeeping, not user reloptions
 _INTERNAL_PROP_RE = re.compile(
-    r"^(spark\.|option\.|transient_lastDdlTime|external|numFiles|totalSize"
+    r"^(spark\.|option\.|dbc\.|transient_lastDdlTime|external|numFiles|totalSize"
     r"|rawDataSize|numRows|COLUMN_STATS_ACCURATE|created|owner|bucketing_version)",
     re.I,
 )
@@ -103,15 +103,47 @@ def _table_stats(spark: SparkSession, qualified: str) -> tuple[int | None, int |
     return size, rows
 
 
+def _column_stats(spark: SparkSession, qualified: str, col: str) -> tuple:
+    """(null_count, avg_len, distinct_count) from ANALYZE ... FOR COLUMNS
+    metadata; Nones when the column was never analyzed."""
+    nulls = avg_len = distinct = None
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified} {col}").collect():
+            k = (r[0] or "").lower()
+            v = r[1]
+            if v in (None, "NULL"):
+                continue
+            if k == "num_nulls":
+                nulls = int(v)
+            elif k == "avg_col_len":
+                avg_len = int(v)
+            elif k == "distinct_count":
+                distinct = int(v)
+    except Exception:  # noqa: BLE001 — no per-column describe on views
+        pass
+    return nulls, avg_len, distinct
+
+
 def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -> None:
     """(Re)build the pg_catalog temp views over ``dbs`` (default: the
     session's current database). Call again after DDL to refresh — PG's
-    catalog is live, these views are a snapshot (documented gap)."""
+    catalog is live, these views are a snapshot (documented gap).
+
+    Also registers metadata-lookup SQL functions the packets call with oids
+    (``pg_get_indexdef``, ``pg_relation_size``, ``pg_table_size``) — each
+    closes over a dict built here; catalogs are driver-side metadata, the
+    lookups never touch executors with more than a broadcast-size map."""
+    from db_converter_spark.operators.maintenance import list_indexes
+
     dbs = dbs or [spark.catalog.currentDatabase()]
     ns_rows: list[tuple] = []
     cls_rows: list[tuple] = []
     att_rows: list[tuple] = []
     stat_rows: list[tuple] = []
+    idx_rows: list[tuple] = []
+    pgstats_rows: list[tuple] = []
+    indexdefs: dict[int, str] = {}
+    relsizes: dict[int, int] = {}
     for db in dbs:
         ns_oid = _oid(db)
         ns_rows.append((ns_oid, db))
@@ -135,12 +167,54 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
             size, nrows = _table_stats(spark, qualified)
             relpages = (size or 0) // 8192
             reltuples = float(nrows) if nrows is not None else -1.0
-            cls_rows.append((oid, t.name, ns_oid, "r", reltuples, relpages, reloptions))
+            relsizes[oid] = size or 0
+            cls_rows.append(
+                (oid, t.name, ns_oid, "r", reltuples, relpages, reloptions, 0, 0)
+            )
             stat_rows.append(
                 (oid, db, t.name, nrows if nrows is not None else 0, 0, 0, 0, 0)
             )
+            colnums: dict[str, int] = {}
             for i, c in enumerate(spark.catalog.listColumns(qualified)):
+                colnums[c.name] = i + 1
                 att_rows.append((oid, c.name, i + 1, _pg_typname(c.dataType)))
+                nulls, avg_len, distinct = _column_stats(spark, qualified, c.name)
+                if avg_len is not None or nulls is not None:
+                    null_frac = (
+                        float(nulls) / float(nrows)
+                        if nulls is not None and nrows
+                        else 0.0
+                    )
+                    pgstats_rows.append(
+                        (db, t.name, c.name, False, null_frac,
+                         avg_len if avg_len is not None else 0,
+                         float(distinct) if distinct is not None else -1.0)
+                    )
+            # Recorded secondary-index definitions (operators/maintenance.py):
+            # Spark scans prune via stats/partitioning, the DEFINITIONS are
+            # catalog metadata — exactly the surface pg_index readers need.
+            ncols = max(1, len(colnums))
+            for iname, spec in list_indexes(spark, qualified).items():
+                ioid = _oid(f"{db}.{iname}")
+                icols = [c for c in spec["cols"] if c in colnums]
+                # size estimate: the indexed columns' share of the table
+                ipages = relpages * max(1, len(icols)) // ncols
+                cls_rows.append(
+                    (ioid, iname, ns_oid, "i", reltuples, ipages, None,
+                     _oid(spec["method"]), 0)
+                )
+                relsizes[ioid] = (size or 0) * max(1, len(icols)) // ncols
+                idx_rows.append(
+                    (ioid, oid, len(icols),
+                     [colnums[c] for c in icols],
+                     " ".join(str(colnums[c]) for c in icols),
+                     bool(spec.get("unique")), False, True, True)
+                )
+                cols_sql = ", ".join(icols)
+                indexdefs[ioid] = (
+                    f"CREATE {'UNIQUE ' if spec.get('unique') else ''}INDEX {iname}"
+                    f" ON {db}.{t.name} USING {spec['method']} ({cols_sql})"
+                )
 
     spark.createDataFrame(ns_rows, "oid bigint, nspname string").createOrReplaceTempView(
         "pg_namespace"
@@ -148,7 +222,8 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
     spark.createDataFrame(
         cls_rows,
         "oid bigint, relname string, relnamespace bigint, relkind string,"
-        " reltuples double, relpages bigint, reloptions array<string>",
+        " reltuples double, relpages bigint, reloptions array<string>,"
+        " relam bigint, reltoastrelid bigint",
     ).createOrReplaceTempView("pg_class")
     spark.createDataFrame(
         att_rows, "attrelid bigint, attname string, attnum int, atttypid string"
@@ -162,3 +237,112 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
         "relid bigint, schemaname string, relname string, n_live_tup bigint,"
         " n_dead_tup bigint, n_tup_ins bigint, n_tup_upd bigint, n_tup_hot_upd bigint",
     ).createOrReplaceTempView("pg_stat_all_tables")
+    _IDX_SCHEMA = (
+        "indexrelid bigint, indrelid bigint, indnatts int, indkey_arr array<int>,"
+        " indkey string, indisunique boolean, indisprimary boolean,"
+        " indisvalid boolean, indisready boolean"
+    )
+    spark.createDataFrame(idx_rows or [], _IDX_SCHEMA).createOrReplaceTempView(
+        "pg_index"
+    )
+    spark.createDataFrame(
+        [(_oid(m), m) for m in ("btree", "hash", "gist", "gin", "brin")],
+        "oid bigint, amname string",
+    ).createOrReplaceTempView("pg_am")
+    # No PK/FK/unique constraints exist on parquet tables — typed empty view
+    # so constraint-reading packets (dba_idx_diag 03/06) run and report none.
+    spark.createDataFrame(
+        [],
+        "oid bigint, conname string, contype string, connamespace bigint,"
+        " conindid bigint, conrelid bigint, confrelid bigint,"
+        " conkey array<int>, confkey array<int>",
+    ).createOrReplaceTempView("pg_constraint")
+    spark.createDataFrame(
+        pgstats_rows or [],
+        "schemaname string, tablename string, attname string, inherited boolean,"
+        " null_frac double, avg_width int, n_distinct double",
+    ).createOrReplaceTempView("pg_stats")
+
+    def _pg_get_indexdef(oid):  # noqa: ANN001 — Spark UDF
+        return indexdefs.get(oid)
+
+    def _pg_relation_size(oid):  # noqa: ANN001
+        return relsizes.get(oid, 0)
+
+    spark.udf.register("pg_get_indexdef", _pg_get_indexdef, "string")
+    spark.udf.register("pg_relation_size", _pg_relation_size, "bigint")
+    spark.udf.register("pg_table_size", _pg_relation_size, "bigint")
+
+
+def create_pg_instance_views(spark: SparkSession) -> None:
+    """Instance-level introspection views: pg_database / pg_settings /
+    pg_stat_activity / pg_locks / pg_stat_replication.
+
+    Mappings (shape parity; each gap is structural, not an omission):
+
+    - *pg_database*: Spark catalog databases; frozen-xid ages are 0 —
+      parquet has no wraparound, so age-based alerts correctly never fire;
+    - *pg_settings*: the session's SQL confs (``SET -v``) — name/setting/
+      unit/boot_val shaped; byte-valued Spark confs get unit='B';
+    - *pg_stat_activity*: one row per active Spark job from the status
+      tracker — pid=jobId, state='active'; queries/xids are NULL (the
+      scheduler does not retain SQL text per job);
+    - *pg_locks*, *pg_stat_replication*: typed empty views — Spark holds no
+      row locks and has no WAL replicas; lock/lag packets run and correctly
+      report nothing.
+    """
+    dbs = [(_oid(d.name), d.name, 0, 0) for d in spark.catalog.listDatabases()]
+    spark.createDataFrame(
+        dbs, "oid bigint, datname string, datfrozenxid bigint, datminmxid bigint"
+    ).createOrReplaceTempView("pg_database")
+
+    set_rows = []
+    for r in spark.sql("SET -v").collect():
+        name, value = r[0], r[1]
+        if value == "<undefined>":
+            continue
+        unit = "B" if re.search(r"(?:maxPartitionBytes|autoBroadcastJoinThreshold|inMemoryColumnarStorage\.batchSize)$", name) else None
+        set_rows.append((name, value, unit, value, (r[2] or "")[:200]))
+    spark.createDataFrame(
+        set_rows,
+        "name string, setting string, unit string, boot_val string, short_desc string",
+    ).createOrReplaceTempView("pg_settings")
+
+    act_rows = []
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        app = spark.sparkContext.appName
+        user = spark.sparkContext.sparkUser()
+        db = spark.catalog.currentDatabase()
+        for jid in tracker.getActiveJobsIds():
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            act_rows.append(
+                (jid, db, user, app, "active",
+                 f"spark job {jid} (stages {list(info.stageIds)})",
+                 None, None, None, None, None, None, None)
+            )
+    except Exception:  # noqa: BLE001 — tracker unavailable on some backends
+        pass
+    _ACT_SCHEMA = (
+        "pid int, datname string, usename string, application_name string,"
+        " state string, query string, backend_xid bigint, backend_xmin bigint,"
+        " xact_start timestamp, state_change timestamp, wait_event_type string,"
+        " wait_event string, client_addr string"
+    )
+    spark.createDataFrame(act_rows or [], _ACT_SCHEMA).createOrReplaceTempView(
+        "pg_stat_activity"
+    )
+    spark.createDataFrame(
+        [],
+        "locktype string, database bigint, relation bigint, page int, tuple int,"
+        " virtualxid string, transactionid bigint, classid bigint, objid bigint,"
+        " objsubid int, pid int, granted boolean",
+    ).createOrReplaceTempView("pg_locks")
+    spark.createDataFrame(
+        [],
+        "pid int, client_addr string, sent_lsn string, write_lsn string,"
+        " flush_lsn string, replay_lsn string",
+    ).createOrReplaceTempView("pg_stat_replication")
+    spark.udf.register("pg_backend_pid", lambda: -1, "int")

@@ -54,6 +54,7 @@ from db_converter_spark.plans.sqlsplit import (
     split_statements,
     statement_kind,
 )
+from db_converter_spark.operators.maintenance import route_maintenance
 
 
 class ReadOnlyViolation(Exception):
@@ -100,9 +101,13 @@ class RunContext:
         emulation is a snapshot — py-steps that create tables and then
         introspect them call this in between."""
         from db_converter_spark.catalog import create_information_schema_views
-        from db_converter_spark.pg_catalog import create_pg_catalog_views
+        from db_converter_spark.pg_catalog import (
+            create_pg_catalog_views,
+            create_pg_instance_views,
+        )
 
         create_pg_catalog_views(self.spark, [self.db_name])
+        create_pg_instance_views(self.spark)
         create_information_schema_views(self.spark, self.db_name)
 
     def execute(self, sql: str) -> list:
@@ -122,6 +127,16 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
         raise ReadOnlyViolation(f"write statement in read-only packet: {stmt[:80]}...")
     if ctx.dialect == "postgres":
         stmt = pg_rewrite(stmt, ctx.packet.session_conf)
+    # PG maintenance surface (VACUUM/ANALYZE/CREATE INDEX/...) — these have
+    # no direct Spark statement, each maps per operators/maintenance.py;
+    # under no_commit the router validates without executing.
+    maint = route_maintenance(ctx.spark, stmt, dry_run=ctx.no_commit)
+    if maint is not None:
+        status, notices = maint
+        for sev, msg in notices:
+            ctx.raise_notice(sev, msg)
+        ctx.current_step_results.append([status])
+        return [status]
     if ctx.no_commit and kind != "query":
         # dry-run: analyze the statement without executing it. Routed
         # UPDATE/DELETE (which Spark itself cannot even EXPLAIN on v1
@@ -332,18 +347,15 @@ def _update_from(
         )
 
 
-_MAINT_VACUUM_ANALYZE = re.compile(r"^\s*vacuum\s+analyze\s+(\S+)", re.I)
 
 
 def _run_maint(ctx: RunContext, command: str) -> None:
     """The generator's field-0 maintenance side channel (reference:
     dbccore/dbccore.py:954-965). ``vacuum analyze t`` → ANALYZE TABLE;
     other commands run verbatim; failures are notices, not errors."""
-    m = _MAINT_VACUUM_ANALYZE.match(command)
     try:
-        if m:
-            ctx.spark.sql(f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS").collect()
-        else:
+        routed = route_maintenance(ctx.spark, command)
+        if routed is None:
             ctx.spark.sql(command).collect()
         ctx.raise_notice("LOG", f"maint done: {command}")
     except Exception as e:  # noqa: BLE001 — maint is advisory

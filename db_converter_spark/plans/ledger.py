@@ -93,6 +93,17 @@ class ActionTracker:
             )
             return cur.lastrowid
 
+    def dump_packets(self) -> list[tuple]:
+        """Ledger rows for the ``dbc_packets`` introspection view — the
+        reference's packets SELECT from their own ledger table
+        (reference: packets/test_insert_delete_select/01_step.sql:4); here
+        the ledger is SQLite, so the runner snapshots it into a temp view."""
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT id, name, status, dt, packet_hash, meta_data FROM dbc_packets"
+            )
+            return [tuple(r) for r in cur.fetchall()]
+
     def packet_hash(self, name: str) -> str | None:
         """For the hash-change guard (reference: dbccore/dbccore.py:449-463)."""
         cur = self._conn.execute("SELECT packet_hash FROM dbc_packets WHERE name = ?", (name,))

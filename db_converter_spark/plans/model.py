@@ -47,6 +47,15 @@ class StepStatus(Enum):
     EXCEPTION = "exception"
 
 
+class PLRaiseError(Exception):
+    """A deliberate plpgsql ``RAISE EXCEPTION`` — the reference's alerting
+    channel, NOT a failure: the engine routes it to the error hook and the
+    packet continues to completion (reference: dbccore/dbccore.py:1126-1128
+    catches PLPGSQLRaiseError → raise_error_logic, run continues; that is
+    why tests/test_packets.py expects packets/test_raise to end SUCCESS).
+    DO-block py twins raise this to alert."""
+
+
 @dataclass
 class DBCResult:
     """What ``PacketRunner.run`` returns (reference: db_converter.py:364-369).

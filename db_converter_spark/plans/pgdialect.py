@@ -548,11 +548,38 @@ def _rw_types_ddl(text: str) -> str:
             depth -= 1
         j += 1
     body = text[m.end() : j - 1]
-    for pg, sp in sorted(_TYPE_MAP.items(), key=lambda kv: -len(kv[0])):
-        if pg == sp:
+
+    def map_types(segment: str) -> str:
+        # parameterized varchar(n)/char(n) are valid Spark DDL — only the
+        # bare (unbounded) PG forms need mapping to string
+        segment = re.sub(r"\bcharacter\s+varying\b", "varchar", segment, flags=re.I)
+        segment = re.sub(r"\b(varchar|char)\b(?!\s*\()", "string", segment, flags=re.I)
+        # parameterized numeric(p,s) keeps its precision as decimal(p,s)
+        segment = re.sub(r"\bnumeric\s*\(", "decimal(", segment, flags=re.I)
+        for pg, sp in sorted(_TYPE_MAP.items(), key=lambda kv: -len(kv[0])):
+            if pg == sp or pg in ("varchar", "char"):
+                continue
+            segment = re.sub(rf"\b{pg}\b(?!\s*\()", sp, segment, flags=re.I)
+        return segment
+
+    # Per column definition, the first token is the column NAME — never a
+    # type, even when it collides with a PG type name (columns called
+    # ``name``/``text``/``date`` are common; reference:
+    # packets/test_insert_delete_select/01_step.sql has a ``name`` column).
+    out_defs = []
+    for d in _split_args(body):
+        head = d.lstrip()
+        lead = d[: len(d) - len(head)]
+        first = re.match(r'("(?:[^"]|"")*"|`[^`]*`|\w+)(\s*)(.*)$', head, re.S)
+        if not first:
+            out_defs.append(d)
             continue
-        body = re.sub(rf"\b{pg}\b", sp, body, flags=re.I)
-    return text[: m.end()] + body + text[j - 1 :]
+        ident = first.group(1)
+        if ident.lower() in ("constraint", "primary", "unique", "foreign", "check", "like", "exclude"):
+            out_defs.append(lead + map_types(head))
+        else:
+            out_defs.append(lead + ident + first.group(2) + map_types(first.group(3)))
+    return text[: m.end()] + ", ".join(s.strip() for s in out_defs) + text[j - 1 :]
 
 
 def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:

@@ -37,6 +37,7 @@ from db_converter_spark.plans.model import (
     DBCResult,
     PacketStatus,
     PacketType,
+    PLRaiseError,
     ResultCode,
 )
 from db_converter_spark.plans.packet import (
@@ -512,6 +513,14 @@ class PacketRunner:
 
                 register_pg_compat(session)
                 ctx.refresh_catalog()
+                # Live ledger snapshot as the dbc_packets view — reference
+                # packets introspect their own ledger row (reference:
+                # packets/test_insert_delete_select/01_step.sql)
+                session.createDataFrame(
+                    tracker.dump_packets() or [],
+                    "id bigint, name string, status string, dt string,"
+                    " packet_hash string, meta_data string",
+                ).createOrReplaceTempView("dbc_packets")
             data: dict[str, list] = {}
             status = PacketStatus.DONE
 
@@ -579,6 +588,14 @@ class PacketRunner:
                             f"step {step.name} exceeded statement_timeout="
                             f"{step_timeout}s; job group cancelled"
                         )
+                    if track:
+                        tracker.set_step_status(step_id, "done")
+                except PLRaiseError as e:
+                    # Deliberate RAISE EXCEPTION = alert, not failure: fire
+                    # the error hook and continue; the step counts as done
+                    # (reference: dbccore:1126-1128 → raise_error_logic).
+                    notify_error(self.hook, pkt.name, db, str(e))
+                    ctx.raise_notice("RAISE", str(e))
                     if track:
                         tracker.set_step_status(step_id, "done")
                 except Exception as e:  # noqa: BLE001
@@ -717,7 +734,12 @@ class PacketRunner:
     # -- python steps (reference: dbccore/dbccore.py:1113-1115) ------------
 
     def _run_py_step(self, ctx: RunContext, code: str) -> None:
-        scope = {"spark": ctx.spark, "ctx": ctx, "db_local": ctx}
+        scope = {
+            "spark": ctx.spark,
+            "ctx": ctx,
+            "db_local": ctx,
+            "PLRaiseError": PLRaiseError,
+        }
         exec(compile(code, "<py_step>", "exec"), scope)  # noqa: S102 — packet
         # steps are trusted engine inputs, same stance as the reference
 

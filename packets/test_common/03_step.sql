@@ -1,0 +1,1 @@
+select 'GEN_NSP_FLD_1';

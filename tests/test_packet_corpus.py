@@ -21,6 +21,10 @@ SWEEP_EXCLUDE = {
     "test_int4_to_int8",
     "test_export_data",
     "test_skip_action_cancel",
+    # sleeping-step packets need a watchdog/cancel driver (the reference
+    # excludes the same names from its sweep, tests/test_packets.py:49-61)
+    "test_skip_step_cancel",
+    "test_sleep_sigint",
 }
 SWEEP = sorted(
     p.name
@@ -197,6 +201,70 @@ def test_port_clone_schema(runner, spark):
     assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
     assert spark.table("clone_dst.t").count() == 1
     assert spark.table("clone_dst.t_v").collect()[0]["id"] == 1
+
+
+def test_port_skip_step_cancel(runner, spark):
+    """The sleeping middle step is cancelled by the watchdog; with
+    --skip-step-cancel the packet skips it and completes (reference:
+    tests/test_packets.py TestSkipStepCancel + dbccore:1376-1378)."""
+    db = "port_skipstep"
+    res = runner.run(
+        PACKETS_DIR / "test_skip_step_cancel", dbs=[db], skip_step_cancel=True
+    )
+    assert res.result_code[db] == ResultCode.SUCCESS
+    flat = str(res.result_data[db])
+    assert "[1]" in flat and "[3]" in flat  # steps 1 and 3 captured
+
+
+def test_port_sleep_sigint(runner, spark):
+    """SIGINT analog: the watchdog cancels the sleeping step's job group and
+    the packet fails cleanly (reference: test_sleep_sigint sends SIGINT; the
+    same cancel path is exercised by the statement-timeout watchdog)."""
+    db = "port_sigint"
+    res = runner.run(PACKETS_DIR / "test_sleep_sigint", dbs=[db])
+    assert res.result_code[db] == ResultCode.FAIL
+    # the sleeping statement dies from the job-group cancel (either the
+    # raw cancellation error or the watchdog's TimeoutError wrapper)
+    flat = str(res.result_data[db]).lower()
+    assert "cancel" in flat or "statement_timeout" in flat
+
+
+def test_port_placeholders(runner, spark):
+    """Placeholders flow CLI→generator→step (reference: test_placeholders:
+    md5 of PASSW+USER_NAME computed by the generator lands in the step)."""
+    import hashlib
+
+    db = "port_placeholders"
+    res = runner.run(
+        PACKETS_DIR / "test_placeholders", dbs=[db],
+        placeholders={"USER_NAME": "usr_test", "PASSW": "passw_test"},
+    )
+    assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+    spark.catalog.refreshTable(f"{db}.pl_users")
+    rows = spark.table(f"{db}.pl_users").collect()
+    expected = "md5" + hashlib.md5(b"passw_testusr_test").hexdigest()
+    assert [(r.usename, r.passwd_md5) for r in rows] == [("usr_test", expected)]
+
+
+def test_port_override_conf_param(runner, spark):
+    """Per-packet session conf override (E30) — the packet runs under its
+    own shuffle-partitions setting and completes."""
+    db = "port_override"
+    res = runner.run(PACKETS_DIR / "test_override_conf_param", dbs=[db])
+    assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+
+
+def test_port_raise_is_alert_not_failure(runner):
+    """RAISE EXCEPTION = alert channel: hook fires, packet SUCCEEDS
+    (reference: dbccore:1126-1128 catches PLPGSQLRaiseError →
+    raise_error_logic → run continues; the sweep expects test_raise DONE)."""
+    db = "port_raise"
+    res = runner.run(PACKETS_DIR / "test_raise", dbs=[db])
+    assert res.result_code[db] == ResultCode.SUCCESS
+    assert any(
+        sev == "RAISE" and "some exception" in msg
+        for sev, msg in [tuple(r) for r in res.result_data[db]["01_step.py"]]
+    )
 
 
 @pytest.mark.parametrize(

@@ -127,12 +127,30 @@ def _vacuum(
         nparts = max(1, int((size or 0) // _TARGET_FILE_BYTES) + 1)
         _swap_write(spark, q, spark.table(q).coalesce(nparts))
         notices.append(("LOG", f"vacuum full: rewrote {q} into {nparts} file group(s)"))
+        _stamp(spark, q, "vacuum")
     else:
         notices.append(("LOG", f"vacuum: no-op on parquet for {q} (no dead tuples)"))
+        _stamp(spark, q, "vacuum")
     if analyze:
         _analyze_table(spark, q)
         notices.append(("LOG", f"analyze: statistics computed for {q}"))
     return ["VACUUM"], notices
+
+
+def _stamp(spark: SparkSession, q: str, kind: str) -> None:
+    """Record a maintenance timestamp as a table property — the source for
+    pg_stat_all_tables.last_analyze/last_vacuum in the catalog emulation
+    (PG keeps these in the stats collector; parquet's analog is table
+    metadata). Never fails the statement."""
+    from datetime import datetime, timezone
+
+    try:
+        spark.sql(
+            f"ALTER TABLE {q} SET TBLPROPERTIES"
+            f" ('dbc.last_{kind}' = '{datetime.now(timezone.utc).isoformat()}')"
+        )
+    except Exception:  # noqa: BLE001 — temp views have no properties
+        pass
 
 
 def _analyze_table(spark: SparkSession, q: str, cols: list[str] | None = None) -> None:
@@ -141,6 +159,7 @@ def _analyze_table(spark: SparkSession, q: str, cols: list[str] | None = None) -
     Column stats only over atomic types; Spark rejects FOR COLUMNS on
     array/map/struct."""
     spark.sql(f"ANALYZE TABLE {q} COMPUTE STATISTICS").collect()
+    _stamp(spark, q, "analyze")
     if cols is None:
         cols = [
             f.name

@@ -65,6 +65,20 @@ def _oid(name: str) -> int:
     return zlib.crc32(name.encode())
 
 
+def _prop_ts(props: dict, key: str):
+    """dbc.last_analyze/last_vacuum property → datetime (None if absent) —
+    the maintenance router stamps these (operators/maintenance.py _stamp)."""
+    from datetime import datetime
+
+    v = props.get(key)
+    if not v:
+        return None
+    try:
+        return datetime.fromisoformat(v).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
 def _pg_typname(spark_type: str) -> str:
     base = spark_type.lower()
     if base.startswith("decimal"):
@@ -168,11 +182,22 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
             relpages = (size or 0) // 8192
             reltuples = float(nrows) if nrows is not None else -1.0
             relsizes[oid] = size or 0
+            idx_props = {
+                k[len("dbc.index."):]: v
+                for k, v in props.items()
+                if k.startswith("dbc.index.")
+            }
             cls_rows.append(
-                (oid, t.name, ns_oid, "r", reltuples, relpages, reloptions, 0, 0)
+                (oid, t.name, ns_oid, "r", reltuples, relpages, reloptions,
+                 0, 0, bool(idx_props), 0, 0)
             )
             stat_rows.append(
-                (oid, db, t.name, nrows if nrows is not None else 0, 0, 0, 0, 0)
+                (oid, db, t.name, nrows if nrows is not None else 0, 0, 0, 0, 0,
+                 # scan counters: Spark's scheduler keeps no per-table scan
+                 # totals — identically 0 (documented structural gap)
+                 0, 0, 0, 0,
+                 _prop_ts(props, "dbc.last_vacuum"), None,
+                 _prop_ts(props, "dbc.last_analyze"), None)
             )
             colnums: dict[str, int] = {}
             for i, c in enumerate(spark.catalog.listColumns(qualified)):
@@ -201,7 +226,7 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
                 ipages = relpages * max(1, len(icols)) // ncols
                 cls_rows.append(
                     (ioid, iname, ns_oid, "i", reltuples, ipages, None,
-                     _oid(spec["method"]), 0)
+                     _oid(spec["method"]), 0, False, 0, 0)
                 )
                 relsizes[ioid] = (size or 0) * max(1, len(icols)) // ncols
                 idx_rows.append(
@@ -223,7 +248,10 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
         cls_rows,
         "oid bigint, relname string, relnamespace bigint, relkind string,"
         " reltuples double, relpages bigint, reloptions array<string>,"
-        " relam bigint, reltoastrelid bigint",
+        " relam bigint, reltoastrelid bigint, relhasindex boolean,"
+        # frozen-xid ages are identically 0: parquet is copy-on-write, no
+        # MVCC wraparound exists, so age-based alerts correctly never fire
+        " relfrozenxid bigint, relminmxid bigint",
     ).createOrReplaceTempView("pg_class")
     spark.createDataFrame(
         att_rows, "attrelid bigint, attname string, attnum int, atttypid string"
@@ -235,8 +263,18 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
     spark.createDataFrame(
         stat_rows,
         "relid bigint, schemaname string, relname string, n_live_tup bigint,"
-        " n_dead_tup bigint, n_tup_ins bigint, n_tup_upd bigint, n_tup_hot_upd bigint",
+        " n_dead_tup bigint, n_tup_ins bigint, n_tup_upd bigint, n_tup_hot_upd bigint,"
+        " seq_scan bigint, seq_tup_read bigint, idx_scan bigint, idx_tup_fetch bigint,"
+        " last_vacuum timestamp, last_autovacuum timestamp,"
+        " last_analyze timestamp, last_autoanalyze timestamp",
     ).createOrReplaceTempView("pg_stat_all_tables")
+    idx_stat_df = spark.createDataFrame(
+        [(r[0], r[1], 0) for r in idx_rows],
+        "indexrelid bigint, relid bigint, idx_scan bigint",
+    )
+    idx_stat_df.createOrReplaceTempView("pg_stat_all_indexes")
+    # user-relations variant: identical here (no system catalogs on disk)
+    idx_stat_df.createOrReplaceTempView("pg_stat_user_indexes")
     _IDX_SCHEMA = (
         "indexrelid bigint, indrelid bigint, indnatts int, indkey_arr array<int>,"
         " indkey string, indisunique boolean, indisprimary boolean,"
@@ -272,6 +310,8 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
     spark.udf.register("pg_get_indexdef", _pg_get_indexdef, "string")
     spark.udf.register("pg_relation_size", _pg_relation_size, "bigint")
     spark.udf.register("pg_table_size", _pg_relation_size, "bigint")
+    # no constraints exist on parquet tables — NULL, like PG for unknown oid
+    spark.udf.register("pg_get_constraintdef", lambda oid: None, "string")
 
 
 def create_pg_instance_views(spark: SparkSession) -> None:
@@ -303,6 +343,18 @@ def create_pg_instance_views(spark: SparkSession) -> None:
             continue
         unit = "B" if re.search(r"(?:maxPartitionBytes|autoBroadcastJoinThreshold|inMemoryColumnarStorage\.batchSize)$", name) else None
         set_rows.append((name, value, unit, value, (r[2] or "")[:200]))
+    # synthetic max_connections: the closest Spark notion of a connection
+    # ceiling is the task-slot count — lets the reference's
+    # alert_max_connections arithmetic run unmodified over pg_stat_activity
+    set_rows.append(
+        (
+            "max_connections",
+            str(spark.sparkContext.defaultParallelism),
+            None,
+            str(spark.sparkContext.defaultParallelism),
+            "synthetic: Spark task-slot count (defaultParallelism)",
+        )
+    )
     spark.createDataFrame(
         set_rows,
         "name string, setting string, unit string, boot_val string, short_desc string",

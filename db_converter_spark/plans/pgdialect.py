@@ -602,4 +602,8 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
             lits[i] = "'" + raw[1:-1].replace("\\", "\\\\") + "'"
         elif raw.startswith(("e'", "E'")):
             lits[i] = raw[1:]
+        elif raw.startswith('"'):
+            # PG double quotes are always identifiers (strings are
+            # single-quoted) → Spark backtick quoting
+            lits[i] = "`" + raw[1:-1].replace('""', '"') + "`"
     return _restore(text, lits)

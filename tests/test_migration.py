@@ -50,7 +50,13 @@ def test_change_column_type(spark, mig_table):
     assert after.count() == total
     assert after.agg(F.sum("id")).collect()[0][0] == checksum
     # no leftover staging tables
-    names = [t.name for t in spark.catalog.listTables("migdb")]
+    # filter session temp views (pg_catalog emulation registers pg_* views
+    # session-wide; listTables includes them alongside the db's tables)
+    names = [
+        t.name
+        for t in spark.catalog.listTables("migdb")
+        if t.tableType != "TEMPORARY"
+    ]
     assert names == ["mig_t"]
 
 

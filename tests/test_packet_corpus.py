@@ -29,7 +29,7 @@ SWEEP_EXCLUDE = {
 SWEEP = sorted(
     p.name
     for p in PACKETS_DIR.iterdir()
-    if p.is_dir() and p.name not in SWEEP_EXCLUDE
+    if p.is_dir() and p.name not in SWEEP_EXCLUDE and not p.name.startswith(".")
 )
 
 
@@ -265,6 +265,27 @@ def test_port_raise_is_alert_not_failure(runner):
         sev == "RAISE" and "some exception" in msg
         for sev, msg in [tuple(r) for r in res.result_data[db]["01_step.py"]]
     )
+
+
+def test_port_idx_diag_pair(runner, spark):
+    """Reference DBCPacketUnitTest pairing (tests/test_packets.py:844-939):
+    run the test_X fixture packet, then the main X packet, and golden-check
+    the main packet's captured resultsets."""
+    db = "port_idxdiag"
+    res = runner.run(PACKETS_DIR / "test_dba_idx_diag", dbs=[db])
+    assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+    res = runner.run(PACKETS_DIR / "dba_idx_diag", dbs=[db])
+    assert res.result_code[db] == ResultCode.SUCCESS, res.result_data[db]
+    flat = str(res.result_data[db])
+    # the oversized 4-column index and the duplicate single-column indexes
+    # planted by the fixture must be flagged
+    assert "tbl_index_case_text_fld_idx2" in flat
+    assert "tbl_index_case_text_fld_idx_dub_1" in flat
+    # tables with a recorded unique index are NOT flagged as PK-less
+    step3 = str(res.result_data[db]["03_step.sql"])
+    assert "tbl_index_case_2" in step3 and "tbl_with_pk" not in step3
+    diffs = check_golden_outputs(PACKETS_DIR / "dba_idx_diag", res, db)
+    assert diffs == {}, diffs
 
 
 @pytest.mark.parametrize(

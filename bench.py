@@ -36,16 +36,25 @@ def main() -> int:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in sorted(queries):
-        best = float("inf")
+        samples = []
         for _ in range(max(1, runs)):
             t0 = time.perf_counter()
             queries[name].builder(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
+        print(f"{name}: best {timings[name]:.3f}s median {medians[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # dd05 is the deliberately O(n^2)-shaped all-pairs correctness BASELINE
+    # (10% sample; dd04 LSH banding is the production path) — its share is
+    # reported separately so suite-total comparisons track the real engine.
+    total_ex_baseline = round(
+        sum(v for k, v in timings.items() if k != "dd05_ngram_jaccard"), 3
+    )
     print(
         json.dumps(
             {
@@ -53,8 +62,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_ex_dd05_baseline": total_ex_baseline,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
+                "runs_per_query": max(1, runs),
             }
         )
     )

@@ -74,9 +74,6 @@ FROM hashed
 """
 
 
-_SPARK_MD5_I32 = "(conv(substring(md5({expr}), 1, 8), 16, 10) AS LONG)"  # placeholder, see below
-
-
 def _spark_md5_i32(expr: str) -> str:
     return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
 

@@ -403,3 +403,19 @@ def test_export_packet_via_runner(runner, tmp_path):
     csv_path = Path(produced[1][0])
     assert csv_path.exists()
     assert '"42"' in csv_path.read_text()
+
+
+def test_pipe01_plan_shape(spark):
+    """The corpus filter chain must compile to scan → project (codegen'd
+    metrics) → ONE exchange (the md5 dedup window) → window → project.
+    More exchanges or a BatchEvalPython node would break the 100 TB shape."""
+    from db_converter_spark.operators.pipeline import pipe01_corpus_filter
+    from tests.conftest import SF_DIR
+
+    df = pipe01_corpus_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange (the dedup window); the RoundRobin exchange is the
+    # catalog's single-row-group spread guard, testdata-only (catalog.py)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(text)]" in plan

@@ -44,3 +44,37 @@ def test_chunk_predicates_cover_all_rows(spark):
     for pred in chunk_predicates(1, 1000, 300, "id"):
         total += df.where(pred).count()
     assert total == 1000
+
+
+def test_read_jdbc_chunked_call_shape(spark, monkeypatch):
+    """The JDBC seam (no driver jar in this container): read_jdbc_chunked
+    must hand spark.read.jdbc one predicate per bounded key range — the
+    declarative spelling of the reference's 10 000-row cursor loop
+    (reference: dbccore/dbccore.py:744). Mocked at the DataFrameReader
+    boundary; everything below it is stock Spark."""
+    from db_converter_spark.sources.jdbc import read_jdbc_chunked
+
+    captured = {}
+
+    def fake_jdbc(url, table, predicates=None, properties=None, **kw):
+        captured.update(url=url, table=table, predicates=predicates,
+                        properties=properties)
+        return spark.range(1)  # stand-in result frame
+
+    monkeypatch.setattr(
+        type(spark.read), "jdbc",
+        lambda self, *args, **kw: fake_jdbc(*args, **kw),
+        raising=True,
+    )
+
+    df = read_jdbc_chunked(
+        spark, "jdbc:postgresql://db/x", "public.t", "id", 1, 25_000,
+        chunk_size=10_000, properties={"user": "u"},
+    )
+    assert df.count() == 1
+    assert captured["url"].startswith("jdbc:postgresql://")
+    assert captured["table"] == "public.t"
+    assert captured["properties"] == {"user": "u"}
+    preds = captured["predicates"]
+    assert len(preds) == 3 and preds[0] == "id >= 1 AND id <= 10000"
+    assert preds[-1] == "id >= 20001 AND id <= 25000"

@@ -19,6 +19,7 @@ HEADLINE = [
     "q09_window_top2_orders", "q28_lateral_top1",
     "dd01_dedup_exact", "dd04_minhash_lsh_bands", "ss01_cosine_topk",
     "ta04_winnow_fingerprints", "ev02_sessionization", "mg01_chunk_grid",
+    "pipe01_corpus_filter",
 ]
 
 

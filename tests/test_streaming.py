@@ -140,3 +140,83 @@ def test_windowed_event_stats_streaming(spark, tmp_path):
     ).count()
     emitted = spark.sql("select count(*) from ev_stats").collect()[0][0]
     assert 0 < emitted <= batch_n
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must agree with the ev02
+    window-function batch twin on every CLOSED session. Events are fed as
+    two time-split parquet chunks so per-user state genuinely carries
+    across micro-batches (the second chunk extends or closes sessions the
+    first chunk left open)."""
+    from db_converter_spark.streaming.stateful import sessionize_stream
+    from tests.conftest import SF_DIR
+
+    # 1-in-5 user subset: same state-carry semantics, fifth of the runtime
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .where("user_id % 5 = 0")
+        .select("user_id", "ts")
+    )
+    cut = events.agg(F.expr("percentile_approx(cast(ts as long), 0.5)")).collect()[0][0]
+
+    src = tmp_path / "sess_src"
+    ckpt = tmp_path / "sess_ckpt"
+    out_dir = tmp_path / "sess_out"
+
+    schema = events.schema
+
+    def run_available(chunk_df, name):
+        chunk_df.coalesce(1).write.mode("append").parquet(str(src / name))
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        q = (
+            sessionize_stream(stream, gap_minutes=30, timeout_ms=3_600_000)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_available(events.where(F.expr(f"cast(ts as long) <= {cut}")), "chunk1")
+    run_available(events.where(F.expr(f"cast(ts as long) > {cut}")), "chunk2")
+
+    got = spark.read.parquet(str(out_dir)).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+    # batch truth: every session EXCEPT each user's last (which is still
+    # open in the state store, pending the processing-time timeout)
+    events.createOrReplaceTempView("ev_batch")
+    batch = spark.sql(
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL '30' MINUTE
+            THEN 1 ELSE 0 END AS new_session
+          FROM ev_batch
+        ), sess AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked
+        ), per AS (
+          SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events,
+                 MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM per WHERE sid < last_sid
+        """
+    )
+    b = {tuple(r) for r in batch.collect()}
+    g = {tuple(r) for r in got.collect()}
+    assert len(b) > 0
+    assert g == b

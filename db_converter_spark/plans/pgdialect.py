@@ -318,6 +318,58 @@ def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
 
     text = _rewrite_calls(text, "current_setting", current_setting)
 
+    def _new_lit(value: str) -> str:
+        lits.append("'" + value.replace("'", "''") + "'")
+        return _SENT.format(len(lits) - 1)
+
+    def pg_format(a: str) -> str:
+        # PG format(): %s literal, %I identifier-quoted, %L literal-quoted,
+        # %% percent (reference packets: dba_idx_diag/06_step.sql,
+        # alert_max_connections/01_step.sql). Spark's format_string only
+        # has %s — %I/%L compile to wrapped args. Dynamic (non-literal)
+        # format strings can only support %s → plain format_string.
+        args = _split_args(a)
+        fmt_tok = args[0].strip()
+        if not _is_string_lit(fmt_tok, lits):
+            return f"format_string({a})"
+        fmt = _lit_value(fmt_tok, lits)
+        rest = [s.strip() for s in args[1:]]
+        out_fmt: list[str] = []
+        new_args: list[str] = []
+        ai = 0
+        i = 0
+        while i < len(fmt):
+            c = fmt[i]
+            if c == "%" and i + 1 < len(fmt):
+                spec = fmt[i + 1]
+                if spec == "%":
+                    out_fmt.append("%%")
+                elif spec in "sIL" and ai < len(rest):
+                    arg = rest[ai]
+                    ai += 1
+                    if spec == "I":
+                        new_args.append(f"quote_ident(cast({arg} as string))")
+                    elif spec == "L":
+                        q, qq, nul = _new_lit("'"), _new_lit("''"), _new_lit("NULL")
+                        new_args.append(
+                            f"coalesce(concat({q}, replace(cast({arg} as string),"
+                            f" {q}, {qq}), {q}), {nul})"
+                        )
+                    else:
+                        new_args.append(f"cast({arg} as string)")
+                    out_fmt.append("%s")
+                else:
+                    out_fmt.append("%" + spec)
+                i += 2
+                continue
+            out_fmt.append(c)
+            i += 1
+        fmt_lit = _new_lit("".join(out_fmt))
+        tail = (", " + ", ".join(new_args)) if new_args else ""
+        return f"format_string({fmt_lit}{tail})"
+
+    text = _rewrite_calls(text, "format", pg_format)
+
     if re.search(r"(?<![\w.])nextval\s*\(", text, re.I):
         raise UnsupportedConstruct(
             "nextval()/sequences are not portable to Spark; use identity"

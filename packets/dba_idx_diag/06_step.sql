@@ -11,11 +11,11 @@ select
 	c_source.relname as source_relname,
 	ar.attname as source_fld,
 	pg_get_constraintdef(con.oid) as constraint_def,
-	format_string(
-		'CREATE INDEX ON %s.%s USING btree (%s)',
-		quote_ident(n_source.nspname),
-		quote_ident(c_source.relname),
-		quote_ident(ar.attname)
+	format(
+		'CREATE INDEX ON %I.%I USING btree (%I)',
+		n_source.nspname,
+		c_source.relname,
+		ar.attname
 	) as idx_def
 from pg_constraint con
 join pg_class c_target ON con.confrelid = c_target.oid

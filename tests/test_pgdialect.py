@@ -184,3 +184,31 @@ def test_pg_dialect_packet(spark, tmp_path):
     table = res.result_data["pgd_db"]["01_step.sql"][0]
     assert table[0] == ["n", "mx"]
     assert table[1] == [25, "text_8"]  # lexicographic max of 'text_N'
+
+
+def test_format_function(spark):
+    """PG format(): %s/%I/%L/%% compiled onto format_string (+quote_ident /
+    literal-quoting wrappers) — reference: dba_idx_diag/06_step.sql,
+    alert_max_connections/01_step.sql."""
+    from db_converter_spark.functions import register_pg_compat
+    from db_converter_spark.plans.pgdialect import rewrite
+
+    register_pg_compat(spark)
+    r = spark.sql(
+        rewrite("select format('Low: %s (%s)', 17, 88 || '%') as r")
+    ).collect()[0]["r"]
+    assert r == "Low: 17 (88%)"
+    r = spark.sql(
+        rewrite("select format('CREATE INDEX ON %I.%I (%I)', 'public', 'my table', 'id') as r")
+    ).collect()[0]["r"]
+    assert r == 'CREATE INDEX ON public."my table" (id)'
+    r = spark.sql(
+        rewrite("select format('v = %L, pct 100%%', 'it''s') as r")
+    ).collect()[0]["r"]
+    assert r == "v = 'it''s', pct 100%"
+    r = spark.sql(
+        rewrite("select format('null: %L', cast(null as string)) as r")
+    ).collect()[0]["r"]
+    assert r == "null: NULL"
+    # dynamic format string degrades to plain format_string (%s only)
+    assert "format_string(dyn" in rewrite("select format(dyn, a)")

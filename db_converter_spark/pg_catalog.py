@@ -301,15 +301,30 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
         " null_frac double, avg_width int, n_distinct double",
     ).createOrReplaceTempView("pg_stats")
 
+    # per-table index-size totals (estimates): oid(table) → sum(index sizes)
+    idx_size_by_table: dict[int, int] = {}
+    for r in idx_rows:
+        idx_size_by_table[r[1]] = idx_size_by_table.get(r[1], 0) + relsizes.get(
+            r[0], 0
+        )
+
     def _pg_get_indexdef(oid):  # noqa: ANN001 — Spark UDF
         return indexdefs.get(oid)
 
     def _pg_relation_size(oid):  # noqa: ANN001
         return relsizes.get(oid, 0)
 
+    def _pg_indexes_size(oid):  # noqa: ANN001
+        return idx_size_by_table.get(oid, 0)
+
+    def _pg_total_relation_size(oid):  # noqa: ANN001
+        return relsizes.get(oid, 0) + idx_size_by_table.get(oid, 0)
+
     spark.udf.register("pg_get_indexdef", _pg_get_indexdef, "string")
     spark.udf.register("pg_relation_size", _pg_relation_size, "bigint")
     spark.udf.register("pg_table_size", _pg_relation_size, "bigint")
+    spark.udf.register("pg_indexes_size", _pg_indexes_size, "bigint")
+    spark.udf.register("pg_total_relation_size", _pg_total_relation_size, "bigint")
     # no constraints exist on parquet tables — NULL, like PG for unknown oid
     spark.udf.register("pg_get_constraintdef", lambda oid: None, "string")
 

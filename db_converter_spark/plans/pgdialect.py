@@ -88,7 +88,10 @@ _TYPE_MAP = {
     "timestamp with time zone": "timestamp",
     "timestamp without time zone": "timestamp",
     "oid": "bigint",
-    "regclass": "string",
+    "regclass": "bigint",  # oid-valued; pg_*_size lookups key on the int oid
+    # regtype renders as the type NAME (pg_attribute.atttypid is emulated as
+    # the typname string, so ``atttypid = 'x'::regtype`` compares directly)
+    "regtype": "string",
 }
 
 
@@ -389,10 +392,32 @@ _KEYWORDS = frozenset(
 )
 
 
-def _rw_any(text: str) -> str:
-    """``x = ANY(arr)`` → ``array_contains(arr, x)`` (SURVEY §2.3)."""
+def _rw_array_ctor(text: str) -> str:
+    """PG ``ARRAY[a, b, c]`` constructor → Spark ``array(a, b, c)``
+    (reference: dba_top_tables/01_step.sql ``ARRAY['pg_catalog'::name, …]``).
+    Bracket-matching scan; nested constructors resolve on repeat passes."""
     while True:
-        m = re.search(rf"({_OPERAND})\s*=\s*any\s*\(", text, re.I)
+        m = re.search(r"\barray\s*\[", text, re.I)
+        if not m:
+            return text
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "[":
+                depth += 1
+            elif text[j] == "]":
+                depth -= 1
+            j += 1
+        inner = text[m.end() : j - 1]
+        text = text[: m.start()] + f"array({inner})" + text[j:]
+
+
+def _rw_any(text: str) -> str:
+    """``x = ANY(arr)`` → ``array_contains(arr, x)``; ``x <> ALL(arr)`` →
+    ``NOT array_contains(arr, x)`` (SURVEY §2.3)."""
+    while True:
+        m = re.search(
+            rf"({_OPERAND})\s*(=\s*any|<>\s*all|!=\s*all)\s*\(", text, re.I
+        )
         if not m:
             return text
         depth, j = 1, m.end()
@@ -403,7 +428,12 @@ def _rw_any(text: str) -> str:
                 depth -= 1
             j += 1
         arr = text[m.end() : j - 1]
-        text = text[: m.start()] + f"array_contains({arr}, {m.group(1)})" + text[j:]
+        neg = "" if m.group(2).lower().startswith("=") else "NOT "
+        text = (
+            text[: m.start()]
+            + f"{neg}array_contains({arr}, {m.group(1)})"
+            + text[j:]
+        )
 
 
 # an operand that may carry a PG array-cast suffix ('{a,b}'::text[]), which
@@ -474,7 +504,8 @@ def _rw_casts(text: str, lits: list[str]) -> str:
     # multi-word types are limited to the known PG spellings so the regex
     # never swallows following keywords ("x::int8 from t")
     type_re = re.compile(
-        r"::\s*(\w+(?:\s+precision|\s+with(?:out)?\s+time\s+zone)?"
+        r"::\s*(\x01\d+\x01"  # double-quoted type name ('x'::"char") — masked
+        r"|\w+(?:\s+precision|\s+with(?:out)?\s+time\s+zone)?"
         r"(?:\s*\([\d\s,]+\))?(?:\s*\[\s*\])?)",
         re.I,
     )
@@ -482,7 +513,11 @@ def _rw_casts(text: str, lits: list[str]) -> str:
         m = type_re.search(text)
         if not m:
             return text
-        pg_type = re.sub(r"\s*\[\s*\]", "[]", m.group(1).strip())
+        pg_type = m.group(1).strip()
+        if _SENT_RE.fullmatch(pg_type):
+            # double-quoted PG type identifier ('r'::"char") — unmask
+            pg_type = lits[int(_SENT_RE.fullmatch(pg_type).group(1))].strip('"')
+        pg_type = re.sub(r"\s*\[\s*\]", "[]", pg_type)
         # find left operand
         left_end = m.start()
         seg = text[:left_end]
@@ -543,23 +578,26 @@ def _rw_operators(text: str, lits: list[str]) -> str:
             lits[idx] = "'(?i)" + val.replace("'", "''") + "'"
         return pat_tok
 
+    # left side may be a call or cast (``version() ~ '…'``,
+    # ``CAST(x AS string) !~ '…'`` — casts were rewritten one pass earlier)
+    _RX_OP = rf"[\w.\x01]+\s*\([^()]*\)|{_OPERAND}"
     text = re.sub(
-        rf"({_OPERAND})\s*!~\*\s*({_OPERAND})",
+        rf"({_RX_OP})\s*!~\*\s*({_RX_OP})",
         lambda m: f"NOT ({m.group(1)} RLIKE {ci(m.group(2))})",
         text,
     )
     text = re.sub(
-        rf"({_OPERAND})\s*!~\s*({_OPERAND})",
+        rf"({_RX_OP})\s*!~\s*({_RX_OP})",
         lambda m: f"NOT ({m.group(1)} RLIKE {m.group(2)})",
         text,
     )
     text = re.sub(
-        rf"({_OPERAND})\s*~\*\s*({_OPERAND})",
+        rf"({_RX_OP})\s*~\*\s*({_RX_OP})",
         lambda m: f"{m.group(1)} RLIKE {ci(m.group(2))}",
         text,
     )
     text = re.sub(
-        rf"({_OPERAND})\s*(?<![<>!~=])~\s*({_OPERAND})",
+        rf"({_RX_OP})\s*(?<![<>!~=])~\s*({_RX_OP})",
         lambda m: f"{m.group(1)} RLIKE {m.group(2)}",
         text,
     )
@@ -640,6 +678,7 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     text, lits = _protect(sql)
     _rw_do_block(text, lits)
     text = _rw_functions(text, lits, settings or {})
+    text = _rw_array_ctor(text)
     text = _rw_any(text)
     text = _rw_containment(text)
     text = _rw_alter_options(text, lits)

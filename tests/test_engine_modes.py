@@ -212,3 +212,25 @@ def test_cli_confirmation_gate(spark, tmp_path, capsys):
     )
     assert rc == 1
     assert "aborted" in capsys.readouterr().out
+
+
+def test_vanilla_session_can_run_queries():
+    """The external driver builds its own SparkSession with NONE of the
+    engine's confs — round 1 died on exactly this (PARQUET_TYPE_ILLEGAL on
+    nanos timestamps). Run the vanilla twin in a fresh interpreter/JVM; the
+    in-process fixture session can't express it (getOrCreate would reuse
+    the configured context)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "scripts" / "vanilla_check.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(root),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "VANILLA OK" in proc.stdout

@@ -502,3 +502,69 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .select(F.col("label").alias("comp_id"), "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# dd09 — cross-document span dedup (exact-substring dedup approximation)
+# ---------------------------------------------------------------------------
+# The C4/RefinedWeb "remove spans duplicated across documents" component:
+# documents are chopped into consecutive non-overlapping 8-token spans, each
+# span is hashed, span frequencies are counted across the WHOLE corpus, and
+# every document gets its duplicated-span fraction (the signal the pipeline
+# thresholds on). Suffix-automaton exactness is out of scope — fixed-width
+# spans are the standard MapReduce-able approximation.
+#
+# Scale shape: explode is linear (spans ~ tokens/8); ONE shuffle for the
+# span-frequency aggregate and ONE for the join back on the span hash —
+# uniform 128-bit keys both times. This is exactly the two-pass shape the
+# published pipelines run at trillion-token scale.
+
+_DD09_SPARK = """
+WITH spans AS (
+  SELECT doc_id,
+         explode(transform(
+           sequence(0, size(split(text, ' ')) div 8 - 1),
+           i -> md5(array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))
+         )) AS h
+  FROM documents
+  WHERE size(split(text, ' ')) >= 8
+), freq AS (
+  SELECT h, COUNT(*) AS cnt FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT)                                    AS n_spans,
+  CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dup_spans,
+  CAST(ROUND(1000.0 * SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) / COUNT(*))
+       AS BIGINT)                                             AS dup_frac_x1000
+FROM spans s JOIN freq f ON s.h = f.h
+GROUP BY s.doc_id
+"""
+
+_DD09_DUCK = """
+WITH spans AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, len(string_split(text, ' ')) // 8),
+           i -> md5(array_to_string(string_split(text, ' ')[i * 8 + 1 : i * 8 + 8], ' '))
+         )) AS h
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+), freq AS (
+  SELECT h, COUNT(*) AS cnt FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+  CAST(COUNT(*) AS BIGINT)                                    AS n_spans,
+  CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dup_spans,
+  CAST(ROUND(1000.0 * SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) / COUNT(*))
+       AS BIGINT)                                             AS dup_frac_x1000
+FROM spans s JOIN freq f ON s.h = f.h
+GROUP BY s.doc_id
+"""
+
+
+@query("dd09_span_dedup", oracle=_DD09_DUCK, tags=("dedup", "span"))
+def dd09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction per document (8-token
+    non-overlapping spans, corpus-wide frequency): the exact-substring
+    dedup signal of the public C4/RefinedWeb pipelines."""
+    return _sql(spark, sf_dir, _DD09_SPARK)

@@ -234,3 +234,114 @@ def mm03_frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return docs.mapInPandas(_sample_frames_batch, schema=_MM03_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mm04 — resize plumbing (decode dims → fit-in-box target → resampled bytes)
+# ---------------------------------------------------------------------------
+
+_MM04_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", LongType()),
+        StructField("src_h", LongType()),
+        StructField("dst_w", LongType()),
+        StructField("dst_h", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+_RESIZE_BOX = 224  # fit-within target (the standard vision-model square)
+
+
+def resize_stub(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """STUB for a real resampler (PIL/cv2 not in this container): source
+    dims come from :func:`decode_image_stub`; the target is integer
+    fit-within-224 preserving aspect; the "resized" bytes are a stride
+    decimation of the payload proportional to the area reduction — the
+    deterministic stand-in for pixel resampling. A real implementation is
+    ``PIL.Image.open(...).thumbnail((224, 224))`` with the same
+    (src_w, src_h, dst_w, dst_h, bytes) contract."""
+    meta = decode_image_stub(payload)
+    w, h = meta["width"], meta["height"]
+    m = max(w, h)
+    if m > _RESIZE_BOX:
+        dst_w, dst_h = (w * _RESIZE_BOX) // m, (h * _RESIZE_BOX) // m
+    else:
+        dst_w, dst_h = w, h
+    stride = max(1, (w * h) // max(1, dst_w * dst_h))
+    resized = payload[::stride]
+    return w, h, dst_w, dst_h, resized
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = pdf["payload"].map(lambda b: resize_stub(bytes(b)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": out.map(lambda t: t[0]).astype("int64"),
+                "src_h": out.map(lambda t: t[1]).astype("int64"),
+                "dst_w": out.map(lambda t: t[2]).astype("int64"),
+                "dst_h": out.map(lambda t: t[3]).astype("int64"),
+                "n_bytes_out": out.map(lambda t: len(t[4])).astype("int64"),
+                "resized_md5": out.map(
+                    lambda t: hashlib.md5(t[4]).hexdigest()
+                ),
+            }
+        )
+
+
+# oracle: identical dims + stride-decimation arithmetic over the text bytes
+_MM04_DUCK = f"""
+WITH h AS (
+  SELECT doc_id, text, ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+  FROM documents WHERE doc_id % 25 = 0
+), dims AS (
+  SELECT doc_id, text,
+    64 + hv % 512 AS w,
+    64 + (hv // 512) % 512 AS h
+  FROM h
+), fit AS (
+  SELECT doc_id, text, w, h,
+    CASE WHEN greatest(w, h) > {_RESIZE_BOX}
+         THEN (w * {_RESIZE_BOX}) // greatest(w, h) ELSE w END AS dst_w,
+    CASE WHEN greatest(w, h) > {_RESIZE_BOX}
+         THEN (h * {_RESIZE_BOX}) // greatest(w, h) ELSE h END AS dst_h
+  FROM dims
+), resized AS (
+  SELECT doc_id, w, h, dst_w, dst_h,
+    array_to_string(
+      [substring(text, i, 1)
+       for i in generate_series(1, strlen(text),
+                                greatest(1, (w * h) // greatest(1, dst_w * dst_h)))],
+      '') AS rs
+  FROM fit
+)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS src_w,
+  CAST(h AS BIGINT) AS src_h,
+  CAST(dst_w AS BIGINT) AS dst_w,
+  CAST(dst_h AS BIGINT) AS dst_h,
+  CAST(strlen(rs) AS BIGINT) AS n_bytes_out,
+  md5(rs) AS resized_md5
+FROM resized
+"""
+
+
+@query("mm04_resize_plumbing", oracle=_MM04_DUCK, tags=("multimodal", "stub"))
+def mm04_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary payload → mapInPandas → fit-within-224
+    target dims + stride-decimated bytes, fingerprinted. Arrow batch shape,
+    integer resize arithmetic, and byte-exact output are oracle-verified;
+    swap :func:`resize_stub` for a real resampler to productionize."""
+    register_views(spark, sf_dir)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    return docs.mapInPandas(_resize_batch, schema=_MM04_SCHEMA)

@@ -59,6 +59,8 @@ _CHECK_TAIL = (
     # dd09's span-hash shuffle/join shape is officially probed by dd01/dd04;
     # its own values stay locally oracle-verified (test_oracle_parity).
     "dd09_span_dedup",
+    # mm04's mapInPandas/Arrow shape is officially probed by mm01-mm03.
+    "mm04_resize_plumbing",
     "q13_scalar_subquery",
     "q14_in_subquery",
     "q15_generate_series",

@@ -33,6 +33,12 @@ def main() -> int:
     queries = all_queries()
     # Warm the JVM/codegen path so q01 doesn't pay session-boot cost.
     queries["q01_pricing_summary"].builder(spark, sf_dir).collect()
+    # Warm the Python-worker pool: the FIRST mapInPandas pays ~9 s spinning
+    # up one Python process per core (measured r2) — that is session-boot
+    # cost, not operator cost, so pay it before the clock starts.
+    spark.range(0, spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # wall budget: a loaded host can stretch the suite past the driver's
@@ -40,7 +46,9 @@ def main() -> int:
     # best-of-1 so ONE json line always lands instead of a timeout recording
     # nothing. Per-query numbers stay comparable (best-of-N is monotone in N;
     # the medians dict records how many samples each query actually got).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # 1200 s default: the r2 420 s budget degraded 59/67 queries to cold
+    # single runs on a loaded host and recorded noise as engine numbers.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

@@ -182,10 +182,38 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """
 
-_EVENTS_RAW_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+def _events_stream_source(spark: SparkSession, sf_dir: str):
+    """readStream source for the events table with a footer-driven ``ts``
+    schema: parquet timestamp[ns] columns can only be scanned as raw longs
+    (nanosAsLong conf, see catalog.py) and need a div-1000 rebuild, while
+    timestamp[us] reads natively as TIMESTAMP_NTZ. Hard-coding either unit
+    breaks when the testdata generator flips units between rounds — this is
+    the stream twin of the batch footer sniff at catalog._nanos_ts_columns."""
+    from ..catalog import _ensure_nanos_readable, _nanos_ts_columns
+
+    _ensure_nanos_readable(spark)
+    ts_is_nanos = "ts" in _nanos_ts_columns(f"{sf_dir}/events.parquet")
+    ts_decl = "BIGINT" if ts_is_nanos else "TIMESTAMP_NTZ"
+    schema = (
+        f"event_id BIGINT, ts {ts_decl}, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    # File stream sources require a DIRECTORY (new files land, get listed
+    # incrementally); glob-filter it down to the events table.
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_is_nanos:
+        # integer nanos → micros; integral div, not /1000 (see catalog.py).
+        src = src.withColumn("ts", F.expr("timestamp_micros(`ts` div 1000)"))
+    else:
+        # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+        # NTZ); the session tz is pinned UTC so the cast is a faithful
+        # reinterpretation, not a wall-clock shift.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
 
 
 @query("ev03_streaming_window", oracle=_EV03_DUCK, tags=("events", "streaming", "watermark"))
@@ -195,22 +223,12 @@ def ev03_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/sum → memory sink, ``availableNow`` trigger (process the backlog,
     then stop — the batch-parity mode; a live deployment drops the trigger
     and appends to a table sink). Watermark bounds state at scale; sums are
-    integer cents so the oracle compares exactly. ``ts`` is declared BIGINT
-    because the session reads parquet NANOS timestamps as longs
-    (see catalog.py) — converted with the same div-1000 truncation."""
+    integer cents so the oracle compares exactly. The ``ts`` stream schema is
+    footer-driven (ns vs us), matching the batch reader."""
     sink = "ev03_sink"
-    from ..catalog import _ensure_nanos_readable
-
-    _ensure_nanos_readable(spark)
-    # File stream sources require a DIRECTORY (new files land, get listed
-    # incrementally); glob-filter it down to the events table.
-    src = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = _events_stream_source(spark, sf_dir)
     agg = (
-        src.withColumn("ts", F.expr("timestamp_micros(`ts` div 1000)"))
+        src
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(

@@ -157,7 +157,11 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         .where("user_id % 5 = 0")
         .select("user_id", "ts")
     )
-    cut = events.agg(F.expr("percentile_approx(cast(ts as long), 0.5)")).collect()[0][0]
+    # unit-agnostic epoch-micros: works whether load_table yielded TIMESTAMP
+    # (ns testdata) or TIMESTAMP_NTZ (us testdata; session tz is UTC so the
+    # cast is a faithful reinterpretation)
+    ts_us = "unix_micros(cast(ts as timestamp))"
+    cut = events.agg(F.expr(f"percentile_approx({ts_us}, 0.5)")).collect()[0][0]
 
     src = tmp_path / "sess_src"
     ckpt = tmp_path / "sess_ckpt"
@@ -181,8 +185,8 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-    run_available(events.where(F.expr(f"cast(ts as long) <= {cut}")), "chunk1")
-    run_available(events.where(F.expr(f"cast(ts as long) > {cut}")), "chunk2")
+    run_available(events.where(F.expr(f"{ts_us} <= {cut}")), "chunk1")
+    run_available(events.where(F.expr(f"{ts_us} > {cut}")), "chunk2")
 
     got = spark.read.parquet(str(out_dir)).select(
         "user_id", "session_start", "session_end", "n_events"

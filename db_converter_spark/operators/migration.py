@@ -135,9 +135,17 @@ def merge_update(
     set_map: dict[str, str],
     broadcast_source: bool = True,
     condition: str | None = None,
-) -> None:
+) -> int:
     """Execute :func:`merge_update_plan` via two-phase swap write (a plain
-    INSERT OVERWRITE cannot read from the table it overwrites)."""
+    INSERT OVERWRITE cannot read from the table it overwrites). Returns the
+    matched-target-row count — the reference surfaces py-postgresql's
+    ``('UPDATE', n)`` command tuple per statement
+    (reference: dbccore/dbccore.py:866-870), so the runner needs the real
+    affected-row number, not just the command word. The count is a semi-join
+    over only the key/condition columns (pruned scan), cheap next to the
+    rewrite itself; PG counts each target row at most once, which is exactly
+    left_semi semantics."""
+    n = merge_matched_count(spark, target_table, source, on, condition, broadcast_source)
     _swap_write(
         spark,
         target_table,
@@ -145,6 +153,24 @@ def merge_update(
             spark, target_table, source, on, set_map, broadcast_source, condition
         ),
     )
+    return n
+
+
+def merge_matched_count(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    on: list[str] | None,
+    condition: str | None = None,
+    broadcast_source: bool = True,
+) -> int:
+    """Number of ``target_table`` rows a :func:`merge_update` would touch."""
+    t = spark.table(target_table).alias("t")
+    s = (F.broadcast(source) if broadcast_source else source).alias("s")
+    if on is not None:
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        return t.join(s, cond, "left_semi").count()
+    return t.join(s, F.expr(condition), "left_semi").count()
 
 
 def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
@@ -193,11 +219,33 @@ def delete_plan(spark: SparkSession, table: str, predicate: str | None) -> DataF
     )
 
 
-def delete_where(spark: SparkSession, table: str, predicate: str | None) -> None:
+def shadow_execute(df: DataFrame) -> None:
+    """Execute ``df``'s plan end-to-end and discard the output (Spark's
+    ``noop`` sink): the no-commit analog of the reference's execute-then-
+    rollback (dbccore/dbccore.py:886-888). Runtime failures a pure EXPLAIN
+    cannot catch — ANSI cast overflow, division by zero, corrupt input —
+    surface here, while no table mutates and nothing lands on disk."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def predicate_match_count(
+    spark: SparkSession, table: str, predicate: str | None
+) -> int:
+    """Rows where ``predicate`` is TRUE (the PG affected-row count for
+    UPDATE/DELETE). Prunes to the predicate's columns and pushes the filter
+    to the scan — cheap next to the table rewrite it accompanies."""
+    df = spark.table(table)
+    return df.count() if predicate is None else df.where(predicate).count()
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str | None) -> int:
     """``DELETE FROM t [WHERE p]`` for parquet tables: anti-filter rewrite
     (reference: packets/test_insert_info/01_step.sql:1). ``predicate=None``
-    deletes every row."""
+    deletes every row. Returns the deleted-row count (reference command-tuple
+    semantics, dbccore/dbccore.py:866-870)."""
+    n = predicate_match_count(spark, table, predicate)
     _swap_write(spark, table, delete_plan(spark, table, predicate))
+    return n
 
 
 def update_where(
@@ -205,13 +253,15 @@ def update_where(
     table: str,
     set_map: dict[str, str],
     predicate: str | None,
-) -> None:
+) -> int:
     """``UPDATE t SET c = e, … [WHERE p]`` for parquet tables: a
     conditional-projection rewrite — one scan, no join, partition-parallel
     write. All SET expressions are evaluated in a single SELECT so each
     right-hand side sees the OLD row values (PostgreSQL semantics), even
-    when one SET column references another."""
+    when one SET column references another. Returns the matched-row count."""
+    n = predicate_match_count(spark, table, predicate)
     _swap_write(spark, table, update_plan(spark, table, set_map, predicate))
+    return n
 
 
 def update_plan(

@@ -47,6 +47,10 @@ from db_converter_spark.plans.packet import (
 )
 from db_converter_spark.plans.hooks import ChatHook, notify_error, notify_results
 from db_converter_spark.plans.pgdialect import rewrite as pg_rewrite
+from db_converter_spark.plans.sequences import (
+    route_sequence_ddl,
+    substitute_sequence_calls,
+)
 from db_converter_spark.plans.watchdog import StepWatchdog
 from db_converter_spark.plans.sqlsplit import (
     _strip_leading_comments,
@@ -82,13 +86,23 @@ class RunContext:
         # reference-style packets execute unmodified (meta_data.json key
         # ``dialect``; SURVEY §7.1 L2 dialect level)
         self.dialect = packet.meta.get("dialect", "spark")
-        # no_commit = dry-run: queries run, writes are validated with EXPLAIN
-        # but never executed (reference executes + rolls back,
-        # dbccore/dbccore.py:886-888; Spark has no rollback, so validation
-        # stops at the optimized plan — documented gap, SURVEY §2.1 E13)
+        # no_commit = dry-run: queries run; routed DML SHADOW-EXECUTES into
+        # the noop sink and reports its would-be rowcount (the Spark analog
+        # of the reference's execute+rollback, dbccore/dbccore.py:886-888);
+        # remaining writes are validated with EXPLAIN EXTENDED (E13)
         self.no_commit = False
         self.messages: list[tuple[str, str]] = []  # (severity, text) — E16 channel
         self.current_step_results: list = []
+        # per-target ledger; attached by the run loop when tracking is on
+        self.tracker: ActionTracker | None = None
+
+    def sequence_tracker(self) -> ActionTracker:
+        """Ledger holding this target's sequence counters (SURVEY §7.4.6).
+        Untracked runs (tests, direct ctx.execute) get an in-memory ledger:
+        sequence semantics without on-disk state."""
+        if self.tracker is None:
+            self.tracker = ActionTracker(":memory:")
+        return self.tracker
 
     def raise_notice(self, severity: str, message: str) -> None:
         """Engine message channel — the RAISE NOTICE analog (reference:
@@ -128,9 +142,23 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
         raise ReadOnlyViolation(f"write statement in read-only packet: {stmt[:80]}...")
     if ctx.dialect == "postgres":
         stmt = pg_rewrite(stmt, ctx.packet.session_conf)
-    # PG maintenance surface (VACUUM/ANALYZE/CREATE INDEX/...) — these have
-    # no direct Spark statement, each maps per operators/maintenance.py;
-    # under no_commit the router validates without executing.
+    # Sequence surface (SURVEY §7.4.6): CREATE/ALTER/DROP SEQUENCE → ledger
+    # counters; nextval/currval/setval inlined via block allocation. nextval
+    # consumption under no_commit matches PG (sequences are non-transactional
+    # — the reference's execute+rollback consumes values too).
+    if re.match(r"^\s*(create|drop|alter)\s+sequence\b", _strip_leading_comments(stmt), re.I):
+        status, notices = route_sequence_ddl(
+            ctx.sequence_tracker(), _strip_leading_comments(stmt), dry_run=ctx.no_commit
+        )
+        for sev, msg in notices:
+            ctx.raise_notice(sev, msg)
+        ctx.current_step_results.append([status])
+        return [status]
+    # PG maintenance surface (VACUUM/ANALYZE/CREATE INDEX/ALTER…DEFAULT/...)
+    # — no direct Spark statement, each maps per operators/maintenance.py;
+    # under no_commit the router validates without executing. Routed BEFORE
+    # sequence-call inlining: a recorded DEFAULT must keep nextval() as TEXT,
+    # not consume a value at ALTER time.
     maint = route_maintenance(ctx.spark, stmt, dry_run=ctx.no_commit)
     if maint is not None:
         status, notices = maint
@@ -138,19 +166,25 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
             ctx.raise_notice(sev, msg)
         ctx.current_step_results.append([status])
         return [status]
+    stmt = _expand_insert_defaults(ctx, stmt)
+    stmt = substitute_sequence_calls(ctx, stmt)
     if ctx.no_commit and kind != "query":
-        # dry-run: analyze the statement without executing it. Routed
-        # UPDATE/DELETE (which Spark itself cannot even EXPLAIN on v1
-        # parquet tables) build and analyze the SAME rewrite plan a real
-        # run would execute; everything else goes through EXPLAIN EXTENDED,
-        # where a missing Physical Plan section marks failure (Spark prints
-        # the error text in place of the plan — never the literal word
-        # 'Exception' the old sniff looked for).
-        if _route_v1_dml(ctx, stmt, dry=True) is None:
+        # dry-run. Routed UPDATE/DELETE get SHADOW EXECUTION: the exact
+        # rewrite plan runs end-to-end into the noop sink and the status
+        # carries the would-be rowcount — the Spark analog of the
+        # reference's execute-then-rollback (dbccore/dbccore.py:886-888).
+        # Everything else goes through EXPLAIN EXTENDED, where a missing
+        # Physical Plan section marks failure (Spark prints the error text
+        # in place of the plan — never the literal word 'Exception' the
+        # old sniff looked for).
+        routed = _route_v1_dml(ctx, stmt, dry=True)
+        if routed is None:
             plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
             if "== Physical Plan ==" not in plan or "Error occurred during query planning" in plan:
                 raise RuntimeError(f"no_commit validation failed: {plan[:500]}")
-        status = [_strip_leading_comments(stmt).split()[0].upper(), "no_commit"]
+            status = [_strip_leading_comments(stmt).split()[0].upper(), "no_commit"]
+        else:
+            status = routed + ["no_commit"]
         ctx.current_step_results.append([status])
         return [status]
     routed = _route_v1_dml(ctx, stmt)
@@ -169,6 +203,58 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
     status = [_strip_leading_comments(stmt).split()[0].upper()]
     ctx.current_step_results.append([status])
     return [status]
+
+
+_INSERT_COLS_RE = re.compile(
+    r"^\s*insert\s+into\s+([\w.`\"]+)\s*\(([^)]*)\)\s*(.+)$", re.I | re.S
+)
+
+
+def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
+    """``INSERT INTO t(cols…) …`` where an omitted column carries a recorded
+    ``dbc.default.<col>`` property (operators/maintenance.py `_alter_default`,
+    reference: packets/test_int4_to_int8/07_step.sql inserting through a
+    serial DEFAULT) → rewrite to a full-projection INSERT with the default
+    expression inlined. Defaults containing sequence calls get block-inlined
+    by :func:`substitute_sequence_calls` immediately after. Statements whose
+    omitted columns have no recorded default are left to Spark (by-name
+    column-list INSERT fills NULLs natively)."""
+    from db_converter_spark.operators.maintenance import DEFAULT_PROP_PREFIX
+
+    m = _INSERT_COLS_RE.match(_strip_leading_comments(stmt))
+    if not m:
+        return stmt
+    table = m.group(1).strip('`"')
+    try:
+        props = {
+            r["key"][len(DEFAULT_PROP_PREFIX):].lower(): r["value"]
+            for r in ctx.spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+            if r["key"].startswith(DEFAULT_PROP_PREFIX)
+        }
+    except Exception:  # noqa: BLE001 — temp view / unknown table: not ours
+        return stmt
+    if not props:
+        return stmt
+    cols = [c.strip().strip('`"').lower() for c in m.group(2).split(",")]
+    schema = ctx.spark.table(table).schema
+    if not any(f.name.lower() in props and f.name.lower() not in cols for f in schema):
+        return stmt
+    src = m.group(3).rstrip().rstrip(";")
+    # bind the source's outputs to the provided column names positionally
+    # (arbitrary expressions have no usable names), then project the table's
+    # full column order with defaults/NULLs for the omitted ones
+    tmp = f"__dbc_ins_src_{hashlib.md5(stmt.encode()).hexdigest()[:8]}"
+    ctx.spark.sql(src).toDF(*cols).createOrReplaceTempView(tmp)
+    proj = []
+    for f in schema:
+        n = f.name.lower()
+        if n in cols:
+            proj.append(f"`{f.name}`")
+        elif n in props:
+            proj.append(f"({props[n]}) AS `{f.name}`")
+        else:
+            proj.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
+    return f"INSERT INTO {table} SELECT {', '.join(proj)} FROM {tmp}"
 
 
 _DELETE_RE = re.compile(
@@ -257,11 +343,18 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     stmt = _strip_leading_comments(stmt)
     m = _DELETE_RE.match(stmt)
     if m:
+        table, predicate = m.group(1).strip("`"), m.group(2)
         if dry:
-            migration.delete_plan(ctx.spark, m.group(1).strip("`"), m.group(2)).schema
-        else:
-            migration.delete_where(ctx.spark, m.group(1).strip("`"), m.group(2))
-        return ["DELETE"]
+            # shadow execution: run the exact rewrite plan into the noop
+            # sink (execute-then-discard — the Spark analog of the
+            # reference's execute+rollback, dbccore/dbccore.py:886-888) and
+            # report the would-be rowcount without mutating the table
+            migration.shadow_execute(migration.delete_plan(ctx.spark, table, predicate))
+            return ["DELETE", migration.predicate_match_count(ctx.spark, table, predicate)]
+        n = migration.delete_where(ctx.spark, table, predicate)
+        # reference surfaces py-postgresql's ('DELETE', n) command tuple
+        # (dbccore/dbccore.py:866-870) — carry the affected-row count
+        return ["DELETE", n]
     m = _UPDATE_RE.match(stmt)
     if m:
         table, talias = m.group(1).strip("`"), m.group(2)
@@ -270,12 +363,14 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
         if fi == -1:
             set_map, predicate = _split_set_clause(rest)
             if dry:
-                migration.update_plan(ctx.spark, table, set_map, predicate).schema
-            else:
-                migration.update_where(ctx.spark, table, set_map, predicate)
-            return ["UPDATE"]
-        _update_from(ctx, table, talias, rest[:fi], rest[fi + 4 :], dry=dry)
-        return ["UPDATE"]
+                migration.shadow_execute(
+                    migration.update_plan(ctx.spark, table, set_map, predicate)
+                )
+                return ["UPDATE", migration.predicate_match_count(ctx.spark, table, predicate)]
+            n = migration.update_where(ctx.spark, table, set_map, predicate)
+            return ["UPDATE", n]
+        n = _update_from(ctx, table, talias, rest[:fi], rest[fi + 4 :], dry=dry)
+        return ["UPDATE", n]
     return None
 
 
@@ -286,7 +381,7 @@ def _update_from(
     set_part: str,
     from_part: str,
     dry: bool = False,
-) -> None:
+) -> int:
     """PostgreSQL ``UPDATE tgt [a] SET ... FROM (subquery|table) s WHERE
     <cond>`` — the reference's canonical chunked-migration statement
     (reference: packets/test_int4_to_int8/02_step.sql:3-5) — compiled onto
@@ -339,13 +434,17 @@ def _update_from(
     set_map = {c: realias(e) for c, e in raw_set.items()}
     src_df = ctx.spark.sql(src_sql)
     if dry:
-        migration.merge_update_plan(
-            ctx.spark, table, src_df, on, set_map, condition=condition
-        ).schema
-    else:
-        migration.merge_update(
-            ctx.spark, table, src_df, on, set_map, condition=condition
+        migration.shadow_execute(
+            migration.merge_update_plan(
+                ctx.spark, table, src_df, on, set_map, condition=condition
+            )
         )
+        return migration.merge_matched_count(
+            ctx.spark, table, src_df, on, condition=condition
+        )
+    return migration.merge_update(
+        ctx.spark, table, src_df, on, set_map, condition=condition
+    )
 
 
 
@@ -503,6 +602,8 @@ class PacketRunner:
             packet_id = tracker.upsert_packet(pkt.name, pkt.packet_hash, pkt.meta) if track else -1
 
             ctx = RunContext(session, db, pkt, read_only)
+            if track:
+                ctx.tracker = tracker  # sequence counters share the ledger
             ctx.no_commit = ptype == PacketType.NO_COMMIT
             if ctx.dialect == "postgres":
                 # PG-dialect packets get the full introspection surface the

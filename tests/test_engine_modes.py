@@ -49,6 +49,46 @@ def test_no_commit_dry_run(spark, tmp_path):
     assert "nc_t" not in [t.name for t in spark.catalog.listTables("e2e_nc")]
 
 
+def test_no_commit_shadow_executes_routed_dml(spark, tmp_path):
+    """Routed DML under no_commit SHADOW-EXECUTES: the rewrite plan runs
+    end-to-end into the noop sink (execute-then-discard — the Spark analog
+    of the reference's execute+rollback, dbccore/dbccore.py:886-888) and the
+    status reports the would-be rowcount, while the table stays untouched."""
+    runner = PacketRunner(spark, tmp_path / "wh")
+    setup = _write_packet(
+        tmp_path / "nc_shadow_setup",
+        {
+            "01_step.sql": (
+                "create table nc_sh_t using parquet as"
+                " select id, id % 5 as grp from range(0, 100)"
+            ),
+        },
+    )
+    res0 = runner.run(setup, dbs=["e2e_ncs"])
+    assert res0.result_code["e2e_ncs"] == ResultCode.SUCCESS
+
+    pkt = _write_packet(
+        tmp_path / "nc_shadow",
+        {
+            "01_step.sql": (
+                "update nc_sh_t set grp = grp + 100 where id < 30;"
+                " delete from nc_sh_t where grp = 0"
+            ),
+            "meta_data.json": '{"type": "no_commit"}',
+        },
+    )
+    res = runner.run(pkt, dbs=["e2e_ncs"])
+    assert res.result_code["e2e_ncs"] == ResultCode.SUCCESS
+    results = res.result_data["e2e_ncs"]["01_step.sql"]
+    assert results[0] == [["UPDATE", 30, "no_commit"]]
+    assert results[1] == [["DELETE", 20, "no_commit"]]
+    # neither statement mutated the table
+    spark.catalog.refreshTable("e2e_ncs.nc_sh_t")
+    t = spark.table("e2e_ncs.nc_sh_t")
+    assert t.count() == 100
+    assert t.where("grp >= 100").count() == 0
+
+
 def test_no_commit_still_validates(spark, tmp_path):
     """Analysis errors surface even in dry-run (bad table name fails)."""
     runner = PacketRunner(spark, tmp_path / "wh")

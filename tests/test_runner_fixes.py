@@ -205,7 +205,8 @@ def test_no_commit_validates_routed_update(spark, runner, tmp_path, upd_table):
     )
     res = runner.run(ok, dbs=["default"])
     assert res.result_code["default"] == ResultCode.SUCCESS
-    assert res.result_data["default"]["01_step.sql"][0] == [["UPDATE", "no_commit"]]
+    # shadow execution reports the would-be rowcount (ids 1..9 = 9 rows)
+    assert res.result_data["default"]["01_step.sql"][0] == [["UPDATE", 9, "no_commit"]]
     # nothing was written
     assert spark.table(upd_table).where("id = 1").collect()[0]["grp"] == 1
 

@@ -58,8 +58,14 @@ _DROP_INDEX_RE = re.compile(
     re.I | re.S,
 )
 _REINDEX_RE = re.compile(r"^(reindex|cluster)\b", re.I)
+_ALTER_DEFAULT_RE = re.compile(
+    r"^alter\s+table\s+(?:if\s+exists\s+)?(?:only\s+)?([\w.`\"]+)\s+"
+    r"alter\s+(?:column\s+)?([\w`\"]+)\s+(?:(set\s+default\s+(.+))|drop\s+default)\s*$",
+    re.I | re.S,
+)
 
 INDEX_PROP_PREFIX = "dbc.index."
+DEFAULT_PROP_PREFIX = "dbc.default."
 
 
 def _unquote(ident: str) -> str:
@@ -102,7 +108,44 @@ def route_maintenance(
         return [kw], [
             ("LOG", f"{kw.lower()}: no-op on parquet (no physical index/heap order)")
         ]
+    m = _ALTER_DEFAULT_RE.match(s)
+    if m:
+        return _alter_default(
+            spark, m.group(1), m.group(2), m.group(4) if m.group(3) else None, dry_run
+        )
     return None
+
+
+def _alter_default(
+    spark: SparkSession,
+    table: str,
+    column: str,
+    expr: str | None,
+    dry: bool,
+) -> tuple[list, list[tuple[str, str]]]:
+    """``ALTER TABLE t ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT`` —
+    recorded driver-side as a ``dbc.default.<col>`` table property (same
+    catalog pattern as recorded indexes). Spark's native column DEFAULT
+    requires a constant-foldable expression, which ``nextval('s')`` is not;
+    the runner applies recorded defaults to INSERTs that omit the column
+    (reference: packets/test_int4_to_int8/06_step.sql:6-7)."""
+    q = _qualify(spark, table)
+    col = _unquote(column).lower()
+    if not dry:
+        spark.table(q)  # resolve: unknown table must fail like PG
+    prop = f"{DEFAULT_PROP_PREFIX}{col}"
+    notices: list[tuple[str, str]] = []
+    if dry:
+        return ["ALTER TABLE"], notices
+    if expr is None:
+        spark.sql(f"ALTER TABLE {q} UNSET TBLPROPERTIES IF EXISTS ('{prop}')")
+    else:
+        val = expr.strip().rstrip(";").replace("\\", "\\\\").replace('"', '\\"')
+        spark.sql(f'ALTER TABLE {q} SET TBLPROPERTIES ("{prop}" = "{val}")')
+        notices.append(
+            ("LOG", f"default for {q}.{col} recorded driver-side ({prop})")
+        )
+    return ["ALTER TABLE"], notices
 
 
 def _vacuum(

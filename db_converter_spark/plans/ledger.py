@@ -53,6 +53,13 @@ CREATE TABLE IF NOT EXISTS dbc_locks (
   locked INTEGER NOT NULL DEFAULT 1,
   dt TEXT
 );
+CREATE TABLE IF NOT EXISTS dbc_sequences (
+  name TEXT PRIMARY KEY,
+  last_value INTEGER,               -- NULL until first nextval (PG semantics)
+  start_value INTEGER NOT NULL DEFAULT 1,
+  increment INTEGER NOT NULL DEFAULT 1,
+  owned_by TEXT                     -- 'schema.table.column' or NULL
+);
 """
 
 
@@ -181,6 +188,137 @@ class ActionTracker:
             self._conn.execute(
                 "UPDATE dbc_locks SET locked=0, dt=? WHERE name=?", (_now(), name)
             )
+
+    # -- sequences --------------------------------------------------------
+    # PG sequences re-homed in the ledger (SURVEY §7.4.6): the counter is
+    # driver-side orchestration state exactly like action dedup — small,
+    # transactional, serialized by design (PG serializes nextval too).
+    # Executors never touch it: statements reserve a contiguous BLOCK up
+    # front and distribute base+row_number, so 100 TB inserts cost ONE
+    # counter update, not one per row.
+
+    def seq_create(
+        self,
+        name: str,
+        start: int = 1,
+        increment: int = 1,
+        if_not_exists: bool = False,
+    ) -> None:
+        with self._lock, self._conn:
+            if if_not_exists:
+                self._conn.execute(
+                    "INSERT OR IGNORE INTO dbc_sequences(name, start_value, increment)"
+                    " VALUES (?, ?, ?)",
+                    (name, start, increment),
+                )
+            else:
+                self._conn.execute(
+                    "INSERT INTO dbc_sequences(name, start_value, increment)"
+                    " VALUES (?, ?, ?)",
+                    (name, start, increment),
+                )
+
+    def seq_drop(self, name: str, if_exists: bool = False) -> None:
+        with self._lock, self._conn:
+            cur = self._conn.execute("DELETE FROM dbc_sequences WHERE name=?", (name,))
+            if cur.rowcount == 0 and not if_exists:
+                raise KeyError(f'sequence "{name}" does not exist')
+
+    def seq_alter(
+        self,
+        name: str,
+        restart: int | None = None,
+        increment: int | None = None,
+        owned_by: str | None = None,
+    ) -> None:
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "SELECT start_value FROM dbc_sequences WHERE name=?", (name,)
+            )
+            row = cur.fetchone()
+            if row is None:
+                raise KeyError(f'sequence "{name}" does not exist')
+            if restart is not None:
+                # RESTART [WITH n]: next nextval returns n (last_value→NULL
+                # restarts from start_value, mirroring a fresh sequence)
+                self._conn.execute(
+                    "UPDATE dbc_sequences SET last_value=NULL, start_value=?"
+                    " WHERE name=?",
+                    (restart, name),
+                )
+            if increment is not None:
+                self._conn.execute(
+                    "UPDATE dbc_sequences SET increment=? WHERE name=?",
+                    (increment, name),
+                )
+            if owned_by is not None:
+                self._conn.execute(
+                    "UPDATE dbc_sequences SET owned_by=? WHERE name=?",
+                    (owned_by if owned_by.upper() != "NONE" else None, name),
+                )
+
+    def seq_nextval(self, name: str, block: int = 1) -> int:
+        """Reserve ``block`` consecutive values; return the FIRST. One
+        transactional counter bump regardless of block size."""
+        if block < 1:
+            raise ValueError("block must be >= 1")
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "SELECT last_value, start_value, increment FROM dbc_sequences"
+                " WHERE name=?",
+                (name,),
+            )
+            row = cur.fetchone()
+            if row is None:
+                raise KeyError(f'sequence "{name}" does not exist')
+            last, start, inc = row
+            first = start if last is None else last + inc
+            new_last = first + (block - 1) * inc
+            self._conn.execute(
+                "UPDATE dbc_sequences SET last_value=? WHERE name=?",
+                (new_last, name),
+            )
+            return first
+
+    def seq_info(self, name: str) -> tuple[int | None, int, int]:
+        """(last_value, start_value, increment) — raises on unknown name."""
+        cur = self._conn.execute(
+            "SELECT last_value, start_value, increment FROM dbc_sequences"
+            " WHERE name=?",
+            (name,),
+        )
+        row = cur.fetchone()
+        if row is None:
+            raise KeyError(f'sequence "{name}" does not exist')
+        return row
+
+    def seq_currval(self, name: str) -> int:
+        cur = self._conn.execute(
+            "SELECT last_value FROM dbc_sequences WHERE name=?", (name,)
+        )
+        row = cur.fetchone()
+        if row is None:
+            raise KeyError(f'sequence "{name}" does not exist')
+        if row[0] is None:
+            raise ValueError(f'currval of sequence "{name}" is not yet defined')
+        return row[0]
+
+    def seq_setval(self, name: str, value: int) -> int:
+        with self._lock, self._conn:
+            cur = self._conn.execute(
+                "UPDATE dbc_sequences SET last_value=? WHERE name=?", (value, name)
+            )
+            if cur.rowcount == 0:
+                raise KeyError(f'sequence "{name}" does not exist')
+            return value
+
+    def seq_owned_by(self, qualified_column: str) -> str | None:
+        """pg_get_serial_sequence lookup: 'schema.table.column' → name."""
+        cur = self._conn.execute(
+            "SELECT name FROM dbc_sequences WHERE owned_by=?", (qualified_column,)
+        )
+        row = cur.fetchone()
+        return row[0] if row else None
 
     # -- commands ---------------------------------------------------------
 

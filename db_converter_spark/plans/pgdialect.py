@@ -48,7 +48,7 @@ __all__ = ["rewrite", "UnsupportedConstruct"]
 
 
 class UnsupportedConstruct(Exception):
-    """A PG construct with no Spark translation (DO blocks, nextval)."""
+    """A PG construct with no Spark translation (DO blocks → py-steps)."""
 
 
 _SENT = "\x01{}\x01"
@@ -373,11 +373,11 @@ def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
 
     text = _rewrite_calls(text, "format", pg_format)
 
-    if re.search(r"(?<![\w.])nextval\s*\(", text, re.I):
-        raise UnsupportedConstruct(
-            "nextval()/sequences are not portable to Spark; use identity"
-            " policy (row_number/monotonically_increasing_id) — SURVEY §7.4.6"
-        )
+    # nextval()/currval()/setval() pass through untouched: they are not
+    # Spark functions — the RUNNER inlines them from the ledger-managed
+    # sequence counters (plans/sequences.py, SURVEY §7.4.6). Outside the
+    # runner they fail analysis with UNRESOLVED_ROUTINE, which is the
+    # right error for a sequence call with no sequence store.
     return text
 
 

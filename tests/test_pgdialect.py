@@ -97,9 +97,10 @@ def test_do_block_raises():
         rewrite("DO $$ begin null; end $$")
 
 
-def test_nextval_raises():
-    with pytest.raises(UnsupportedConstruct):
-        rewrite("select nextval('seq')")
+def test_nextval_passes_through():
+    # sequence calls survive the rewrite untouched; the RUNNER inlines them
+    # from the ledger counters (plans/sequences.py)
+    assert "nextval('seq')" in rewrite("select nextval('seq')")
 
 
 # -------------------------------------------- cross-engine (DuckDB vs Spark)

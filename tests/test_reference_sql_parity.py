@@ -7,10 +7,12 @@ today" guarantee at the dialect level; the ported packets in packets/
 additionally verify execution results. Documented exceptions:
 
 - ``DO $$…$$`` blocks — py-step twins by design (SURVEY §2.10);
-- ``nextval()``/sequence DDL — raises UnsupportedConstruct pointing to the
-  identity policy (the test_int4_to_int8 port replaces it with a py step);
 - DML/DDL statements — analysis needs the live objects each packet
   creates; execution is covered by the ported packet corpus instead.
+
+``nextval()``/sequence DDL now rewrites cleanly: the runner inlines
+sequence calls from ledger-managed counters (plans/sequences.py), so no
+statement in the corpus raises UnsupportedConstruct anymore.
 """
 
 from __future__ import annotations
@@ -31,8 +33,8 @@ from db_converter_spark.plans.sqlsplit import split_statements, statement_kind
 
 REF_GLOB = "/root/reference/packets/*/*.sql"
 
-# statements that intentionally do NOT pass (documented above)
-_EXPECTED_UNSUPPORTED = {"test_int4_to_int8/06_step.sql"}
+# statements that intentionally do NOT pass (none since the sequence shim)
+_EXPECTED_UNSUPPORTED: set[str] = set()
 
 
 @pytest.fixture(scope="module")

@@ -17,6 +17,7 @@ maxRecordsPerBatch``) so peak memory is batch-bounded, not partition-bounded.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 
@@ -111,9 +112,49 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+@lru_cache(maxsize=1)
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_image_real(payload: bytes) -> dict | None:
+    """Real decoder (requires PIL). Returns None for payloads that are not
+    decodable images — the auto path then falls back to the stub, so the
+    synthetic testdata (text bytes, not images) keeps its oracle rows while
+    real image columns get real metadata the moment the container gains
+    PIL. Runs inside the executor's Arrow batch loop: one import per
+    worker process, no per-row overhead beyond the decode itself."""
+    import io
+
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "format": (im.format or "unknown").lower(),
+            }
+    except (UnidentifiedImageError, OSError, ValueError):
+        return None
+
+
+def decode_image(payload: bytes) -> dict:
+    """Codec slot-in point: real PIL decode when available, deterministic
+    stub otherwise (and for non-image payloads)."""
+    if _pil_available():
+        meta = decode_image_real(payload)
+        if meta is not None:
+            return meta
+    return decode_image_stub(payload)
+
+
 def _decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        metas = pdf["payload"].map(lambda b: decode_image_stub(bytes(b)))
+        metas = pdf["payload"].map(lambda b: decode_image(bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -275,11 +316,39 @@ def resize_stub(payload: bytes) -> tuple[int, int, int, int, bytes]:
     return w, h, dst_w, dst_h, resized
 
 
+def resize_real(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Real fit-within-224 resample via PIL (same contract as
+    :func:`resize_stub`). None when the payload is not a decodable image —
+    the auto path falls back to the stub then."""
+    import io
+
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.width, im.height
+            im.thumbnail((_RESIZE_BOX, _RESIZE_BOX))
+            buf = io.BytesIO()
+            im.save(buf, format=im.format or "PNG")
+            return w, h, im.width, im.height, buf.getvalue()
+    except (UnidentifiedImageError, OSError, ValueError):
+        return None
+
+
+def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Codec slot-in point (see :func:`decode_image`)."""
+    if _pil_available():
+        out = resize_real(payload)
+        if out is not None:
+            return out
+    return resize_stub(payload)
+
+
 def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        out = pdf["payload"].map(lambda b: resize_stub(bytes(b)))
+        out = pdf["payload"].map(lambda b: resize_image(bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -572,3 +572,68 @@ def dd09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping spans, corpus-wide frequency): the exact-substring
     dedup signal of the public C4/RefinedWeb pipelines."""
     return _sql(spark, sf_dir, _DD09_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dc01 — benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+# The published test-set decontamination pass (GPT-3 App. C / PaLM / Llama):
+# hash every SLIDING n-gram of every training document, build the distinct
+# n-gram set of the benchmark corpus, and flag training docs sharing any
+# gram. Here the "benchmark" is the deterministic doc_id % 97 slice so the
+# result is oracle-checkable.
+#
+# Scale shape: the benchmark gram set is small by construction (benchmarks
+# are ~1e5 docs, not 1e10) → broadcast hash join against the exploded
+# training grams: ONE pass over the corpus, no shuffle of the big side
+# (Spark's planner broadcasts the DISTINCT-aggregated bench side; at larger
+# benchmark sizes swap in a bloom filter via F.expr("might_contain(...)")).
+
+_DC01_SPARK = """
+WITH g AS (
+  SELECT doc_id, explode(transform(
+           sequence(0, size(split(text, ' ')) - 5),
+           i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' '))
+         )) AS h
+  FROM documents WHERE size(split(text, ' ')) >= 5
+), bench AS (
+  SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated
+FROM g LEFT JOIN bench b ON g.h = b.h
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+_DC01_DUCK = """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, len(string_split(text, ' ')) - 4),
+           i -> md5(array_to_string(string_split(text, ' ')[i + 1 : i + 5], ' '))
+         )) AS h
+  FROM documents WHERE len(string_split(text, ' ')) >= 5
+), bench AS (
+  SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated
+FROM g LEFT JOIN bench b ON g.h = b.h
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
+@query("dc01_decontaminate", oracle=_DC01_DUCK, tags=("dedup", "decontamination"))
+def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any sliding
+    5-gram with the benchmark slice (doc_id % 97), reporting per-doc gram
+    and contaminated-gram counts — the standard pre-training hygiene pass
+    (no reference analog; SURVEY §6 extension)."""
+    return _sql(spark, sf_dir, _DC01_SPARK)

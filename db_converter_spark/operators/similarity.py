@@ -338,3 +338,71 @@ def ss04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ss05 — k-NN join (many-query batch ANN)
+# ---------------------------------------------------------------------------
+
+_SS05_DUCK = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+), sims AS (
+  SELECT q.q_id, e.vec_id,
+    list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(e.embedding))],
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, ROUND(sim, 6) AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("ss05_knn_join", oracle=_SS05_DUCK, tags=("similarity", "knn", "join"))
+def ss05_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 exact cosine neighbors for EVERY query vector
+    (the vec_id % 50 slice) — the many-query generalization of ss01 and the
+    building block of embedding-based retrieval/labeling pipelines.
+
+    Plan: the query set broadcasts (it is the small side by construction),
+    the corpus streams through ONE broadcast nested-loop pass, and the
+    per-query top-3 is a window over q_id — shuffle keyed by q_id only,
+    cardinality n_queries x corpus, never corpus x corpus. At 100 TB the
+    same plan holds with ss02/ss03 bucket pruning applied to the streamed
+    side first (join on bucket, then rerank) — ss04 demonstrates that path
+    for one query; this operator is the exact-rerank stage run at fleet
+    width."""
+    from pyspark.sql.window import Window
+
+    register_views(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "vec_id",
+            F.round("sim", 6).alias("cos_sim"),
+        )
+    )

@@ -269,3 +269,126 @@ def ta05_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ta06 — repetition scoring (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def _ta06(split_fn: str, filter_fn: str, len_fn: str, distinct_fn: str,
+          transform_fn: str, max_fn: str) -> str:
+    # Gopher repetition rules (Rae et al. 2021, App. A) re-expressed over
+    # the word stream: distinct-word ratio + most-frequent-word coverage.
+    # Everything stays in the ARRAY domain — per-row lambda folds, no
+    # explode — so Spark keeps it inside whole-stage codegen with zero
+    # shuffles before the final per-source rollup.
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         {filter_fn}({split_fn}(text, ' '), x -> x <> '') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, source,
+    {len_fn}(w) AS n_words,
+    CAST({len_fn}({distinct_fn}(w)) AS DOUBLE) / {len_fn}(w) AS distinct_frac,
+    CAST({max_fn}({transform_fn}({distinct_fn}(w), u ->
+      {len_fn}({filter_fn}(w, x -> x = u)))) AS DOUBLE) / {len_fn}(w)
+      AS top_word_frac
+  FROM w WHERE {len_fn}(w) > 0
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(AVG(distinct_frac), 6) AS avg_distinct_frac,
+  ROUND(AVG(top_word_frac), 6) AS avg_top_word_frac,
+  CAST(SUM(CASE WHEN distinct_frac < 0.4 OR top_word_frac > 0.2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM feats GROUP BY source
+"""
+
+
+_TA06_SPARK = _ta06(
+    "split", "filter", "size", "array_distinct", "transform", "array_max"
+)
+_TA06_DUCK = _ta06(
+    "string_split", "list_filter", "length", "list_distinct",
+    "list_transform", "list_max",
+)
+
+
+@query("ta06_repetition_score", oracle=_TA06_DUCK, tags=("text", "quality", "gopher"))
+def ta06_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (distinct-word ratio, most-frequent-
+    word coverage, a flagged-repetitive count) aggregated per source — the
+    repetition-removal stage of a training-data pipeline (no reference
+    analog; SURVEY §6 extension). Per-doc work is an array-domain fold
+    (O(distinct·n) in words-per-doc), embarrassingly parallel, shuffle-free
+    until the rollup."""
+    return _sql(spark, sf_dir, _TA06_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pii01 — PII detect + scrub
+# ---------------------------------------------------------------------------
+
+
+def _pii01(regexp_all_fmt: str, len_fn: str, scrub_fmt: str, str_t: str) -> str:
+    # The synthetic corpus carries no PII, so the query PLANTS deterministic
+    # doc_id-derived tokens on a subset first (both engines compute the same
+    # augmented text), then detects and scrubs — the exact shape of a real
+    # pre-training PII pass: regex families + global replace + audit counts.
+    # Patterns use [.] instead of backslash escapes: Spark SQL string
+    # literals eat lone backslashes while DuckDB's are raw, so [.] is the
+    # only spelling that reaches BOTH regex engines identically.
+    email_pat = "'user[0-9]+@example[.]com'"
+    ip_pat = "'10[.][0-9]+[.]0[.]1'"
+    emails = regexp_all_fmt.format(args=f"aug, {email_pat}")
+    ips = regexp_all_fmt.format(args=f"aug, {ip_pat}")
+    scrub1 = scrub_fmt.format(args=f"aug, {email_pat}, '<EMAIL>'")
+    scrub2 = scrub_fmt.format(args=f"{scrub1}, {ip_pat}, '<IP>'")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN doc_id % 5 = 0 THEN concat(text, ' contact user',
+                                      CAST(doc_id AS {str_t}), '@example.com now')
+      WHEN doc_id % 7 = 0 THEN concat(text, ' from 10.',
+                                      CAST(doc_id % 256 AS {str_t}), '.0.1 logged')
+      ELSE text
+    END AS aug
+  FROM documents
+), hits AS (
+  SELECT doc_id, source,
+    {len_fn}({emails}) AS n_emails,
+    {len_fn}({ips}) AS n_ips,
+    md5({scrub2}) AS scrubbed_md5
+  FROM aug
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(n_emails AS BIGINT)) AS BIGINT) AS total_emails,
+  CAST(SUM(CAST(n_ips AS BIGINT)) AS BIGINT) AS total_ips,
+  CAST(COUNT(DISTINCT scrubbed_md5) AS BIGINT) AS distinct_scrubbed
+FROM hits GROUP BY source
+"""
+
+
+_PII01_SPARK = _pii01(
+    "regexp_extract_all({args}, 0)", "size",
+    "regexp_replace({args})", "STRING",
+)
+# DuckDB: regexp_replace is first-match-only without the 'g' flag
+_PII01_DUCK = _pii01(
+    "regexp_extract_all({args}, 0)", "length",
+    "regexp_replace({args}, 'g')", "VARCHAR",
+)
+
+
+@query("pii01_pii_scrub", oracle=_PII01_DUCK, tags=("text", "pii", "scrub"))
+def pii01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (email / IPv4 regex families → global
+    replace, per-source audit counts + scrubbed-content fingerprints) — a
+    mandatory pass in any pre-training pipeline (no reference analog;
+    SURVEY §6 extension). Pure JVM-side regex, codegen'd, one aggregate
+    shuffle; at 100 TB this is a map-only pass."""
+    return _sql(spark, sf_dir, _PII01_SPARK)

@@ -53,7 +53,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     degraded: list[str] = []
-    for name in sorted(queries):
+    for qi, name in enumerate(sorted(queries)):
+        # Periodic driver GC: Spark's ContextCleaner only unregisters old
+        # shuffles/broadcasts when the DRIVER garbage-collects, and a 90 GB
+        # heap never does on its own — measured: by query ~60 of the suite,
+        # per-query time inflates 5-25x (ta04 0.6s fresh vs 16.7s dirty)
+        # purely from accumulated shuffle state. A forced GC every few
+        # queries keeps the map-output tracker small; each pause is far
+        # cheaper than the inflation it prevents.
+        if qi % 6 == 5:
+            spark.sparkContext._jvm.System.gc()
         samples = []
         n_runs = max(1, runs)
         if time.perf_counter() - bench_t0 > budget:

@@ -93,3 +93,120 @@ def pipe01_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision — metrics integer-scaled (x100/x1000) so the oracle compare
     is exact across engines."""
     return _sql(spark, sf_dir, _PIPE01_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe02 — sequence packing (fixed-length training-block layout)
+# ---------------------------------------------------------------------------
+
+_PACK_BLOCK = 128  # tokens per training sequence
+
+
+_PIPE02_DUCK = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         length(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM toks
+), placed AS (
+  SELECT doc_id, source, n_tok,
+         (cum - n_tok) // {_PACK_BLOCK} AS first_block,
+         (cum - 1) // {_PACK_BLOCK} AS last_block
+  FROM packed WHERE n_tok > 0
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN first_block <> last_block THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boundary_spanning,
+  CAST(MIN(first_block) AS BIGINT) AS min_block,
+  CAST(MAX(last_block) AS BIGINT) AS max_block
+FROM placed GROUP BY source
+"""
+
+
+@query("pipe02_sequence_pack", oracle=_PIPE02_DUCK, tags=("pipeline", "packing"))
+def pipe02_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay the corpus token stream (doc_id order) into
+    fixed 128-token training blocks and report, per source, how documents
+    land on block boundaries — the layout pass that turns a filtered corpus
+    into trainer input (no reference analog; SURVEY §6 extension).
+
+    The core is a GLOBAL prefix sum over the corpus — the textbook
+    distributed cumsum: a naive window over doc_id with no partition key
+    collapses to ONE partition (exactly what a 100 TB plan cannot do), so
+    this runs the two-phase formulation instead:
+
+    1. range-partition by doc_id; per-partition local running sums
+       (window partitioned by ``spark_partition_id()`` — parallel);
+    2. per-partition totals (one tiny row each) come to the driver, are
+       prefix-summed there, and broadcast-join back as offsets —
+       global_cum = local_cum + offset.
+
+    Driver-side state is O(n_partitions), the same class as mg01's chunk
+    grid; the corpus itself is touched twice scan-parallel with one range
+    shuffle. DuckDB's oracle uses the plain single-stream window — same
+    numbers, which is the point: the distributed formulation is
+    partitioning-invariant.
+    """
+    from pyspark.sql import functions as F
+
+    from db_converter_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> w <> ''))").alias("n_tok"),
+    )
+    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return _pack(spark, docs, nparts)
+
+
+def _pack(spark: SparkSession, docs: DataFrame, nparts: int) -> DataFrame:
+    """Two-phase distributed prefix sum + block placement over ``docs``
+    (doc_id, source, n_tok). Output is partitioning-invariant in ``nparts``
+    (pinned by tests/test_packing.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    B = _PACK_BLOCK
+    parts = docs.repartitionByRange(nparts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # phase 1.5: per-partition totals → driver prefix sum (tiny: one row per
+    # partition), rebroadcast as a join on pid
+    ptotals = sorted(
+        parts.groupBy("pid")
+        .agg(F.sum("n_tok").alias("ptok"), F.min("doc_id").alias("min_id"))
+        .collect(),
+        key=lambda r: r["min_id"],
+    )
+    offsets, acc = [], 0
+    for r in ptotals:
+        offsets.append((r["pid"], acc))
+        acc += r["ptok"]
+    off_df = spark.createDataFrame(offsets, "pid INT, offset BIGINT")
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    placed = (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn("cum", F.sum("n_tok").over(w) + F.col("offset"))
+        .where(F.col("n_tok") > 0)
+        .withColumn("first_block", F.expr(f"(cum - n_tok) div {B}"))
+        .withColumn("last_block", F.expr(f"(cum - 1) div {B}"))
+    )
+    return placed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("first_block") != F.col("last_block"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_boundary_spanning"),
+        F.min("first_block").cast("bigint").alias("min_block"),
+        F.max("last_block").cast("bigint").alias("max_block"),
+    )

@@ -74,7 +74,11 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     fails: list[str] = []
     t0 = time.time()
-    for name in sorted(qs):
+    for qi, name in enumerate(sorted(qs)):
+        # ContextCleaner only frees old shuffle state when the driver GCs
+        # (see bench.py) — keep the session clean across the 70+ queries
+        if qi % 6 == 5:
+            spark.sparkContext._jvm.System.gc()
         try:
             sdf = qs[name](spark, SF_DIR)
             if name not in oracles:

@@ -637,3 +637,105 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and contaminated-gram counts — the standard pre-training hygiene pass
     (no reference analog; SURVEY §6 extension)."""
     return _sql(spark, sf_dir, _DC01_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd10 — LSH-candidates + exact-Jaccard verify (the production near-dup path)
+# ---------------------------------------------------------------------------
+# dd05 is the exact all-pairs baseline (O(n²)-family, 10% sample by design);
+# dd04 is the LSH candidate generator. dd10 composes them the way a 100 TB
+# pipeline actually runs: bucket-join candidates from the LSH bands, then
+# compute EXACT character-5-gram Jaccard only on candidate pairs. Work is
+# O(candidates), not O(n²): the shingle join is restricted to candidate
+# documents (semi join) and the pair filter broadcasts (candidate set is
+# tiny relative to the corpus by LSH design).
+
+
+def _dd10_spark_bands() -> str:
+    keys = ",\n    ".join(
+        f"md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING)))"
+        for b in range(4)
+    )
+    return f"""
+sig AS ({_DD03_SPARK}),
+bands AS (
+  SELECT doc_id, band, bkey FROM sig
+  LATERAL VIEW posexplode(array(
+    {keys}
+  )) t AS band, bkey
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+
+def _dd10_duck_bands() -> str:
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(concat(CAST(h{2*b} AS VARCHAR), ',', CAST(h{2*b+1} AS VARCHAR))) AS bkey"
+        f" FROM sig"
+        for b in range(4)
+    )
+    return f"""
+sig AS ({_DD03_DUCK}),
+bands AS (
+  {branches}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+
+
+def _dd10_tail(unnest_sh: str) -> str:
+    return f"""
+, cdocs AS (
+  SELECT da AS doc_id FROM cand UNION SELECT db FROM cand
+), doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT d.doc_id, {unnest_sh} AS sh
+    FROM documents d JOIN cdocs c ON c.doc_id = d.doc_id
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id
+), common AS (
+  SELECT c.da, c.db, COUNT(*) AS common
+  FROM cand c
+  JOIN doc_sh x ON x.doc_id = c.da
+  JOIN doc_sh y ON y.doc_id = c.db AND y.sh = x.sh
+  GROUP BY c.da, c.db
+), jac AS (
+  SELECT c.da, c.db,
+         CAST(coalesce(m.common, 0) AS DOUBLE)
+           / (sa.sz + sb.sz - coalesce(m.common, 0)) AS j
+  FROM cand c
+  LEFT JOIN common m ON m.da = c.da AND m.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                  AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_05,
+  CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_08,
+  ROUND(MAX(j), 4)                                          AS max_jaccard,
+  ROUND(AVG(j), 4)                                          AS avg_jaccard
+FROM jac
+"""
+
+
+_DD10_SPARK = "WITH " + _dd10_spark_bands() + _dd10_tail(f"explode({_SHINGLES_SPARK})")
+_DD10_DUCK = "WITH " + _dd10_duck_bands() + _dd10_tail(f"unnest({_SHINGLES_DUCK})")
+
+
+@query("dd10_lsh_jaccard_verify", oracle=_DD10_DUCK, tags=("dedup", "lsh", "jaccard"))
+def dd10_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup composition: MinHash-LSH band buckets generate
+    candidate pairs (dd04's shape), exact character-5-gram Jaccard verifies
+    ONLY those candidates — O(candidates) total work versus dd05's O(n²)
+    all-pairs baseline. This is the shape the published MinHash dedup
+    pipelines run at trillion-token scale."""
+    return _sql(spark, sf_dir, _DD10_SPARK)

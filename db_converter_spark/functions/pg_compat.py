@@ -136,3 +136,36 @@ def register_pg_compat(spark: SparkSession) -> None:
     spark.udf.register("quote_ident", py_quote_ident, "string")
     spark.udf.register("pg_size_pretty", py_pg_size_pretty, "string")
     spark.udf.register("pg_sleep", _pg_sleep, "boolean")
+    # WAL-position introspection (reference: packets/dba_lag/01_step.sql):
+    # Spark has no WAL; pg_stat_replication is the typed-empty view, and the
+    # LSN functions return the zero position / zero byte-lag consistently.
+    spark.udf.register("pg_current_wal_lsn", lambda: "0/0", "string")
+    spark.udf.register("pg_last_wal_replay_lsn", lambda: "0/0", "string")
+    spark.udf.register("pg_wal_lsn_diff", lambda a, b: 0, "bigint")
+    # default: no sequence ownership known → NULL for every column, which is
+    # PG's answer for a non-serial column. The runner re-registers a
+    # ledger-backed version per target (RunContext.refresh_catalog) so
+    # ALTER SEQUENCE ... OWNED BY makes this resolve like PG
+    # (reference: packets/alert_int4_capacity/01_gen_obj.sql:11).
+    register_serial_sequence_lookup(spark, {})
+
+
+def register_serial_sequence_lookup(
+    spark: SparkSession, owned: dict[str, str]
+) -> None:
+    """``pg_get_serial_sequence(table, column)`` over a snapshot of the
+    ledger's sequence-ownership map ({'table.column' → sequence name},
+    normalized lowercase, no ``public.`` qualifier). Snapshot-captured like
+    the pg_catalog lookup UDFs: the dict ships to Python workers in the
+    closure — no driver round-trip per row."""
+
+    def _lookup(table, column):  # noqa: ANN001 — Spark UDF
+        if table is None or column is None:
+            return None
+        t = str(table).replace('"', "").lower()
+        c = str(column).replace('"', "").lower()
+        key = f"{t}.{c}"
+        key = key.removeprefix("public.")
+        return owned.get(key)
+
+    spark.udf.register("pg_get_serial_sequence", _lookup, "string")

@@ -483,3 +483,47 @@ def ev06_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled-up NULLs from data NULLs."""
     register_views(spark, sf_dir)
     return spark.sql(_EV06_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev07 — streaming ingest dedup (exactly-once landing)
+# ---------------------------------------------------------------------------
+
+_EV07_DUCK = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query("ev07_stream_dedup", oracle=_EV07_DUCK, tags=("events", "streaming", "dedup"))
+def ev07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: TWO file streams over the same events data
+    (the at-least-once delivery double) union into one stream and
+    ``dropDuplicatesWithinWatermark`` on event_id collapses redelivery —
+    the exactly-once landing primitive of a streaming ingest pipeline.
+    State is bounded by the watermark (24 h of event time), which is the
+    point of the WithinWatermark variant: at 100 TB/day the dedup store
+    holds one key per event in the horizon, not per event ever seen.
+    Output (append sink, then a batch rollup) must equal the plain batch
+    counts — duplicates are invisible downstream."""
+    sink = "ev07_sink"
+    one = _events_stream_source(spark, sf_dir)
+    two = _events_stream_source(spark, sf_dir)
+    deduped = (
+        one.unionByName(two)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

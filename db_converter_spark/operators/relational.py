@@ -1097,3 +1097,44 @@ def q35_construct_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the harness's 50-query budget; the dedicated per-construct
     queries (tail of the registry) remain the deep tests."""
     return _sql(spark, sf_dir, _q35_text("spark"))
+
+
+# ---------------------------------------------------------------------------
+# q36 — recursive CTE (hierarchy walk)
+# ---------------------------------------------------------------------------
+
+
+def _q36(intdiv: str) -> str:
+    # Implicit binary tree over customer keys (parent(k) = k div 2, root 1):
+    # a deterministic hierarchy that needs NO synthetic tables, walked with
+    # WITH RECURSIVE (Spark 4 executes it as an iterative union — each level
+    # is one hash join; ~log2(n) rounds). Depth histogram is the output.
+    return f"""
+WITH RECURSIVE tree(custkey, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS custkey, CAST(0 AS BIGINT) AS depth
+  UNION ALL
+  SELECT c.c_custkey, t.depth + 1
+  FROM customer c JOIN tree t ON {intdiv} = t.custkey
+  WHERE c.c_custkey > 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM tree GROUP BY depth
+"""
+
+
+@query(
+    "q36_recursive_cte",
+    oracle=_q36("c.c_custkey // 2"),
+    tags=("sql", "recursive", "hierarchy"),
+)
+def q36_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE): level-by-level
+    reachability over the implicit custkey binary tree, depth histogram out.
+    Each recursion level plans as one hash join against the frontier —
+    ~log2(n) rounds total, frontier-sized state, no driver-side loop. The
+    reference's recursive surface is DuckDB/PG ``WITH RECURSIVE`` (e.g. the
+    dd08 oracle); this is the same construct executed natively by Spark."""
+    register_views(spark, sf_dir)
+    return spark.sql(_q36("c.c_custkey div 2"))

@@ -202,7 +202,9 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
             colnums: dict[str, int] = {}
             for i, c in enumerate(spark.catalog.listColumns(qualified)):
                 colnums[c.name] = i + 1
-                att_rows.append((oid, c.name, i + 1, _pg_typname(c.dataType)))
+                att_rows.append(
+                    (oid, c.name, i + 1, _pg_typname(c.dataType), False)
+                )
                 nulls, avg_len, distinct = _column_stats(spark, qualified, c.name)
                 if avg_len is not None or nulls is not None:
                     null_frac = (
@@ -232,6 +234,7 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
                 idx_rows.append(
                     (ioid, oid, len(icols),
                      [colnums[c] for c in icols],
+                     [colnums[c] for c in icols],
                      " ".join(str(colnums[c]) for c in icols),
                      bool(spec.get("unique")), False, True, True)
                 )
@@ -254,7 +257,10 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
         " relfrozenxid bigint, relminmxid bigint",
     ).createOrReplaceTempView("pg_class")
     spark.createDataFrame(
-        att_rows, "attrelid bigint, attname string, attnum int, atttypid string"
+        att_rows,
+        "attrelid bigint, attname string, attnum int, atttypid string,"
+        # parquet never carries dropped-column tombstones
+        " attisdropped boolean",
     ).createOrReplaceTempView("pg_attribute")
     typ = sorted({r[3] for r in att_rows})
     spark.createDataFrame(
@@ -275,10 +281,13 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
     idx_stat_df.createOrReplaceTempView("pg_stat_all_indexes")
     # user-relations variant: identical here (no system catalogs on disk)
     idx_stat_df.createOrReplaceTempView("pg_stat_user_indexes")
+    # `indkey` is the int2vector itself (ARRAY — PG's `= any(indkey)` and
+    # 0-based `indkey[n]` subscripts work verbatim); `indkey_str` keeps the
+    # PG ::text rendering ('1 2'); `indkey_arr` is the legacy port alias.
     _IDX_SCHEMA = (
         "indexrelid bigint, indrelid bigint, indnatts int, indkey_arr array<int>,"
-        " indkey string, indisunique boolean, indisprimary boolean,"
-        " indisvalid boolean, indisready boolean"
+        " indkey array<int>, indkey_str string, indisunique boolean,"
+        " indisprimary boolean, indisvalid boolean, indisready boolean"
     )
     spark.createDataFrame(idx_rows or [], _IDX_SCHEMA).createOrReplaceTempView(
         "pg_index"
@@ -293,7 +302,8 @@ def create_pg_catalog_views(spark: SparkSession, dbs: list[str] | None = None) -
         [],
         "oid bigint, conname string, contype string, connamespace bigint,"
         " conindid bigint, conrelid bigint, confrelid bigint,"
-        " conkey array<int>, confkey array<int>",
+        " conkey array<int>, confkey array<int>,"
+        " confupdtype string, confdeltype string",
     ).createOrReplaceTempView("pg_constraint")
     spark.createDataFrame(
         pgstats_rows or [],

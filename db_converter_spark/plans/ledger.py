@@ -312,6 +312,15 @@ class ActionTracker:
                 raise KeyError(f'sequence "{name}" does not exist')
             return value
 
+    def seq_owned_map(self) -> dict[str, str]:
+        """All recorded ownerships: {'table.column' → sequence name}."""
+        return {
+            r[0]: r[1]
+            for r in self._conn.execute(
+                "SELECT owned_by, name FROM dbc_sequences WHERE owned_by IS NOT NULL"
+            )
+        }
+
     def seq_owned_by(self, qualified_column: str) -> str | None:
         """pg_get_serial_sequence lookup: 'schema.table.column' → name."""
         cur = self._conn.execute(

@@ -310,6 +310,80 @@ def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
     text = _rewrite_calls(text, "now", lambda a: "current_timestamp()")
     text = _rewrite_calls(text, "clock_timestamp", lambda a: "current_timestamp()")
 
+    def pg_to_char(a: str) -> str:
+        # to_char(x, 'HH12:MI:SS.MS') over an INTERVAL (PG formats intervals
+        # with time patterns; reference: packets/dba_active_maint/
+        # 01_step.sql:8) → EXTRACT-based concat. Works for timestamps too —
+        # extract() is polymorphic where Spark's to_char is not.
+        args = _split_args(a)
+        if len(args) == 2 and _is_string_lit(args[1].strip(), lits):
+            fmt = _lit_value(args[1].strip(), lits)
+            if re.fullmatch(r"HH(?:12|24)?:MI:SS(?:\.MS)?", fmt, re.I):
+                x = f"({args[0]})"
+                hh = f"lpad(CAST(extract(HOUR FROM {x}) AS STRING), 2, '0')"
+                mi = f"lpad(CAST(extract(MINUTE FROM {x}) AS STRING), 2, '0')"
+                ss = (
+                    "lpad(CAST(CAST(floor(extract(SECOND FROM "
+                    f"{x})) AS BIGINT) AS STRING), 2, '0')"
+                )
+                out = f"concat({hh}, ':', {mi}, ':', {ss}"
+                if fmt.upper().endswith(".MS"):
+                    out += (
+                        ", '.', lpad(CAST(CAST(floor((extract(SECOND FROM "
+                        f"{x}) % 1) * 1000) AS BIGINT) AS STRING), 3, '0')"
+                    )
+                return out + ")"
+        return f"to_char({a})"
+
+    text = _rewrite_calls(text, "to_char", pg_to_char)
+
+    def pg_date_trunc(a: str) -> str:
+        # PG truncates INTERVALS too; its sub-second plural units don't
+        # exist in Spark. Render the ms/µs-truncated HH:MM:SS string
+        # instead (what the packet displays; PG shows the same text for
+        # sub-day intervals, and the surrounding CASE's other branch is a
+        # string literal — reference: packets/dba_long_queries/
+        # 01_step.sql:7-13). Sub-day assumption documented: activity ages.
+        args = _split_args(a)
+        if (
+            len(args) == 2
+            and _is_string_lit(args[0].strip(), lits)
+            and _lit_value(args[0].strip(), lits).lower()
+            in ("milliseconds", "microseconds")
+        ):
+            unit = _lit_value(args[0].strip(), lits).lower()
+            x = f"({args[1]})"
+            hh = f"lpad(CAST(extract(HOUR FROM {x}) AS STRING), 2, '0')"
+            mi = f"lpad(CAST(extract(MINUTE FROM {x}) AS STRING), 2, '0')"
+            ss = (
+                "lpad(CAST(CAST(floor(extract(SECOND FROM "
+                f"{x})) AS BIGINT) AS STRING), 2, '0')"
+            )
+            scale, width = (1000, 3) if unit == "milliseconds" else (1000000, 6)
+            frac = (
+                "lpad(CAST(CAST(floor((extract(SECOND FROM "
+                f"{x}) % 1) * {scale}) AS BIGINT) AS STRING), {width}, '0')"
+            )
+            return f"concat({hh}, ':', {mi}, ':', {ss}, '.', {frac})"
+        return f"date_trunc({a})"
+
+    text = _rewrite_calls(text, "date_trunc", pg_date_trunc)
+
+    def pg_age(a: str) -> str:
+        # two-arg age(x, y) = x - y (interval); one-arg age(xid) is the
+        # TRANSACTION-age form in every corpus use (relfrozenxid,
+        # backend_xmin, datfrozenxid) — identically 0 on parquet: no MVCC,
+        # no wraparound, matching the zero frozen-xid ages in pg_class
+        # (reference: packets/alert_xact_age/01_step.sql:4-9).
+        args = _split_args(a)
+        if len(args) == 2:
+            return f"(({args[0]}) - ({args[1]}))"
+        # CAST, not a bare 0: `ORDER BY age(x)` must not become an ordinal
+        return "CAST(0 AS BIGINT)"
+
+    text = _rewrite_calls(text, "age", pg_age)
+    text = _rewrite_calls(text, "mxid_age", lambda a: "CAST(0 AS BIGINT)")
+
     def current_setting(a: str) -> str:
         tok = a.strip()
         if _is_string_lit(tok, lits):
@@ -672,9 +746,44 @@ def _rw_types_ddl(text: str) -> str:
     return text[: m.end()] + ", ".join(s.strip() for s in out_defs) + text[j - 1 :]
 
 
+_INTERVAL_UNIT = {
+    "day": "DAY", "days": "DAY", "hour": "HOUR", "hours": "HOUR",
+    "min": "MINUTE", "mins": "MINUTE", "minute": "MINUTE",
+    "minutes": "MINUTE", "sec": "SECOND", "secs": "SECOND",
+    "second": "SECOND", "seconds": "SECOND",
+    "mon": "MONTH", "mons": "MONTH", "month": "MONTH", "months": "MONTH",
+}
+_INTERVAL_CMP_RE = re.compile(
+    r"(?P<op>[<>]=?|=)\s*'(?P<lit>\d+\s+[a-z]+|\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)'",
+    re.I,
+)
+
+
+def _rw_interval_cmp_literals(sql: str) -> str:
+    """PG auto-casts the string in ``interval_expr > '15 days'`` /
+    ``>= '00:00:00.000001'``; Spark does not — spell the RHS as an interval
+    literal (reference: packets/alert_stat/01_step.sql:21,
+    dba_active_maint/01_step.sql:7). Heuristic on the literal SHAPE
+    (duration words / hh:mm:ss) — plain string comparisons never look like
+    durations in the corpus."""
+
+    def sub(m: re.Match) -> str:
+        lit = m.group("lit")
+        parts = lit.split()
+        if len(parts) == 2:
+            unit = _INTERVAL_UNIT.get(parts[1].lower())
+            if unit is None:
+                return m.group(0)
+            return f"{m.group('op')} INTERVAL '{parts[0]}' {unit}"
+        return f"{m.group('op')} INTERVAL '{lit}' HOUR TO SECOND"
+
+    return _INTERVAL_CMP_RE.sub(sub, sql)
+
+
 def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     """Rewrite one PostgreSQL statement into Spark SQL. ``settings`` feeds
     ``current_setting()`` constant folding."""
+    sql = _rw_interval_cmp_literals(sql)
     text, lits = _protect(sql)
     _rw_do_block(text, lits)
     text = _rw_functions(text, lits, settings or {})
@@ -685,6 +794,17 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     text = _rw_casts(text, lits)
     text = _rw_operators(text, lits)
     text = _rw_types_ddl(text)
+    # PG's default schema maps to Spark's current database: drop bare
+    # `public.` qualifiers (reference packets write `public.test_tbl`,
+    # e.g. test_int4_to_int8/06_step.sql:7). Same for `pg_catalog.` — the
+    # emulation registers pg_class/pg_locks/… as unqualified temp views
+    # (reference: packets/dba_locks/01_step.sql joins pg_catalog.pg_locks) —
+    # and `dbc.` — the runner snapshots the ledger as the unqualified
+    # `dbc_packets` view (reference: test_insert_delete_select/01_step.sql).
+    # Literals are protected, so `nspname = 'public'` etc. are untouched.
+    text = re.sub(
+        r"(?<![\w.])(?:public|pg_catalog|dbc)\.(?=[\w\x01`])", "", text, flags=re.I
+    )
     # string-literal escape semantics: PG plain '…' strings treat backslash
     # literally while Spark treats it as an escape → double them; PG E'…'
     # strings already use escape semantics → just drop the E prefix

@@ -124,6 +124,15 @@ class RunContext:
         create_pg_catalog_views(self.spark, [self.db_name])
         create_pg_instance_views(self.spark)
         create_information_schema_views(self.spark, self.db_name)
+        if self.tracker is not None:
+            # pg_get_serial_sequence resolves against this target's recorded
+            # ALTER SEQUENCE ... OWNED BY state (snapshot, like the other
+            # catalog lookup UDFs)
+            from db_converter_spark.functions.pg_compat import (
+                register_serial_sequence_lookup,
+            )
+
+            register_serial_sequence_lookup(self.spark, self.tracker.seq_owned_map())
 
     def execute(self, sql: str) -> list:
         """Run one statement, capture like the engine does; for py-steps."""

@@ -56,13 +56,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 _CHECK_TAIL = (
     # --- green in CORRECTNESS_r02.json; rotated out to fund the r3 head
     # (slots go to the 17 queries r2 capped out + the 6 operators new in
-    # r3: ta06, pii01, dc01, ss05, pipe02, dd10) ---
+    # r3: ta06, pii01, dc01, ss05, pipe02, dd10, q36, ev07) ---
     "dd01_dedup_exact",
     "dd02_norm_fingerprint",
     "dd03_minhash_signatures",
     "ss01_cosine_topk",
     "ss02_lsh_buckets",
     "ta01_langid",
+    "ta02_quality_score",
+    "ta03_token_stats",
     "q04_left_join_counts",
     "q05_customers_without_orders",
     "q06_customers_with_big_order",

@@ -115,3 +115,60 @@ def windowed_event_stats(
             "approx_users",
         )
     )
+
+
+def start_cdc_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    schema: str,
+    keys: tuple[str, ...],
+    order_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC upsert: each micro-batch of change rows MERGEs into
+    ``target_table`` by ``keys`` — newest ``order_col`` wins, both within a
+    batch and against the existing table. The streaming completion of the
+    migration family: mg02 detects changes, this APPLIES a change stream
+    (the reference's re-runnable UPDATE...FROM steps as a continuous sink,
+    packets/test_int4_to_int8/02_step.sql:3-5).
+
+    Scale: the upsert is one window over (keys) on the union of target +
+    batch — target and change stream co-partition on the keys at scale
+    (bucketing), so the only shuffle is the per-key window; the swap write
+    is partition-parallel. Checkpointing makes redelivery idempotent:
+    re-applying a batch picks the same winners."""
+    from ..catalog import _ensure_nanos_readable
+
+    _ensure_nanos_readable(spark)
+    src = spark.readStream.schema(schema).parquet(source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark_l = batch_df.sparkSession
+        if not spark_l.catalog.tableExists(target_table):
+            base = batch_df
+        else:
+            base = spark_l.table(target_table).unionByName(batch_df)
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        winner = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = f"{target_table}__cdc_tmp"
+        spark_l.sql(f"DROP TABLE IF EXISTS {tmp}")
+        winner.write.saveAsTable(tmp)
+        spark_l.sql(f"DROP TABLE IF EXISTS {target_table}")
+        spark_l.sql(f"ALTER TABLE {tmp} RENAME TO {target_table}")
+        spark_l.catalog.refreshTable(target_table)
+
+    writer = (
+        src.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

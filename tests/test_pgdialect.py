@@ -97,6 +97,16 @@ def test_do_block_raises():
         rewrite("DO $$ begin null; end $$")
 
 
+def test_public_schema_qualifier_dropped():
+    # PG default schema → Spark current database
+    assert rewrite("select * from public.test_tbl") == "select * from test_tbl"
+    assert rewrite("update public.t set a = 1") == "update t set a = 1"
+    # string literals untouched
+    assert "'public'" in rewrite("select 1 where nspname = 'public'")
+    # qualified non-public names untouched
+    assert "other.t" in rewrite("select * from other.t")
+
+
 def test_nextval_passes_through():
     # sequence calls survive the rewrite untouched; the RUNNER inlines them
     # from the ledger counters (plans/sequences.py)

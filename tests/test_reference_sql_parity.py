@@ -8,11 +8,23 @@ additionally verify execution results. Documented exceptions:
 
 - ``DO $$…$$`` blocks — py-step twins by design (SURVEY §2.10);
 - DML/DDL statements — analysis needs the live objects each packet
-  creates; execution is covered by the ported packet corpus instead.
+  creates; execution is covered by the ported packet corpus instead;
+- generator-placeholder steps and the 4 files in _EXPECTED_UNANALYZABLE.
 
 ``nextval()``/sequence DDL now rewrites cleanly: the runner inlines
 sequence calls from ledger-managed counters (plans/sequences.py), so no
 statement in the corpus raises UnsupportedConstruct anymore.
+
+HISTORY: until round 3 this sweep validated with ``EXPLAIN`` + exception
+catch — but Spark's EXPLAIN renders many analysis errors (unresolved
+functions/relations) as plan TEXT without raising, so ~30 statements were
+only parse-checked. The sweep now forces REAL analysis (`.columns`), which
+surfaced and drove fixes for: ``age()``/``mxid_age()``,
+``pg_get_serial_sequence``/WAL-LSN functions, interval-literal coercion in
+comparisons, ``to_char(interval)``, sub-second ``date_trunc``,
+``public.``/``pg_catalog.``/``dbc.`` qualifiers, ``pg_attribute.
+attisdropped``, array-typed ``pg_index.indkey`` and FK-action columns on
+``pg_constraint``.
 """
 
 from __future__ import annotations
@@ -33,8 +45,25 @@ from db_converter_spark.plans.sqlsplit import split_statements, statement_kind
 
 REF_GLOB = "/root/reference/packets/*/*.sql"
 
-# statements that intentionally do NOT pass (none since the sequence shim)
-_EXPECTED_UNSUPPORTED: set[str] = set()
+# Files whose non-DO statements CANNOT analyze without packet runtime, each
+# with the reason; their EXECUTION is covered by the ported corpus
+# (tests/test_packet_corpus.py). Everything else must analyze to a PHYSICAL
+# plan — EXPLAIN renders many analysis errors as text instead of raising,
+# so the sweep re-checks with a real analysis call.
+_EXPECTED_UNANALYZABLE = {
+    # plpgsql function defined by the packet's own DO block → py-step twin
+    "test_dba_clone_schema/02_step.sql": "clone_schema() is packet-defined plpgsql",
+    # INTENTIONAL typo — the packet exists to test the error path
+    "test_syntax_exception/01_step.sql": "deliberate pg_sleeep() typo",
+    # SRF nested inside an expression (unnest(string_to_array(...)) in a
+    # select-list expression): Spark requires generators at the top level;
+    # the port restructures with LATERAL VIEW (packets/alert_bloat)
+    "alert_bloat/01_step.sql": "set-returning fn nested in expression",
+    "alert_bloat/02_step.sql": "set-returning fn nested in expression",
+}
+# generator placeholders are bound at runtime (apply_gen_placeholders);
+# statements carrying them cannot name real objects in a static sweep
+_PLACEHOLDER_RE = re.compile(r"GEN_(?:OBJ|NSP)_FLD_\d|DBC_PL_\d")
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +76,19 @@ def pg_env(spark):
         "CREATE TABLE IF NOT EXISTS refparity.probe (id bigint, name string)"
         " USING parquet"
     )
+    # the objects the reference packets create in run_once.sql — present so
+    # their steps analyze verbatim (execution parity = ported corpus)
+    for t in ("test_tbl", "test_tbl_export_1", "test_tbl_export_2"):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS refparity.{t}"
+            " (id int, fld_1 bigint, fld_2 string) USING parquet"
+        )
+    # the runner's per-target ledger snapshot view (plans/runner.py)
+    spark.createDataFrame(
+        [],
+        "id bigint, name string, status string, dt string,"
+        " packet_hash string, meta_data string",
+    ).createOrReplaceTempView("dbc_packets")
     create_pg_catalog_views(spark, ["refparity"])
     create_pg_instance_views(spark)
     create_information_schema_views(spark, "refparity")
@@ -66,24 +108,33 @@ def _ref_selects():
 
 def test_reference_selects_analyze_verbatim(pg_env):
     spark = pg_env
-    ok = 0
+    ok, skipped = 0, 0
     failures: list[str] = []
     for f, s in _ref_selects():
         short = "/".join(f.split("/")[-2:])
         try:
             rs = rewrite(s)
         except UnsupportedConstruct:
-            if short not in _EXPECTED_UNSUPPORTED:
-                failures.append(f"{short}: unexpected UnsupportedConstruct")
+            failures.append(f"{short}: unexpected UnsupportedConstruct")
             continue
         if statement_kind(rs) != "query":
             continue  # DML/DDL covered by the ported packet corpus
+        if short in _EXPECTED_UNANALYZABLE or _PLACEHOLDER_RE.search(s):
+            skipped += 1
+            continue
         try:
-            spark.sql("EXPLAIN " + rs).collect()
+            # real analysis (.columns forces it and RAISES) — EXPLAIN
+            # renders many analysis errors (UNRESOLVED_ROUTINE, missing
+            # relations) as plan TEXT instead of raising, which silently
+            # under-checks the sweep
+            spark.sql(rs).columns
             ok += 1
         except Exception as e:  # noqa: BLE001 — collected for the report
             failures.append(f"{short}: {str(e).splitlines()[0][:140]}")
     assert not failures, "\n".join(failures)
     # the corpus is 46 packets; a collapsed glob or reference move should
     # fail loudly rather than silently passing on 0 statements
-    assert ok >= 80, f"only {ok} statements analyzed — reference tree moved?"
+    assert ok >= 68, f"only {ok} statements analyzed — reference tree moved?"
+    # 19 = 14 generator-placeholder query steps (runtime-bound names) + the
+    # 5 statements in _EXPECTED_UNANALYZABLE files
+    assert skipped <= 19, f"{skipped} skipped — expected-skip set grew"

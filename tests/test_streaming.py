@@ -224,3 +224,41 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     assert len(b) > 0
     assert g == b
+
+
+def test_cdc_upsert_stream(spark, tmp_path):
+    """start_cdc_upsert applies a change stream by key with newest-wins
+    semantics across micro-batches: later files override earlier rows,
+    new keys insert."""
+    from db_converter_spark.streaming.incremental import start_cdc_upsert
+
+    src = tmp_path / "cdc_src"
+    ckpt = tmp_path / "cdc_ckpt"
+    schema = "k BIGINT, v STRING, seq BIGINT"
+
+    def put(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run():
+        q = start_cdc_upsert(
+            spark,
+            str(src) + "/*",
+            "cdc_tgt",
+            str(ckpt),
+            schema,
+            keys=("k",),
+            order_col="seq",
+        )
+        q.awaitTermination(120)
+
+    put("f1", [(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+    run()
+    put("f2", [(2, "B2", 2), (4, "d", 2)])  # update k=2, insert k=4
+    run()
+
+    spark.catalog.refreshTable("cdc_tgt")
+    got = {(r.k, r.v) for r in spark.table("cdc_tgt").collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    spark.sql("DROP TABLE IF EXISTS cdc_tgt")

@@ -9,7 +9,7 @@ additionally verify execution results. Documented exceptions:
 - ``DO $$…$$`` blocks — py-step twins by design (SURVEY §2.10);
 - DML/DDL statements — analysis needs the live objects each packet
   creates; execution is covered by the ported packet corpus instead;
-- generator-placeholder steps and the 4 files in _EXPECTED_UNANALYZABLE.
+- generator-placeholder steps and the 3 files in _EXPECTED_UNANALYZABLE.
 
 ``nextval()``/sequence DDL now rewrites cleanly: the runner inlines
 sequence calls from ledger-managed counters (plans/sequences.py), so no
@@ -59,7 +59,6 @@ _EXPECTED_UNANALYZABLE = {
     # select-list expression): Spark requires generators at the top level;
     # the port restructures with LATERAL VIEW (packets/alert_bloat)
     "alert_bloat/01_step.sql": "set-returning fn nested in expression",
-    "alert_bloat/02_step.sql": "set-returning fn nested in expression",
 }
 # generator placeholders are bound at runtime (apply_gen_placeholders);
 # statements carrying them cannot name real objects in a static sweep
@@ -135,6 +134,6 @@ def test_reference_selects_analyze_verbatim(pg_env):
     # the corpus is 46 packets; a collapsed glob or reference move should
     # fail loudly rather than silently passing on 0 statements
     assert ok >= 68, f"only {ok} statements analyzed — reference tree moved?"
-    # 19 = 14 generator-placeholder query steps (runtime-bound names) + the
-    # 5 statements in _EXPECTED_UNANALYZABLE files
+    # 19 = generator-placeholder query steps (runtime-bound names) + the
+    # statements in _EXPECTED_UNANALYZABLE files
     assert skipped <= 19, f"{skipped} skipped — expected-skip set grew"

@@ -652,21 +652,45 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd10_spark_bands() -> str:
+    # 2 bands x 4 hashes (vs dd04's recall-first 4x2): the verify stage
+    # wants PRECISION — collision prob j^4 per band keeps the candidate
+    # set small enough that exact Jaccard stays cheap
     keys = ",\n    ".join(
-        f"md5(concat(CAST(h{2*b} AS STRING), ',', CAST(h{2*b+1} AS STRING)))"
-        for b in range(4)
+        "md5(concat("
+        + ", ',', ".join(f"CAST(h{4*b+i} AS STRING)" for i in range(4))
+        + "))"
+        for b in range(2)
     )
+    sig = _DD03_SPARK.replace("FROM documents", "FROM reps")
     return f"""
-sig AS ({_DD03_SPARK}),
+reps AS (
+  -- exact-dedup FIRST (one representative per distinct text): k identical
+  -- docs would otherwise share every band bucket and mint k(k-1)/2
+  -- candidate pairs each — the classic LSH blow-up. Real pipelines always
+  -- run exact dedup before MinHash; at 100 TB group on md5(text).
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sig AS ({sig}),
 bands AS (
   SELECT doc_id, band, bkey FROM sig
   LATERAL VIEW posexplode(array(
     {keys}
   )) t AS band, bkey
 ),
+bsize AS (
+  SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+),
+bands_ok AS (
+  -- mega-bucket guard: a bucket of n docs mints n(n-1)/2 pairs; buckets
+  -- past the cap are low-information collisions (standard LSH practice:
+  -- drop or sub-sample them) — the verify stage stays O(candidates)
+  SELECT b.doc_id, b.band, b.bkey
+  FROM bands b JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
+  WHERE s.n <= 100
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )"""
 
@@ -674,18 +698,31 @@ cand AS (
 def _dd10_duck_bands() -> str:
     branches = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band,"
-        f" md5(concat(CAST(h{2*b} AS VARCHAR), ',', CAST(h{2*b+1} AS VARCHAR))) AS bkey"
-        f" FROM sig"
-        for b in range(4)
+        " md5(concat("
+        + ", ',', ".join(f"CAST(h{4*b+i} AS VARCHAR)" for i in range(4))
+        + ")) AS bkey FROM sig"
+        for b in range(2)
     )
+    sig = _DD03_DUCK.replace("FROM documents", "FROM reps")
     return f"""
-sig AS ({_DD03_DUCK}),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sig AS ({sig}),
 bands AS (
   {branches}
 ),
+bsize AS (
+  SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+),
+bands_ok AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM bands b JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
+  WHERE s.n <= 100
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )"""
 

@@ -94,7 +94,11 @@ def merge_update_plan(
         t = spark.table(target_table).alias("t")
         src = source.dropDuplicates(on)
         s = (F.broadcast(src) if broadcast_source else src).alias("s")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        # plain equality, not eqNullSafe: the `on` path is only taken for
+        # `t.k = s.k` conjunctions, and PG `=` never matches NULL keys —
+        # and with == a join hit implies s.k IS NOT NULL, so the matched
+        # flag below and merge_matched_count agree exactly
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
         matched = F.col(f"s.{on[0]}").isNotNull()
         joined = t.join(s, cond, "left")
     else:
@@ -168,7 +172,9 @@ def merge_matched_count(
     t = spark.table(target_table).alias("t")
     s = (F.broadcast(source) if broadcast_source else source).alias("s")
     if on is not None:
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+        # same plain-equality predicate as merge_update_plan's equi path —
+        # NULL-key rows are neither updated nor counted (PG `=` semantics)
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on]
         return t.join(s, cond, "left_semi").count()
     return t.join(s, F.expr(condition), "left_semi").count()
 

@@ -1,9 +1,12 @@
 """Result formatting: fixed-width ASCII tables and the golden-output JSON.
 
-Ports of the reference's formatters, byte-compatible so golden `_out` files
-diff cleanly (reference: print_table at dbccore/dbccore.py:39-48; to_json at
-psc/psccommon/psc_common.py:84-93; the ``?column?`` anonymous-column rule at
-dbccore/dbccore.py:746-749, 872-875).
+Fills the same role as the reference's formatters (print_table at
+dbccore/dbccore.py:39-48; to_json at psc/psccommon/psc_common.py:84-93; the
+``?column?`` anonymous-column rule at dbccore/dbccore.py:746-749, 872-875)
+but is NOT a byte-level port: the reference emits pipe-delimited rows with
+full-width rules; this emits two-space-joined columns with per-column
+underlines. Output is byte-STABLE against this repo's own golden `_out`
+files, which is what the golden tests diff.
 """
 
 from __future__ import annotations

@@ -228,23 +228,33 @@ class ActionTracker:
         self,
         name: str,
         restart: int | None = None,
+        restart_default: bool = False,
         increment: int | None = None,
         owned_by: str | None = None,
     ) -> None:
         with self._lock, self._conn:
             cur = self._conn.execute(
-                "SELECT start_value FROM dbc_sequences WHERE name=?", (name,)
+                "SELECT start_value, increment FROM dbc_sequences WHERE name=?",
+                (name,),
             )
             row = cur.fetchone()
             if row is None:
                 raise KeyError(f'sequence "{name}" does not exist')
-            if restart is not None:
-                # RESTART [WITH n]: next nextval returns n (last_value→NULL
-                # restarts from start_value, mirroring a fresh sequence)
+            if restart_default:
+                # bare RESTART: PG restarts from the stored START WITH value;
+                # last_value→NULL makes the next nextval return start_value
+                # without touching start_value itself
                 self._conn.execute(
-                    "UPDATE dbc_sequences SET last_value=NULL, start_value=?"
-                    " WHERE name=?",
-                    (restart, name),
+                    "UPDATE dbc_sequences SET last_value=NULL WHERE name=?",
+                    (name,),
+                )
+            elif restart is not None:
+                # RESTART WITH n: next nextval returns n. PG does NOT change
+                # the sequence's START value here (that's the START clause),
+                # so store last_value=n-increment instead of rewriting start
+                self._conn.execute(
+                    "UPDATE dbc_sequences SET last_value=? WHERE name=?",
+                    (restart - row[1], name),
                 )
             if increment is not None:
                 self._conn.execute(
@@ -303,10 +313,23 @@ class ActionTracker:
             raise ValueError(f'currval of sequence "{name}" is not yet defined')
         return row[0]
 
-    def seq_setval(self, name: str, value: int) -> int:
+    def seq_setval(self, name: str, value: int, is_called: bool = True) -> int:
+        """PG ``setval(seq, n[, is_called])``: with ``is_called`` true
+        (default) the next nextval returns n+increment; with false it
+        returns n (stored as last_value=n-increment). Returns n."""
         with self._lock, self._conn:
+            if not is_called:
+                cur = self._conn.execute(
+                    "SELECT increment FROM dbc_sequences WHERE name=?", (name,)
+                )
+                row = cur.fetchone()
+                if row is None:
+                    raise KeyError(f'sequence "{name}" does not exist')
+                stored = value - row[0]
+            else:
+                stored = value
             cur = self._conn.execute(
-                "UPDATE dbc_sequences SET last_value=? WHERE name=?", (value, name)
+                "UPDATE dbc_sequences SET last_value=? WHERE name=?", (stored, name)
             )
             if cur.rowcount == 0:
                 raise KeyError(f'sequence "{name}" does not exist')

@@ -754,37 +754,50 @@ _INTERVAL_UNIT = {
     "mon": "MONTH", "mons": "MONTH", "month": "MONTH", "months": "MONTH",
 }
 _INTERVAL_CMP_RE = re.compile(
-    r"(?P<op>[<>]=?|=)\s*'(?P<lit>\d+\s+[a-z]+|\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)'",
-    re.I,
+    # ordering ops only, NOT `=`: equality against a time-of-day string
+    # (`col = '12:30:00'`) is a plausible plain-string compare, while the
+    # corpus' interval comparisons are all range checks
+    # (alert_stat/01_step.sql:21 `> '15 days'`,
+    # dba_active_maint/01_step.sql:7 `>= '00:00:00.000001'`)
+    r"(?P<op>[<>]=?)\s*\x01(?P<idx>\d+)\x01"
+)
+_INTERVAL_LIT_RE = re.compile(
+    r"^'(?P<lit>\d+\s+[a-z]+|\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)'$", re.I
 )
 
 
-def _rw_interval_cmp_literals(sql: str) -> str:
+def _rw_interval_cmp_literals(text: str, lits: list[str]) -> str:
     """PG auto-casts the string in ``interval_expr > '15 days'`` /
     ``>= '00:00:00.000001'``; Spark does not — spell the RHS as an interval
-    literal (reference: packets/alert_stat/01_step.sql:21,
-    dba_active_maint/01_step.sql:7). Heuristic on the literal SHAPE
-    (duration words / hh:mm:ss) — plain string comparisons never look like
-    durations in the corpus."""
+    literal. Heuristic on the literal SHAPE (duration words / hh:mm:ss).
+    Runs on the protected form (ADVICE r3): only real single-quoted SQL
+    literals directly after an ordering op are candidates — text inside
+    comments or other strings is already sentineled away and untouched."""
 
     def sub(m: re.Match) -> str:
-        lit = m.group("lit")
+        idx = int(m.group("idx"))
+        lm = _INTERVAL_LIT_RE.match(lits[idx])
+        if not lm:
+            return m.group(0)
+        lit = lm.group("lit")
         parts = lit.split()
         if len(parts) == 2:
             unit = _INTERVAL_UNIT.get(parts[1].lower())
             if unit is None:
                 return m.group(0)
-            return f"{m.group('op')} INTERVAL '{parts[0]}' {unit}"
-        return f"{m.group('op')} INTERVAL '{lit}' HOUR TO SECOND"
+            lits[idx] = f"INTERVAL '{parts[0]}' {unit}"
+        else:
+            lits[idx] = f"INTERVAL '{lit}' HOUR TO SECOND"
+        return m.group(0)
 
-    return _INTERVAL_CMP_RE.sub(sub, sql)
+    return _INTERVAL_CMP_RE.sub(sub, text)
 
 
 def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     """Rewrite one PostgreSQL statement into Spark SQL. ``settings`` feeds
     ``current_setting()`` constant folding."""
-    sql = _rw_interval_cmp_literals(sql)
     text, lits = _protect(sql)
+    text = _rw_interval_cmp_literals(text, lits)
     _rw_do_block(text, lits)
     text = _rw_functions(text, lits, settings or {})
     text = _rw_array_ctor(text)

@@ -50,7 +50,7 @@ _OWNED_RE = re.compile(rf"\bowned\s+by\s+(none|{_IDENT})", re.I)
 _NEXTVAL_RE = re.compile(r"(?<![\w.])nextval\s*\(\s*'([^']+)'\s*\)", re.I)
 _CURRVAL_RE = re.compile(r"(?<![\w.])currval\s*\(\s*'([^']+)'\s*\)", re.I)
 _SETVAL_RE = re.compile(
-    r"(?<![\w.])setval\s*\(\s*'([^']+)'\s*,\s*(-?\d+)\s*(?:,\s*\w+\s*)?\)", re.I
+    r"(?<![\w.])setval\s*\(\s*'([^']+)'\s*,\s*(-?\d+)\s*(?:,\s*(\w+)\s*)?\)", re.I
 )
 
 
@@ -96,7 +96,8 @@ def route_sequence_ddl(
         if not dry_run:
             tracker.seq_alter(
                 name,
-                restart=(int(rm.group(1)) if rm.group(1) else 1) if rm else None,
+                restart=int(rm.group(1)) if rm and rm.group(1) else None,
+                restart_default=bool(rm and not rm.group(1)),
                 increment=int(im.group(1)) if im else None,
                 owned_by=(
                     om.group(1).upper()
@@ -110,30 +111,79 @@ def route_sequence_ddl(
     return None
 
 
-def _per_row_demand(ctx: "RunContext", stmt: str) -> int:
-    """How many per-row values the statement will draw: 1 for scalar use
-    (no FROM), else COUNT(*) of the statement's row source with sequence
-    calls nulled out. The count scans only what the filter needs (pruned
-    columns, pushed predicates) — cheap next to the statement itself, and
-    the price of reserving ONE contiguous block instead of a per-row
-    counter round-trip."""
+_UPDATE_HEAD_RE = re.compile(
+    rf"^\s*update\s+({_IDENT}|[\w.`]+)(?:\s+(?:as\s+)?(\w+))?\s+set\b(.*)$",
+    re.I | re.S,
+)
+_DELETE_HEAD_RE = re.compile(r"^\s*delete\s+from\b", re.I)
+
+
+def _per_row_demand(ctx: "RunContext", stmt: str) -> tuple[int, str | None]:
+    """How many per-row values the statement will draw, plus (for UPDATE)
+    the row-matching predicate needed to number only the matched rows.
+    Returns ``(n, partition_predicate)``: 1/None for scalar use (no FROM),
+    else COUNT(*) of the statement's row source with sequence calls nulled
+    out. The count scans only what the filter needs (pruned columns, pushed
+    predicates) — cheap next to the statement itself, and the price of
+    reserving ONE contiguous block instead of a per-row counter round-trip.
+
+    PG draws one value PER MATCHED ROW in UPDATE too, so
+    ``UPDATE t SET c = nextval('s') WHERE p`` counts rows where ``p`` is
+    true and hands the predicate back so the expansion numbers exactly
+    those rows (ADVICE r3: a shared scalar here is silent wrong data).
+    ``UPDATE … FROM`` and DELETE with nextval raise
+    :class:`~db_converter_spark.plans.pgdialect.UnsupportedConstruct`
+    (port to a py-step) instead of silently assigning one shared value."""
+    from db_converter_spark.plans.pgdialect import UnsupportedConstruct
+    from db_converter_spark.plans.runner import (
+        _find_top_level,
+        _strip_leading_comments,
+    )
+
+    body = _strip_leading_comments(stmt).rstrip().rstrip(";")
+    if _DELETE_HEAD_RE.match(body):
+        raise UnsupportedConstruct(
+            "nextval() inside DELETE is not supported — PG draws one value"
+            " per evaluated row; port this statement to a py-step"
+        )
+    um = _UPDATE_HEAD_RE.match(body)
+    if um:
+        table, rest = um.group(1).strip('`"'), um.group(3)
+        if _find_top_level(rest, "from") != -1:
+            raise UnsupportedConstruct(
+                "nextval() inside UPDATE ... FROM is not supported — port"
+                " this statement to a py-step (one nextval per matched row)"
+            )
+        wi = _find_top_level(rest, "where")
+        pred = rest[wi + 5 :].strip() if wi != -1 else None
+        # nextval in the SET clause doesn't constrain the match; null any
+        # occurrence inside the predicate itself before counting
+        npred = _NEXTVAL_RE.sub("CAST(NULL AS BIGINT)", pred) if pred else None
+        where = f" WHERE ({npred})" if npred else ""
+        n = int(
+            ctx.spark.sql(f"SELECT count(*) AS c FROM {table}{where}").collect()[0][0]
+        )
+        return n, pred
     m = re.match(
         r"^\s*insert\s+into\s+[\w.`\"]+\s*(?:\([^)]*\))?\s*(select\b.*)$",
-        stmt,
+        body,
         re.I | re.S,
     )
-    sel = m.group(1) if m else stmt
+    sel = m.group(1) if m else body
     if not re.match(r"^\s*(select|with)\b", sel, re.I | re.S) or not re.search(
         r"\bfrom\b", sel, re.I
     ):
-        return 1
-    nulled = _NEXTVAL_RE.sub("CAST(NULL AS BIGINT)", sel.rstrip().rstrip(";"))
+        return 1, None
+    nulled = _NEXTVAL_RE.sub("CAST(NULL AS BIGINT)", sel)
     try:
-        return int(
-            ctx.spark.sql(f"SELECT count(*) AS c FROM ({nulled})").collect()[0][0]
+        return (
+            int(
+                ctx.spark.sql(f"SELECT count(*) AS c FROM ({nulled})").collect()[0][0]
+            ),
+            None,
         )
     except Exception:  # noqa: BLE001 — unparseable as subquery → scalar use
-        return 1
+        return 1, None
 
 
 def substitute_sequence_calls(ctx: "RunContext", stmt: str) -> str:
@@ -150,7 +200,12 @@ def substitute_sequence_calls(ctx: "RunContext", stmt: str) -> str:
     tracker = ctx.sequence_tracker()
 
     def sub_setval(m: re.Match) -> str:
-        return str(tracker.seq_setval(norm_seq_name(m.group(1)), int(m.group(2))))
+        is_called = (m.group(3) or "true").lower() not in ("false", "f", "0")
+        return str(
+            tracker.seq_setval(
+                norm_seq_name(m.group(1)), int(m.group(2)), is_called=is_called
+            )
+        )
 
     def sub_currval(m: re.Match) -> str:
         return str(tracker.seq_currval(norm_seq_name(m.group(1))))
@@ -159,7 +214,17 @@ def substitute_sequence_calls(ctx: "RunContext", stmt: str) -> str:
     stmt = _CURRVAL_RE.sub(sub_currval, stmt)
     if not _NEXTVAL_RE.search(stmt):
         return stmt
-    n = _per_row_demand(ctx, stmt)
+    n, part_pred = _per_row_demand(ctx, stmt)
+    # for UPDATE ... WHERE p, number ONLY the matched rows: partitioning the
+    # window by the predicate puts them in one partition numbered 1..n, so
+    # the reserved block is exactly consumed (unmatched rows draw a value
+    # from their own partition but never use it — the conditional projection
+    # keeps their old column value)
+    part = (
+        f"PARTITION BY (CASE WHEN ({part_pred}) THEN 1 ELSE 0 END) "
+        if part_pred
+        else ""
+    )
 
     def sub_nextval(m: re.Match) -> str:
         name = norm_seq_name(m.group(1))
@@ -168,7 +233,7 @@ def substitute_sequence_calls(ctx: "RunContext", stmt: str) -> str:
             return str(first)
         _, _, inc = tracker.seq_info(name)
         return (
-            f"({first} + (row_number() OVER (ORDER BY"
+            f"({first} + (row_number() OVER ({part}ORDER BY"
             f" monotonically_increasing_id()) - 1) * {inc})"
         )
 

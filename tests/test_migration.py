@@ -194,3 +194,26 @@ WHERE a.id = t.id;
     rows = spark.table("mig_db.mig_tbl")
     assert rows.filter("id_new = id").count() == 10
     assert rows.filter("id_new IS NULL AND id > 10").count() == 10
+
+
+def test_merge_null_keys_not_counted_or_updated(spark):
+    """ADVICE r3: NULL join keys must neither update (PG `=` semantics) nor
+    inflate the reported rowcount — plan and count use the same predicate."""
+    from db_converter_spark.operators.migration import merge_update
+
+    spark.sql("DROP TABLE IF EXISTS migdb.nulkey")
+    spark.sql(
+        "CREATE TABLE migdb.nulkey USING parquet AS SELECT * FROM VALUES"
+        " (1, 10), (2, 20), (CAST(NULL AS INT), 30) AS t(k, v)"
+    )
+    src = spark.sql(
+        "SELECT * FROM VALUES (1), (CAST(NULL AS INT)) AS s(k)"
+    )
+    n = merge_update(spark, "migdb.nulkey", src, on=["k"], set_map={"v": "t.v + 100"})
+    # only k=1 matches; the NULL-key target row is NOT a match
+    assert n == 1
+    got = {
+        (r.k, r.v) for r in spark.table("migdb.nulkey").collect()
+    }
+    assert got == {(1, 110), (2, 20), (None, 30)}
+    spark.sql("DROP TABLE migdb.nulkey")

@@ -223,3 +223,32 @@ def test_format_function(spark):
     assert r == "null: NULL"
     # dynamic format string degrades to plain format_string (%s only)
     assert "format_string(dyn" in rewrite("select format(dyn, a)")
+
+
+# --------------------------------------------- interval-literal rewrite scope
+
+
+@pytest.mark.parametrize(
+    ("pg", "expect"),
+    [
+        # ordering comparisons against duration-shaped literals → INTERVAL
+        ("select x > '15 days'", "select x > INTERVAL '15' DAY"),
+        (
+            "select x >= '00:00:00.000001'",
+            "select x >= INTERVAL '00:00:00.000001' HOUR TO SECOND",
+        ),
+        # equality is NOT rewritten (plausible plain-string compare)
+        ("select col = '12:30:00' from t", "select col = '12:30:00' from t"),
+        # text inside comments / other strings untouched (post-protect rewrite)
+        (
+            "select x -- was > '15 days'\nfrom t",
+            "select x -- was > '15 days'\nfrom t",
+        ),
+        (
+            "select 'op > ''15 days'' inside' as s",
+            "select 'op > ''15 days'' inside' as s",
+        ),
+    ],
+)
+def test_interval_cmp_literal_scope(pg, expect):
+    assert rewrite(pg) == expect

@@ -168,3 +168,81 @@ def test_insert_defaults_from_recorded_property(ctx):
     assert (
         spark.table(f"{DB}.dtbl").where("name = 'solo'").collect()[0].id is None
     )
+
+
+# ------------------------------------------------- r3 ADVICE regressions
+
+
+def test_setval_is_called_false(tracker):
+    """PG: setval(s, n, false) → the NEXT nextval returns n itself;
+    setval(s, n) / setval(s, n, true) → n + increment."""
+    tracker.seq_create("sv", start=1, increment=5)
+    assert tracker.seq_setval("sv", 40, is_called=False) == 40
+    assert tracker.seq_nextval("sv") == 40
+    assert tracker.seq_setval("sv", 40) == 40  # is_called defaults true
+    assert tracker.seq_nextval("sv") == 45
+
+
+def test_bare_restart_uses_stored_start(tracker):
+    """Bare RESTART restarts from the sequence's original START WITH value;
+    RESTART WITH n does NOT overwrite that stored start."""
+    tracker.seq_create("rs", start=30, increment=1)
+    assert tracker.seq_nextval("rs") == 30
+    tracker.seq_alter("rs", restart=100)
+    assert tracker.seq_nextval("rs") == 100
+    tracker.seq_alter("rs", restart_default=True)
+    # PG restarts from the stored START (30), not 1 and not 100
+    assert tracker.seq_nextval("rs") == 30
+
+
+def test_ddl_bare_restart_routing(tracker):
+    route_sequence_ddl(tracker, "CREATE SEQUENCE br START WITH 9")
+    assert tracker.seq_nextval("br") == 9
+    route_sequence_ddl(tracker, "ALTER SEQUENCE br RESTART WITH 77")
+    assert tracker.seq_nextval("br") == 77
+    route_sequence_ddl(tracker, "ALTER SEQUENCE br RESTART")
+    assert tracker.seq_nextval("br") == 9
+
+
+def test_setval_is_called_inline(ctx):
+    ctx.sequence_tracker().seq_create("svi", start=1, increment=1)
+    assert ctx.execute("SELECT setval('svi', 20, false) AS s")[1:] == [[20]]
+    assert ctx.execute("SELECT nextval('svi') AS v")[1:] == [[20]]
+    assert ctx.execute("SELECT setval('svi', 20, true) AS s")[1:] == [[20]]
+    assert ctx.execute("SELECT nextval('svi') AS v")[1:] == [[21]]
+
+
+def test_update_nextval_per_matched_row(ctx):
+    """ADVICE r3 (medium): UPDATE t SET c = nextval(s) WHERE p must draw one
+    value PER MATCHED ROW (PG semantics), not one shared scalar."""
+    spark = ctx.spark
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.unx")
+    spark.sql(f"CREATE TABLE {DB}.unx USING parquet AS "
+              "SELECT v AS k, CAST(NULL AS BIGINT) AS sid"
+              " FROM (SELECT explode(sequence(1, 8)) AS v)")
+    ctx.execute("CREATE SEQUENCE unx_seq START WITH 500")
+    st = ctx.execute("UPDATE unx SET sid = nextval('unx_seq') WHERE k <= 5")
+    assert st == [["UPDATE", 5]]
+    spark.catalog.refreshTable(f"{DB}.unx")
+    rows = {r.k: r.sid for r in spark.table(f"{DB}.unx").collect()}
+    got = sorted(rows[k] for k in range(1, 6))
+    # 5 matched rows → 5 DISTINCT consecutive values from one block
+    assert got == list(range(500, 505))
+    # unmatched rows untouched
+    assert all(rows[k] is None for k in (6, 7, 8))
+    # counter advanced by exactly the matched count
+    assert ctx.execute("SELECT nextval('unx_seq') AS v")[1:] == [[505]]
+
+
+def test_update_from_nextval_unsupported(ctx):
+    from db_converter_spark.plans.pgdialect import UnsupportedConstruct
+
+    spark = ctx.spark
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.ufx")
+    spark.sql(f"CREATE TABLE {DB}.ufx USING parquet AS SELECT 1 AS k, 0 AS c")
+    ctx.sequence_tracker().seq_create("ufx_seq")
+    with pytest.raises(UnsupportedConstruct):
+        ctx.execute(
+            "UPDATE ufx SET c = nextval('ufx_seq')"
+            " FROM (SELECT 1 AS k) s WHERE ufx.k = s.k"
+        )

@@ -10,6 +10,12 @@ BASELINE.md. Query set = every registered operator; per-query seconds are
 the best of ``$SPARK_GRAFT_BENCH_RUNS`` (default 2) full collect() passes on
 a warmed session — single-shot wall clock on a shared host swings 5-7x with
 ambient load, and best-of-N recovers the machine's actual capability.
+
+Output layout (r3 verdict: the driver keeps only the TAIL ~2 KB of stdout):
+a verbose JSON line first (full names, best + median dicts — may be
+clipped), then ONE compact final line whose ``queries`` dict is keyed by
+each query's unique name prefix (``q01``, ``dd10``, ``q24b``, ...) so the
+complete best-of dict survives the capture window and parses.
 """
 
 from __future__ import annotations
@@ -53,7 +59,17 @@ def main() -> int:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     degraded: list[str] = []
-    for qi, name in enumerate(sorted(queries)):
+    # The heaviest queries leave the most shuffle/checkpoint state behind;
+    # GC immediately after them (not on the fixed cadence) so their state
+    # doesn't inflate the next five queries' numbers (r3 verdict).
+    heavy = {
+        "dd05_ngram_jaccard",
+        "dd08_connected_components",
+        "dd10_lsh_jaccard_verify",
+        "q36_recursive_cte",
+    }
+    since_gc = 0
+    for name in sorted(queries):
         # Periodic driver GC: Spark's ContextCleaner only unregisters old
         # shuffles/broadcasts when the DRIVER garbage-collects, and a 90 GB
         # heap never does on its own — measured: by query ~60 of the suite,
@@ -61,8 +77,9 @@ def main() -> int:
         # purely from accumulated shuffle state. A forced GC every few
         # queries keeps the map-output tracker small; each pause is far
         # cheaper than the inflation it prevents.
-        if qi % 6 == 5:
+        if since_gc >= 6:
             spark.sparkContext._jvm.System.gc()
+            since_gc = 0
         samples = []
         n_runs = max(1, runs)
         if time.perf_counter() - bench_t0 > budget:
@@ -76,6 +93,10 @@ def main() -> int:
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
         print(f"{name}: best {timings[name]:.3f}s median {medians[name]:.3f}s", file=sys.stderr)
+        since_gc += 1
+        if name in heavy:
+            spark.sparkContext._jvm.System.gc()
+            since_gc = 0
     if degraded:
         print(
             f"wall budget {budget}s exceeded: {len(degraded)} queries ran"
@@ -90,20 +111,40 @@ def main() -> int:
     total_ex_baseline = round(
         sum(v for k, v in timings.items() if k != "dd05_ngram_jaccard"), 3
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver preserves only the TAIL (~2 KB) of stdout: r3's artifact
+    # lost the best-of dict and failed to parse. Emit the verbose record
+    # (medians included) FIRST — it may be clipped — and finish with ONE
+    # compact line carrying the best-of dict + totals, sized to survive
+    # the capture window intact.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_suite_seconds_verbose",
+                "queries_best": timings,
+                "queries_median": medians,
+                "runs_per_query": max(1, runs),
+                "n_degraded_to_single_run": len(degraded),
+            }
+        )
+    )
+    # every registry name has a UNIQUE prefix before its first underscore
+    # (q01, dd10, q24b, ...) — key the compact line on those so the full
+    # best-of dict fits the window (~1.1 KB for 75 queries)
     print(
         json.dumps(
             {
                 "metric": "total_query_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
+                "queries": {k.split("_", 1)[0]: v for k, v in timings.items()},
                 "total_ex_dd05_baseline": total_ex_baseline,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "n_queries": len(timings),
                 "runs_per_query": max(1, runs),
                 "n_degraded_to_single_run": len(degraded),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     return 0

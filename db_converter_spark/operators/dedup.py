@@ -525,13 +525,15 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD09_SPARK = """
 WITH spans AS (
+  -- split() hoisted OUT of the lambda: inlined it re-splits the full text
+  -- once per span (O(words^2) per doc on long documents)
   SELECT doc_id,
          explode(transform(
-           sequence(0, size(split(text, ' ')) div 8 - 1),
-           i -> md5(array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))
+           sequence(0, size(w) div 8 - 1),
+           i -> md5(array_join(slice(w, i * 8 + 1, 8), ' '))
          )) AS h
-  FROM documents
-  WHERE size(split(text, ' ')) >= 8
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) d
+  WHERE size(w) >= 8
 ), freq AS (
   SELECT h, COUNT(*) AS cnt FROM spans GROUP BY h
 )
@@ -548,11 +550,11 @@ _DD09_DUCK = """
 WITH spans AS (
   SELECT doc_id,
          unnest(list_transform(
-           range(0, len(string_split(text, ' ')) // 8),
-           i -> md5(array_to_string(string_split(text, ' ')[i * 8 + 1 : i * 8 + 8], ' '))
+           range(0, len(w) // 8),
+           i -> md5(array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '))
          )) AS h
-  FROM documents
-  WHERE len(string_split(text, ' ')) >= 8
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+  WHERE len(w) >= 8
 ), freq AS (
   SELECT h, COUNT(*) AS cnt FROM spans GROUP BY h
 )
@@ -589,42 +591,62 @@ def dd09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark's planner broadcasts the DISTINCT-aggregated bench side; at larger
 # benchmark sizes swap in a bloom filter via F.expr("might_contain(...)")).
 
+# the bench slice and the training leg each explode their OWN grams with
+# the doc_id filter pushed to the scan: the earlier single shared `g` CTE
+# was referenced twice, and Spark re-executes a CTE per reference — the
+# full corpus explode+md5 ran 2x (r4 bench: dc01 was the most expensive
+# query in the suite at 12.9 s)
 _DC01_SPARK = """
-WITH g AS (
-  SELECT doc_id, explode(transform(
-           sequence(0, size(split(text, ' ')) - 5),
-           i -> md5(array_join(slice(split(text, ' '), i + 1, 5), ' '))
+WITH bench AS (
+  SELECT DISTINCT explode(transform(
+           sequence(0, size(w) - 5),
+           i -> md5(array_join(slice(w, i + 1, 5), ' '))
          )) AS h
-  FROM documents WHERE size(split(text, ' ')) >= 5
-), bench AS (
-  SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+        WHERE doc_id % 97 = 0) d
+  WHERE size(w) >= 5
+), g AS (
+  -- split() hoisted out of the lambda (O(words^2) per doc inlined)
+  SELECT doc_id, explode(transform(
+           sequence(0, size(w) - 5),
+           i -> md5(array_join(slice(w, i + 1, 5), ' '))
+         )) AS h
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents
+        WHERE doc_id % 97 <> 0) d
+  WHERE size(w) >= 5
 )
 SELECT g.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_grams,
   CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_contaminated
 FROM g LEFT JOIN bench b ON g.h = b.h
-WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id
 HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 _DC01_DUCK = """
-WITH g AS (
-  SELECT doc_id, unnest(list_transform(
-           range(0, len(string_split(text, ' ')) - 4),
-           i -> md5(array_to_string(string_split(text, ' ')[i + 1 : i + 5], ' '))
+WITH bench AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(0, len(w) - 4),
+           i -> md5(array_to_string(w[i + 1 : i + 5], ' '))
          )) AS h
-  FROM documents WHERE len(string_split(text, ' ')) >= 5
-), bench AS (
-  SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 97 = 0) d
+  WHERE len(w) >= 5
+), g AS (
+  SELECT doc_id, unnest(list_transform(
+           range(0, len(w) - 4),
+           i -> md5(array_to_string(w[i + 1 : i + 5], ' '))
+         )) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id % 97 <> 0) d
+  WHERE len(w) >= 5
 )
 SELECT g.doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_grams,
   CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS n_contaminated
 FROM g LEFT JOIN bench b ON g.h = b.h
-WHERE g.doc_id % 97 <> 0
 GROUP BY g.doc_id
 HAVING SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
@@ -696,35 +718,44 @@ cand AS (
 # published MinHash dedup pipelines (C4 / Gopher / RefinedWeb) shingle on
 # word/token n-grams, and char-grams cost ~one md5 per CHARACTER of corpus
 # (~6x the hashing of word-grams for the same signal on prose)
-_DD10_WORDSH_SPARK = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
-    " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
-)
-_DD10_WORDSH_DUCK = (
-    "[array_to_string(string_split(text, ' ')[i : i + 4], ' ')"
-    " for i in generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1))]"
-)
-
 # reps: exact-dedup FIRST (one representative per distinct text): k
 # identical docs would otherwise share every band bucket and mint
 # k(k-1)/2 candidate pairs each — the classic LSH blow-up. Real pipelines
 # always run exact dedup before MinHash; at 100 TB group on md5(text).
+# shingle exprs reference a pre-split `w` column: split() inlined in the
+# transform lambda re-splits the full text once per shingle (O(words^2)
+# per doc on long documents)
+_DD10_WORDSH_W_SPARK = (
+    "transform(sequence(1, greatest(size(w) - 4, 1)),"
+    " i -> array_join(slice(w, i, 5), ' '))"
+)
+_DD10_WORDSH_W_DUCK = (
+    "[array_to_string(w[i : i + 4], ' ')"
+    " for i in generate_series(1, greatest(len(w) - 4, 1))]"
+)
+
 _DD10_SIG_SPARK = (
     "WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents"
     " GROUP BY text),\nsig AS ("
     + _minhash_sig_sql(
-        _DD10_WORDSH_SPARK,
+        _DD10_WORDSH_W_SPARK,
         "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)",
         "array_min",
         "h ^ shiftright(h, {r})",
-    ).replace("FROM documents", "FROM reps")
+    ).replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, split(text, ' ') AS w FROM reps) r",
+    )
     + ")\nSELECT * FROM sig"
 )
 _DD10_SIG_DUCK = _minhash_sig_sql(
-    _DD10_WORDSH_DUCK,
+    _DD10_WORDSH_W_DUCK,
     "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)",
     "list_min",
     "xor(h, h >> {r})",
+).replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) r",
 )
 
 # 2 bands x 4 hashes (vs dd04's recall-first 4x2): the verify stage wants
@@ -750,8 +781,8 @@ SELECT da, db FROM cand
 _DD10_DOCSH_SPARK = f"""
 SELECT DISTINCT doc_id, sh
 FROM (
-  SELECT d.doc_id, explode({_DD10_WORDSH_SPARK}) AS sh
-  FROM documents d
+  SELECT d.doc_id, explode({_DD10_WORDSH_W_SPARK}) AS sh
+  FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) d
   JOIN (SELECT da AS doc_id FROM dd10_cand
         UNION SELECT db FROM dd10_cand) c
     ON c.doc_id = d.doc_id
@@ -813,8 +844,9 @@ cdocs AS (
 ), doc_sh AS (
   SELECT DISTINCT doc_id, sh
   FROM (
-    SELECT d.doc_id, unnest({_DD10_WORDSH_DUCK}) AS sh
-    FROM documents d JOIN cdocs c ON c.doc_id = d.doc_id
+    SELECT d.doc_id, unnest({_DD10_WORDSH_W_DUCK}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+    JOIN cdocs c ON c.doc_id = d.doc_id
   ) t
 ),{_dd10_verify_tail("cand", "doc_sh")}
 """

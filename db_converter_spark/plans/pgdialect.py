@@ -793,6 +793,113 @@ def _rw_interval_cmp_literals(text: str, lits: list[str]) -> str:
     return _INTERVAL_CMP_RE.sub(sub, text)
 
 
+_SRF_CLAUSE_END_RE = re.compile(
+    r"\b(where|group\s+by|having|qualify|window|order\s+by|limit"
+    r"|union|intersect|except)\b",
+    re.I,
+)
+
+
+def _hoist_in_select(text: str, list_start: int, counter: int):
+    """Hoist the first expression-nested ``explode(...)`` found in the
+    select list starting at ``list_start``. Returns ``(new_text, counter+1)``
+    or None when this select needs no hoist."""
+    m = re.match(r"\s*(distinct\s+|all\s+)?", text[list_start:], re.I)
+    items_start = list_start + m.end()
+    # find the top-level FROM terminating the select list
+    depth, j, from_start = 0, items_start, None
+    while j < len(text):
+        ch = text[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None  # select list closed with no FROM → nothing to attach
+        elif depth == 0 and ch in "fF" and re.match(r"from\b", text[j:], re.I):
+            if not re.search(r"[\w.]$", text[j - 1 : j]):
+                from_start = j
+                break
+        j += 1
+    if from_start is None:
+        return None
+    # split select items at top-level commas
+    spans, depth, s = [], 0, items_start
+    for k in range(items_start, from_start):
+        ch = text[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            spans.append((s, k))
+            s = k + 1
+    spans.append((s, from_start))
+    for a, b in spans:
+        hit = _find_call(text[a:b], "explode")
+        if hit is None:
+            continue
+        cs, _, ce = hit
+        call = text[a + cs : a + ce + 1]
+        rest = text[a + ce + 1 : b]
+        # already top-level (bare call, optionally aliased) → Spark-legal
+        if text[a:b][:cs].strip() == "" and re.fullmatch(
+            r"\s*(?:(?:as\s+)?[\w`]+)?\s*", rest, re.I
+        ):
+            continue
+        var, view = f"__srf_c{counter}", f"__srf_v{counter}"
+        # insertion point: end of the FROM relations (before the first
+        # top-level WHERE/GROUP BY/... or the select's closing paren/end)
+        depth, j = 0, from_start + 4
+        ins = len(text)
+        while j < len(text):
+            ch = text[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ins = j
+                    break
+            elif depth == 0:
+                km = _SRF_CLAUSE_END_RE.match(text, j)
+                if km and not re.search(r"[\w.]$", text[j - 1 : j]):
+                    ins = j
+                    break
+            j += 1
+        new_item = text[a : a + cs] + var + text[a + ce + 1 : b]
+        return (
+            text[:a]
+            + new_item
+            + text[b:ins]
+            + f" LATERAL VIEW {call} {view} AS {var} "
+            + text[ins:],
+            counter + 1,
+        )
+    return None
+
+
+def _rw_hoist_nested_srf(text: str) -> str:
+    """Spark requires generator functions at the TOP level of a select-list
+    item; PG lets set-returning functions sit inside expressions, e.g.
+    ``regexp_split_to_table(indkey::text, ' ')::smallint`` (reference:
+    packets/alert_bloat/01_step.sql:9). Rewrite each expression-nested
+    ``explode(...)`` (the form every SRF has been mapped to by this point)
+    into a ``LATERAL VIEW`` over the same FROM clause plus a column
+    reference — the Spark spelling of PG's implicit lateral SRF."""
+    counter, guard = 0, 0
+    while guard < 20:
+        guard += 1
+        for sm in re.finditer(r"(?<![\w.])select\b", text, re.I):
+            res = _hoist_in_select(text, sm.end(), counter)
+            if res is not None:
+                text, counter = res
+                break
+        else:
+            return text
+    return text
+
+
 def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     """Rewrite one PostgreSQL statement into Spark SQL. ``settings`` feeds
     ``current_setting()`` constant folding."""
@@ -807,6 +914,7 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     text = _rw_casts(text, lits)
     text = _rw_operators(text, lits)
     text = _rw_types_ddl(text)
+    text = _rw_hoist_nested_srf(text)
     # PG's default schema maps to Spark's current database: drop bare
     # `public.` qualifiers (reference packets write `public.test_tbl`,
     # e.g. test_int4_to_int8/06_step.sql:7). Same for `pg_catalog.` — the

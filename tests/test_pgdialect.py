@@ -252,3 +252,45 @@ def test_format_function(spark):
 )
 def test_interval_cmp_literal_scope(pg, expect):
     assert rewrite(pg) == expect
+
+
+# -------------------------------------------------- SRF auto-hoist (r4)
+
+
+@pytest.mark.parametrize(
+    ("pg", "expect"),
+    [
+        # SRF nested in a cast → LATERAL VIEW + column ref
+        (
+            "select a, unnest(x)::int as v from t where a > 1",
+            "select a, CAST(__srf_c0 AS int) as v from t "
+            " LATERAL VIEW explode(x) __srf_v0 AS __srf_c0 where a > 1",
+        ),
+        # top-level SRF untouched
+        ("select unnest(x) as v from t", "select explode(x) as v from t"),
+        # nested inside an outer function call
+        (
+            "select coalesce(unnest(x), 0) from t",
+            "select coalesce(__srf_c0, 0) from t "
+            " LATERAL VIEW explode(x) __srf_v0 AS __srf_c0 ",
+        ),
+    ],
+)
+def test_srf_hoist(pg, expect):
+    assert rewrite(pg).split() == expect.split()
+
+
+def test_srf_hoist_alert_bloat_shape():
+    """The real reference shape (packets/alert_bloat/01_step.sql:9)."""
+    out = rewrite(
+        "select nspname, regexp_split_to_table(indkey::text, ' ')::smallint"
+        " AS attnum from pg_index i join pg_class c on i.indexrelid = c.oid"
+        " where c.relkind = 'i'"
+    )
+    assert "CAST(__srf_c0 AS smallint) AS attnum" in out
+    assert (
+        "LATERAL VIEW explode(split(CAST(indkey AS string), ' '))"
+        " __srf_v0 AS __srf_c0" in out
+    )
+    # the lateral view attaches after the joins, before WHERE
+    assert out.index("LATERAL VIEW") < out.index("where c.relkind")

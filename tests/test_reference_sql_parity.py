@@ -9,7 +9,7 @@ additionally verify execution results. Documented exceptions:
 - ``DO $$…$$`` blocks — py-step twins by design (SURVEY §2.10);
 - DML/DDL statements — analysis needs the live objects each packet
   creates; execution is covered by the ported packet corpus instead;
-- generator-placeholder steps and the 3 files in _EXPECTED_UNANALYZABLE.
+- generator-placeholder steps and the 2 files in _EXPECTED_UNANALYZABLE.
 
 ``nextval()``/sequence DDL now rewrites cleanly: the runner inlines
 sequence calls from ledger-managed counters (plans/sequences.py), so no
@@ -55,10 +55,9 @@ _EXPECTED_UNANALYZABLE = {
     "test_dba_clone_schema/02_step.sql": "clone_schema() is packet-defined plpgsql",
     # INTENTIONAL typo — the packet exists to test the error path
     "test_syntax_exception/01_step.sql": "deliberate pg_sleeep() typo",
-    # SRF nested inside an expression (unnest(string_to_array(...)) in a
-    # select-list expression): Spark requires generators at the top level;
-    # the port restructures with LATERAL VIEW (packets/alert_bloat)
-    "alert_bloat/01_step.sql": "set-returning fn nested in expression",
+    # alert_bloat/01 (SRF nested in a select-list expression) analyzes
+    # verbatim since r4: pgdialect auto-hoists expression-nested explode()
+    # into a LATERAL VIEW (_rw_hoist_nested_srf)
 }
 # generator placeholders are bound at runtime (apply_gen_placeholders);
 # statements carrying them cannot name real objects in a static sweep
@@ -133,7 +132,8 @@ def test_reference_selects_analyze_verbatim(pg_env):
     assert not failures, "\n".join(failures)
     # the corpus is 46 packets; a collapsed glob or reference move should
     # fail loudly rather than silently passing on 0 statements
-    assert ok >= 68, f"only {ok} statements analyzed — reference tree moved?"
-    # 19 = generator-placeholder query steps (runtime-bound names) + the
-    # statements in _EXPECTED_UNANALYZABLE files
-    assert skipped <= 19, f"{skipped} skipped — expected-skip set grew"
+    assert ok >= 71, f"only {ok} statements analyzed — reference tree moved?"
+    # 18 = generator-placeholder query steps (runtime-bound names) + the
+    # statements in _EXPECTED_UNANALYZABLE files (alert_bloat/01 moved to
+    # the analyzed set in r4 via SRF auto-hoisting)
+    assert skipped <= 18, f"{skipped} skipped — expected-skip set grew"

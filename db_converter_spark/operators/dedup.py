@@ -790,18 +790,25 @@ FROM (
 """
 
 
-def _dd10_verify_tail(cand: str, doc_sh: str) -> str:
+def _dd10_verify_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
+    # Spark-side: the materialized candidate/size relations are TINY by LSH
+    # design but checkpointed RDDs carry no stats, so without hints every
+    # tail join plans as SortMergeJoin (8 needless exchanges measured);
+    # BROADCAST hints restore the small-side-broadcast shape. The DuckDB
+    # oracle gets the hint-free text.
+    h_common = "/*+ BROADCAST(c) */ " if hints else ""
+    h_jac = "/*+ BROADCAST(m, sa, sb) */ " if hints else ""
     return f"""
 sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM {doc_sh} GROUP BY doc_id
 ), common AS (
-  SELECT c.da, c.db, COUNT(*) AS common
+  SELECT {h_common}c.da, c.db, COUNT(*) AS common
   FROM {cand} c
   JOIN {doc_sh} x ON x.doc_id = c.da
   JOIN {doc_sh} y ON y.doc_id = c.db AND y.sh = x.sh
   GROUP BY c.da, c.db
 ), jac AS (
-  SELECT c.da, c.db,
+  SELECT {h_jac}c.da, c.db,
          CAST(coalesce(m.common, 0) AS DOUBLE)
            / (sa.sz + sb.sz - coalesce(m.common, 0)) AS j
   FROM {cand} c
@@ -819,7 +826,7 @@ FROM jac
 """
 
 
-_DD10_TAIL_SPARK = "WITH " + _dd10_verify_tail("dd10_cand", "dd10_doc_sh")
+_DD10_TAIL_SPARK = "WITH " + _dd10_verify_tail("dd10_cand", "dd10_doc_sh", hints=True)
 
 
 def _dd10_duck() -> str:

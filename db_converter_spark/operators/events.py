@@ -182,6 +182,25 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions around a streaming query
+    start: the state-store instance count binds to the conf at query start,
+    and 32 stores for a few-hundred-row aggregate is pure fixed cost
+    (measured: ev03 1.6 s -> 0.9 s warm at 8). Restored afterwards so batch
+    queries keep the session default."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _events_stream_source(spark: SparkSession, sf_dir: str):
     """readStream source for the events table with a footer-driven ``ts``
     schema: parquet timestamp[ns] columns can only be scanned as raw longs
@@ -242,14 +261,15 @@ def ev03_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -514,14 +534,15 @@ def ev07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("event_type")

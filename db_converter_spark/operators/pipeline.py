@@ -178,6 +178,12 @@ def _pack(spark: SparkSession, docs: DataFrame, nparts: int) -> DataFrame:
     parts = docs.repartitionByRange(nparts, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
+    # materialize ONCE: the lineage (scan + tokenize + range shuffle) is
+    # consumed twice — by the per-partition totals and by the placement
+    # pass — and this also freezes the pid assignment the two passes share.
+    # The checkpoint holds only (doc_id, source, n_tok, pid): ~24 B/doc,
+    # memory+disk at cluster scale.
+    parts = parts.localCheckpoint(eager=True)
     # phase 1.5: per-partition totals → driver prefix sum (tiny: one row per
     # partition), rebroadcast as a join on pid
     ptotals = sorted(

@@ -64,9 +64,15 @@ def main() -> int:
     # doesn't inflate the next five queries' numbers (r3 verdict).
     heavy = {
         "dd05_ngram_jaccard",
-        "dd08_connected_components",
+        "dd08_neardup_components",
         "dd10_lsh_jaccard_verify",
         "q36_recursive_cte",
+        # leave localCheckpoint / streaming state behind — GC right after
+        # so the next queries (q01 follows pipe02 alphabetically) don't
+        # absorb their cleanup
+        "pipe02_sequence_pack",
+        "ev03_streaming_window",
+        "ev07_stream_dedup",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -26,9 +26,40 @@ def normalize_columns(names: list[str | None], width: int) -> list[str]:
     return out[:width] if width else out
 
 
+def print_table_reference(table: list[list]) -> str:
+    """BYTE-compatible twin of the reference's table format (behavior of
+    dbccore/dbccore.py:39-48, reimplemented): pipe-delimited cells
+    (``| a | b |``), per-column width = max stringified length, numbers
+    right-aligned / strings left-aligned (Python width-format semantics the
+    reference relies on), and a full-width dashed rule printed above the
+    header row AND between header and first data row. Values the width
+    format can't take directly (None, nested types) fall back to ``str``;
+    the reference would crash there, so its callers always pre-stringify.
+    The repo's own goldens use :func:`print_table`; this twin exists for
+    diffing against output captured from the reference itself."""
+    if not table:
+        return ""
+    widths = [max(len(str(x)) for x in col) for col in zip(*table)]
+    out: list[str] = []
+    for rn, row in enumerate(table):
+        cells = []
+        for i, x in enumerate(row):
+            try:
+                cells.append("{:{}}".format(x, widths[i]))
+            except (TypeError, ValueError):
+                cells.append("{:{}}".format(str(x), widths[i]))
+        line = "| " + " | ".join(cells) + " |"
+        if rn <= 1:
+            out.append("-" * len(line))
+        out.append(line)
+    return "\n".join(out) + "\n"
+
+
 def print_table(table: list[list]) -> str:
     """Fixed-width ASCII table with a dashed underline under the header row
-    (reference: dbccore/dbccore.py:39-48). ``table[0]`` is the header."""
+    (same role as dbccore/dbccore.py:39-48 but a different format — see the
+    module docstring; :func:`print_table_reference` is the byte-compatible
+    twin). ``table[0]`` is the header."""
     if not table:
         return "\n"
     cells = [[_to_str(v) for v in row] for row in table]

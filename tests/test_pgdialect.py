@@ -294,3 +294,41 @@ def test_srf_hoist_alert_bloat_shape():
     )
     # the lateral view attaches after the joins, before WHERE
     assert out.index("LATERAL VIEW") < out.index("where c.relkind")
+
+
+@pytest.mark.parametrize(
+    ("pg", "expect"),
+    [
+        # two nested SRFs in one select list → two lateral views
+        (
+            "select unnest(a)::int as x, unnest(b)::int as y from t",
+            "select CAST(__srf_c0 AS int) as x, CAST(__srf_c1 AS int) as y"
+            " from t LATERAL VIEW explode(a) __srf_v0 AS __srf_c0"
+            " LATERAL VIEW explode(b) __srf_v1 AS __srf_c1",
+        ),
+        # lateral view lands BEFORE group by
+        (
+            "select k, sum(unnest(v)::int) as s from t group by k",
+            "select k, sum(CAST(__srf_c0 AS int)) as s from t"
+            " LATERAL VIEW explode(v) __srf_v0 AS __srf_c0 group by k",
+        ),
+        # no FROM clause → nothing to attach, left as-is
+        ("select 1 + unnest(x) as v", "select 1 + explode(x) as v"),
+    ],
+)
+def test_srf_hoist_edges(pg, expect):
+    assert rewrite(pg).split() == expect.split()
+
+
+def test_srf_hoist_executes(spark):
+    """The hoisted statement must RUN with PG's implicit-lateral semantics,
+    not merely analyze."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW srf_t AS"
+        " SELECT * FROM VALUES (1, '2 3'), (2, '40') AS t(k, s)"
+    )
+    out = spark.sql(
+        rewrite("select k, regexp_split_to_table(s, ' ')::int * 10 as v from srf_t")
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, 20), (1, 30), (2, 400)]

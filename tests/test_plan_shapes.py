@@ -1,0 +1,76 @@
+"""Physical-plan shape pins for the claims PLANS.md makes — a perf
+regression that flips a broadcast to a shuffle join, loses a pushed
+filter, or turns top-k into a global sort should fail TESTS, not just
+read worse in the next bench artifact.
+
+Plans are taken at sf0.001 (shape, not size, is under test; where AQE
+could flip a join at tiny SF the assertion targets operators AQE does not
+rewrite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from db_converter_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name].builder(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dc01_broadcasts_bench_grams(spark):
+    """The training corpus must NEVER shuffle for the decontamination join:
+    the distinct benchmark gram set is the broadcast build side."""
+    plan = _plan(spark, "dc01_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the bench-slice filter reaches the scan (DataFilters on doc_id % 97)
+    assert plan.count("% 97)") >= 2, plan
+
+
+def test_dd10_tail_broadcasts_candidates(spark):
+    """Checkpointed relations carry no stats; the BROADCAST hints must keep
+    the tiny candidate/size relations on the build side (the un-hinted
+    plan ran 8 needless SortMergeJoin exchanges)."""
+    plan = _plan(spark, "dd10_lsh_jaccard_verify")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # exactly ONE sort-merge join is correct: the big-big join of the
+    # candidate-expanded shingles against doc_sh on (doc_id, sh) — both
+    # sides are shingle-sized, so neither should broadcast
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_ss05_query_batch_is_broadcast_side(spark):
+    """Corpus streams through ONE broadcast nested-loop pass; the per-query
+    top-3 uses rank-limit pushdown, never a global sort."""
+    plan = _plan(spark, "ss05_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" not in plan or "Sort " not in plan, plan
+
+
+def test_q02_topk_never_global_sorts(spark):
+    plan = _plan(spark, "q02_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pipe01_single_pass(spark):
+    """The corpus filter chain is ONE scan + one aggregate exchange."""
+    plan = _plan(spark, "pipe01_corpus_filter")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q03_nation_revenue", "ev01_windowed_event_stats"],
+)
+def test_scans_prune_columns(spark, name):
+    """Column pruning reaches every parquet reader: no scan reads the wide
+    `text`/`props` payloads these queries don't use."""
+    plan = _plan(spark, name)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "props" not in line, line

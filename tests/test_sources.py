@@ -78,3 +78,64 @@ def test_read_jdbc_chunked_call_shape(spark, monkeypatch):
     preds = captured["predicates"]
     assert len(preds) == 3 and preds[0] == "id >= 1 AND id <= 10000"
     assert preds[-1] == "id >= 20001 AND id <= 25000"
+
+
+# ------------------------------------------------------------- JSONL corpus
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """Parquet documents → JSONL shards (gzip) → read back: equal rows."""
+    from db_converter_spark.catalog import load_table
+    from db_converter_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs.repartition(3), out)
+    back = read_jsonl(spark, out)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_bad_lines_policies(spark, tmp_path):
+    from db_converter_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also good", "lang": "en", "source": "s", "n_chars": 9}\n'
+    )
+    path = str(p)
+    # drop (default): only the two valid rows
+    got = read_jsonl(spark, path)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+    assert "_corrupt_record" not in got.columns
+    # keep: corrupt line quarantined with the raw text attached
+    kept = read_jsonl(spark, path, bad_lines="keep")
+    bad = [r for r in kept.collect() if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    # fail: job dies on the malformed line
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, path, bad_lines="fail").collect()
+    # unknown policy rejected
+    with pytest.raises(ValueError):
+        read_jsonl(spark, path, bad_lines="lenient")
+
+
+def test_jsonl_extra_and_missing_fields(spark, tmp_path):
+    """Interchange reality: dumps carry extra metadata fields (ignored) and
+    may omit schema fields (NULL-filled)."""
+    from db_converter_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "fields.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "t", "url": "http://x", "meta": {"k": 1}}\n'
+    )
+    row = read_jsonl(spark, str(p)).collect()[0]
+    assert row.doc_id == 1 and row.text == "t"
+    assert row.lang is None and row.n_chars is None

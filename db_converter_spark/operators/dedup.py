@@ -465,7 +465,10 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round — on a production cluster use a reliable checkpoint dir.
     Oracle = DuckDB recursive-CTE transitive closure of the same graph."""
     register_views(spark, sf_dir)
-    edges = spark.sql(_dd08_bands_spark())
+    # materialize the edge list BEFORE symmetrizing: union references the
+    # edges lineage twice, so without this the md5-heavy MinHash banding
+    # pipeline executes twice inside the first job
+    edges = spark.sql(_dd08_bands_spark()).localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -230,12 +230,12 @@ def dd04_minhash_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dd05(shingles: str) -> str:
-    return f"""
+def _dd05() -> str:
+    return """
 WITH doc_sh AS (
   SELECT DISTINCT doc_id, sh
   FROM (
-    SELECT doc_id, {{unnest}} AS sh FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id, {unnest} AS sh FROM documents WHERE doc_id % 10 = 0
   ) t
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id
@@ -259,8 +259,35 @@ FROM jac
 """
 
 
-_DD05_SPARK = _dd05(_SHINGLES_SPARK).format(unnest=f"explode({_SHINGLES_SPARK})")
-_DD05_DUCK = _dd05(_SHINGLES_DUCK).format(unnest=f"unnest({_SHINGLES_DUCK})")
+_DD05_DUCK = _dd05().format(unnest=f"unnest({_SHINGLES_DUCK})")
+
+_DD05_DOCSH_SPARK = f"""
+SELECT DISTINCT doc_id, sh
+FROM (SELECT doc_id, explode({_SHINGLES_SPARK}) AS sh
+      FROM documents WHERE doc_id % 10 = 0) t
+"""
+
+_DD05_TAIL_SPARK = """
+WITH sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM dd05_doc_sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+  FROM dd05_doc_sh a JOIN dd05_doc_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT /*+ BROADCAST(sa, sb) */ da, db, common,
+         CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS j
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT)                                  AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_03,
+  CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_05,
+  ROUND(MAX(j), 4)                                          AS max_jaccard
+FROM jac
+"""
 
 
 @query("dd05_ngram_jaccard", oracle=_DD05_DUCK, tags=("dedup", "jaccard"))
@@ -269,8 +296,15 @@ def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup ground truth, run on a deterministic 10% sample (doc_id%10=0).
     Exact all-pairs Jaccard is intrinsically O(n²) when the corpus shares
     vocabulary; the production path at 100 TB is dd04 (LSH banding) for
-    candidates + this exact measure on candidates/samples only."""
-    return _sql(spark, sf_dir, _DD05_SPARK)
+    candidates + this exact measure on candidates/samples only.
+
+    The sampled shingle table is materialized once (localCheckpoint): the
+    CTE form re-ran the explode+DISTINCT for each of its three references
+    (both self-join sides + the size table)."""
+    register_views(spark, sf_dir)
+    doc_sh = spark.sql(_DD05_DOCSH_SPARK).localCheckpoint(eager=True)
+    doc_sh.createOrReplaceTempView("dd05_doc_sh")
+    return spark.sql(_DD05_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -34,22 +34,31 @@ class StepWatchdog:
         self.job_group = job_group
         self.timeout_s = timeout_s
         self.fired = False
-        self._timer: threading.Timer | None = None
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
 
-    def _cancel(self) -> None:
+    def _run(self) -> None:
+        if self._stop.wait(self.timeout_s):
+            return  # body finished inside the budget
         self.fired = True
-        self.spark.sparkContext.cancelJobGroup(self.job_group)
+        # cancel REPEATEDLY until the step exits: cancelJobGroup only hits
+        # jobs active at call time, so a one-shot cancel no-ops when the
+        # step's job is still in scheduler queue (observed under load) and
+        # the late-starting job would run to completion
+        while not self._stop.is_set():
+            self.spark.sparkContext.cancelJobGroup(self.job_group)
+            self._stop.wait(0.5)
 
     def __enter__(self) -> StepWatchdog:
         if self.timeout_s is not None and self.timeout_s > 0:
-            self._timer = threading.Timer(self.timeout_s, self._cancel)
-            self._timer.daemon = True
-            self._timer.start()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
         return self
 
     def __exit__(self, *exc) -> None:
-        if self._timer is not None:
-            self._timer.cancel()
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
 
 
 def install_sigint_cancel(spark: SparkSession):

@@ -44,6 +44,16 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--known-dbs", default="", help="comma list of known targets for mask expansion")
     p.add_argument("--warehouse", default="dbc_warehouse", help="ledger/export root")
     p.add_argument("--placeholders", default=None, help='JSON dict for DBC_PL_* substitution')
+    p.add_argument(
+        "--conf",
+        default=None,
+        help="JSON dict of session conf overrides applied before the run"
+        " (reference --conf overrides db_converter.conf; here the keys are"
+        " spark.conf settings, same channel as per-packet session_conf)",
+    )
+    from db_converter_spark import __version__
+
+    p.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
     p.add_argument("--packet-type", default=None, choices=[t.value for t in PacketType])
     p.add_argument("--force", action="store_true")
     p.add_argument("--seq", action="store_true", help="serialize multi-target runs")
@@ -148,6 +158,13 @@ def main(argv: list[str] | None = None, spark=None, confirm=input) -> int:
         from db_converter_spark.session import build_session
 
         spark = build_session(app_name=f"dbc_{args.packet_name}")
+
+    if args.conf:
+        # CLI-level conf overlay (reference: db_converter.py --conf JSON) —
+        # same mechanism as per-packet session tuning (E30), applied first
+        # so packets can still override per-packet
+        for k, v in json.loads(args.conf).items():
+            spark.conf.set(k, str(v))
 
     hook = ChatHook(args.hook_url) if args.hook_url else None
     runner = PacketRunner(spark, warehouse, hook=hook)

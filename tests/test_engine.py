@@ -448,3 +448,37 @@ def test_print_table_reference_byte_parity():
     ]
     for t in tables:
         assert print_table_reference(t) == ref_print_table(t), t
+
+
+def test_cli_version(capsys):
+    import pytest as _pytest
+
+    from db_converter_spark import __version__
+    from db_converter_spark.cli import main as cli_main
+
+    with _pytest.raises(SystemExit) as e:
+        cli_main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_cli_conf_overlay(spark, tmp_path):
+    from db_converter_spark.cli import main as cli_main
+
+    pkt = tmp_path / "packets" / "conf_pkt"
+    pkt.mkdir(parents=True)
+    (pkt / "01_step.sql").write_text("SELECT 1 AS one")
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    rc = cli_main(
+        [
+            "--packet-name", "conf_pkt",
+            "--packets-dir", str(tmp_path / "packets"),
+            "--warehouse", str(tmp_path / "wh"),
+            "--db", "confdb",
+            "--conf", '{"spark.sql.cbo.enabled": "true"}',
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    spark.conf.set("spark.sql.cbo.enabled", prev)

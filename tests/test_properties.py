@@ -61,7 +61,11 @@ def test_rewrite_never_touches_literal_interiors(body):
 
 @given(st.lists(st.sampled_from(
     ["select a::int8 from t", "select x ~ 'p' from u", "select 2^8",
-     "select generate_series(1, 3)", "select now()"]
+     "select generate_series(1, 3)", "select now()",
+     # expression-nested SRFs: the r4 auto-hoist must also be stable
+     "select unnest(a)::int as v from t",
+     "select coalesce(unnest(a), 0) as v from t where k > 1",
+     "select f(unnest(a)) as x, unnest(b)::text as y from t group by 1"]
 ), min_size=1, max_size=4))
 @settings(max_examples=100, deadline=None)
 def test_rewrite_is_idempotent_on_its_output(stmts):
@@ -81,3 +85,29 @@ def test_split_and_rewrite_never_crash(garbage):
         rewrite(garbage)
     except UnsupportedConstruct:
         pass
+
+
+_WRAPPERS = ["{srf}", "{srf}::int", "coalesce({srf}, 0)", "f({srf}) + 1"]
+
+
+@given(
+    st.sampled_from(_WRAPPERS),
+    st.sampled_from(["unnest(arr)", "generate_series(1, n)"]),
+    st.sampled_from(["", " where k > 0", " group by k", " order by 1 limit 5"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_hoisted_srf_leaves_no_nested_generator(wrapper, srf, clause):
+    """After rewrite, any explode() between SELECT and FROM is the WHOLE
+    select item (Spark's requirement); nested ones moved to LATERAL VIEW."""
+    import re
+
+    sql = f"select k, {wrapper.format(srf=srf)} as v from t{clause}"
+    out = rewrite(sql)
+    assert rewrite(out) == out  # hoisting is idempotent
+    head = out[: re.search(r"\bfrom\b", out, re.I).start()]
+    if "explode(" in head:
+        # only legal as the entire item: "select k, explode(...) as v"
+        assert re.search(r",\s*explode\(", head), out
+        assert wrapper == "{srf}", out
+    else:
+        assert "LATERAL VIEW explode(" in out, out

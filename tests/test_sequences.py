@@ -246,3 +246,16 @@ def test_update_from_nextval_unsupported(ctx):
             "UPDATE ufx SET c = nextval('ufx_seq')"
             " FROM (SELECT 1 AS k) s WHERE ufx.k = s.k"
         )
+
+
+def test_concurrent_block_allocation_distinct(tracker):
+    """The ledger lock must serialize counter bumps: concurrent block
+    reservations never overlap (the engine's whole-block contract)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tracker.seq_create("conc", start=1, increment=1)
+    with ThreadPoolExecutor(8) as ex:
+        firsts = list(ex.map(lambda _: tracker.seq_nextval("conc", block=5), range(40)))
+    claimed = sorted(v for f in firsts for v in range(f, f + 5))
+    # 40 blocks x 5 values: all distinct, fully covering 1..200
+    assert claimed == list(range(1, 201))

@@ -259,3 +259,26 @@ def test_concurrent_block_allocation_distinct(tracker):
     claimed = sorted(v for f in firsts for v in range(f, f + 5))
     # 40 blocks x 5 values: all distinct, fully covering 1..200
     assert claimed == list(range(1, 201))
+
+
+def test_multirow_values_through_serial_default(ctx):
+    """Multi-row VALUES insert through a recorded nextval default: one
+    value PER ROW (the INSERT is rewritten to SELECT-over-VALUES, so the
+    block demand counts the source rows)."""
+    spark = ctx.spark
+    spark.sql(f"DROP TABLE IF EXISTS {DB}.mvd")
+    spark.sql(f"CREATE TABLE {DB}.mvd (id BIGINT, name STRING) USING parquet")
+    ctx.execute("CREATE SEQUENCE mvd_seq START WITH 70")
+    ctx.execute("ALTER TABLE mvd ALTER COLUMN id SET DEFAULT nextval('mvd_seq')")
+    ctx.execute("INSERT INTO mvd(name) VALUES ('a'), ('b'), ('c')")
+    spark.catalog.refreshTable(f"{DB}.mvd")
+    ids = sorted(r.id for r in spark.table(f"{DB}.mvd").collect())
+    assert ids == [70, 71, 72]
+    # explicit per-row nextval call sites also each draw their own value
+    ctx.execute(
+        "INSERT INTO mvd(id, name) VALUES (nextval('mvd_seq'), 'd'),"
+        " (nextval('mvd_seq'), 'e')"
+    )
+    spark.catalog.refreshTable(f"{DB}.mvd")
+    ids = sorted(r.id for r in spark.table(f"{DB}.mvd").collect())
+    assert ids == [70, 71, 72, 73, 74]

@@ -169,10 +169,12 @@ def test_watchdog_fires_on_timeout(spark, tmp_path):
         tmp_path / "wd_pkt",
         {
             # a deliberately heavy cartesian query; the watchdog should
-            # cancel the job group well before it finishes
+            # cancel the job group well before it finishes. Sized so a HOT
+            # JVM still needs >>2 s (300k x 300k once flaked in the full
+            # suite: warmed codegen finished it inside the timeout)
             "01_step.sql": (
-                "select count(*) from (select explode(sequence(1, 300000)) a) x"
-                " join (select explode(sequence(1, 300000)) b) y"
+                "select count(*) from (select explode(sequence(1, 2000000)) a) x"
+                " join (select explode(sequence(1, 2000000)) b) y"
                 " on x.a % 1000 = y.b % 1000"
             ),
             "meta_data.json": '{"type": "read_only", "statement_timeout": 2}',

@@ -214,6 +214,112 @@ def _swap_write(spark: SparkSession, table: str, df: DataFrame) -> None:
     spark.sql(f"DROP TABLE {bak}")
 
 
+def upsert_plan(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    set_map: dict[str, str] | None,
+    update_where: str | None = None,
+) -> DataFrame:
+    """Logical plan of :func:`upsert` — PostgreSQL
+    ``INSERT … ON CONFLICT (keys) DO UPDATE SET … [WHERE …] | DO NOTHING``
+    semantics for parquet tables (the one DML idiom every PG user writes
+    that the reference corpus happens not to; reference executes it
+    server-side like all DML).
+
+    - ``set_map is None`` → DO NOTHING: conflicting source rows are
+      discarded, the target is untouched, non-conflicting rows append.
+    - else → DO UPDATE: conflicting target rows get the SET expressions
+      (reference the proposed row as ``excluded.col`` and the existing row
+      as ``t.col``, PG's spelling); ``update_where`` (PG's ``DO UPDATE …
+      WHERE``) limits which conflicting rows update.
+
+    PG raises ``21000`` when one target row would be affected twice; here
+    the source is deduplicated on the keys first (keep-first by the
+    source's own order) — the batch-friendly resolution, documented
+    rather than erroring.
+
+    At scale: the source is the small side by construction (a batch of
+    proposed rows) — broadcast join against the target, partition-parallel
+    rewrite, no shuffle of the table."""
+    tcols = [name for name, _ in _columns(spark, table)]
+    missing = [k for k in keys if k not in {c.lower() for c in tcols}]
+    if missing:
+        raise ValueError(f"upsert {table}: unknown conflict keys {missing}")
+    src = source.dropDuplicates(keys)
+    for name, dtype in _columns(spark, table):
+        if name not in src.columns:
+            src = src.withColumn(name, F.lit(None).cast(dtype))
+    t = spark.table(table).alias("t")
+    s = F.broadcast(src.withColumn("__ups_hit", F.lit(True))).alias("excluded")
+    cond = [F.col(f"t.{k}") == F.col(f"excluded.{k}") for k in keys]
+    joined = t.join(s, cond, "left")
+    matched = F.col("__ups_hit").isNotNull()
+    if set_map is not None and update_where is not None:
+        matched = matched & F.expr(update_where)
+    out_cols = []
+    for c in tcols:
+        if set_map is not None and c in set_map:
+            out_cols.append(
+                F.when(matched, F.expr(set_map[c]))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    kept = joined.select(*out_cols)
+    new_rows = (
+        src.alias("excluded")
+        .join(spark.table(table).alias("t"), cond, "left_anti")
+        .select(*[F.col(f"excluded.{c}").alias(c) for c in tcols])
+    )
+    return kept.unionByName(new_rows)
+
+
+def upsert(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    set_map: dict[str, str] | None,
+    update_where: str | None = None,
+) -> int:
+    """Execute :func:`upsert_plan` via the two-phase swap write. Returns
+    PG's affected-row count for ``INSERT … ON CONFLICT``: inserted rows
+    plus (DO UPDATE only) updated rows — DO-NOTHING conflicts and rows a
+    ``DO UPDATE … WHERE`` excludes are not counted."""
+    n = upsert_affected_count(spark, table, source, keys, set_map, update_where)
+    _swap_write(spark, table, upsert_plan(spark, table, source, keys, set_map, update_where))
+    return n
+
+
+def upsert_affected_count(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    set_map: dict[str, str] | None,
+    update_where: str | None = None,
+) -> int:
+    """Rows an :func:`upsert` reports as affected (PG command-tuple
+    semantics): inserted + (DO UPDATE only) updated."""
+    src = source.dropDuplicates(keys)
+    t = spark.table(table)
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    n_new = src.alias("s").join(t.alias("t"), cond, "left_anti").count()
+    if set_map is None:
+        return n_new
+    hits = t.alias("t").join(
+        F.broadcast(src).alias("excluded"),
+        [F.col(f"t.{k}") == F.col(f"excluded.{k}") for k in keys],
+        "inner",
+    )
+    if update_where is not None:
+        hits = hits.where(F.expr(update_where))
+    return n_new + hits.count()
+
+
 def delete_plan(spark: SparkSession, table: str, predicate: str | None) -> DataFrame:
     """Kept-rows plan of :func:`delete_where` (anti-filter); analyzed eagerly
     so dry-runs surface bad predicates without writing."""

@@ -249,6 +249,9 @@ def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
     if not any(f.name.lower() in props and f.name.lower() not in cols for f in schema):
         return stmt
     src = m.group(3).rstrip().rstrip(";")
+    # an ON CONFLICT clause is not part of the row source — detach it and
+    # re-attach to the rewritten INSERT (the upsert router handles it)
+    src, conflict_clause = _split_on_conflict(src)
     # bind the source's outputs to the provided column names positionally
     # (arbitrary expressions have no usable names), then project the table's
     # full column order with defaults/NULLs for the omitted ones
@@ -263,7 +266,20 @@ def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
             proj.append(f"({props[n]}) AS `{f.name}`")
         else:
             proj.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
-    return f"INSERT INTO {table} SELECT {', '.join(proj)} FROM {tmp}"
+    out = f"INSERT INTO {table} SELECT {', '.join(proj)} FROM {tmp}"
+    return f"{out} {conflict_clause}" if conflict_clause else out
+
+
+def _split_on_conflict(stmt: str) -> tuple[str, str | None]:
+    """Split a top-level ``ON CONFLICT …`` clause off an INSERT statement.
+    Returns ``(head, clause)`` with ``clause=None`` when absent. Detection
+    runs on the literal-masked text so the keywords never match inside
+    strings/comments."""
+    masked = mask_strings(stmt)
+    for m in re.finditer(r"\bon\s+conflict\b", masked, re.I):
+        if masked[: m.start()].count("(") == masked[: m.start()].count(")"):
+            return stmt[: m.start()].rstrip(), stmt[m.start() :].rstrip().rstrip(";")
+    return stmt, None
 
 
 _DELETE_RE = re.compile(
@@ -337,6 +353,43 @@ def _split_set_clause(tail: str) -> tuple[dict[str, str], str | None]:
     return set_map, predicate
 
 
+_INSERT_HEAD_RE = re.compile(
+    r"^\s*insert\s+into\s+([\w.`\"]+)\s*(?:\(([^)]*)\))?\s*(.+)$", re.I | re.S
+)
+
+
+def _parse_insert_on_conflict(ctx: RunContext, stmt: str):
+    """``INSERT INTO t[(cols)] <src> ON CONFLICT (keys) DO NOTHING |
+    DO UPDATE SET … [WHERE …]`` → (table, source_df, keys, set_map,
+    update_where), or None when the statement is not an upsert. PG's
+    upsert idiom (reference runs it server-side like all DML); compiled
+    onto operators.migration.upsert. In SET expressions reference the
+    proposed row as ``excluded.col`` and the existing row as ``t.col``."""
+    head, clause = _split_on_conflict(stmt.rstrip().rstrip(";"))
+    if clause is None:
+        return None
+    cm = re.match(
+        r"^on\s+conflict\s*\(([^)]*)\)\s*do\s+(nothing\b|update\s+set\s+)(.*)$",
+        clause,
+        re.I | re.S,
+    )
+    if cm is None:
+        raise ValueError(f"cannot parse ON CONFLICT clause: {clause!r}")
+    hm = _INSERT_HEAD_RE.match(head)
+    if hm is None:
+        raise ValueError(f"cannot parse INSERT head of upsert: {head!r}")
+    table = hm.group(1).strip('`"')
+    src_df = ctx.spark.sql(hm.group(3))
+    if hm.group(2):
+        cols = [c.strip().strip('`"') for c in hm.group(2).split(",")]
+        src_df = src_df.toDF(*cols)
+    keys = [k.strip().strip('`"').lower() for k in cm.group(1).split(",")]
+    if cm.group(2).lower().startswith("nothing"):
+        return table, src_df, keys, None, None
+    set_map, upd_where = _split_set_clause(cm.group(3))
+    return table, src_df, keys, set_map, upd_where
+
+
 def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     """Spark cannot run DELETE/UPDATE against v1 (parquet) catalog tables —
     route them through the migration rewrites (anti-filter delete,
@@ -350,6 +403,21 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     # reference packets wrap statements in '-- tx start/end' comment markers;
     # the route match must see the first keyword, not the comment
     stmt = _strip_leading_comments(stmt)
+    ups = _parse_insert_on_conflict(ctx, stmt)
+    if ups is not None:
+        table, src_df, keys, set_map, upd_where = ups
+        if dry:
+            migration.shadow_execute(
+                migration.upsert_plan(ctx.spark, table, src_df, keys, set_map, upd_where)
+            )
+            return [
+                "INSERT",
+                migration.upsert_affected_count(
+                    ctx.spark, table, src_df, keys, set_map, upd_where
+                ),
+            ]
+        n = migration.upsert(ctx.spark, table, src_df, keys, set_map, upd_where)
+        return ["INSERT", n]
     m = _DELETE_RE.match(stmt)
     if m:
         table, predicate = m.group(1).strip("`"), m.group(2)

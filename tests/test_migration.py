@@ -217,3 +217,86 @@ def test_merge_null_keys_not_counted_or_updated(spark):
     }
     assert got == {(1, 110), (2, 20), (None, 30)}
     spark.sql("DROP TABLE migdb.nulkey")
+
+
+# ------------------------------------------------------------------ upsert
+
+
+def _fresh_upsert_table(spark, name):
+    spark.sql(f"DROP TABLE IF EXISTS migdb.{name}")
+    spark.sql(
+        f"CREATE TABLE migdb.{name} USING parquet AS SELECT * FROM VALUES"
+        " (1, 'a', 10), (2, 'b', 20), (3, 'c', 30) AS t(k, name, v)"
+    )
+    return f"migdb.{name}"
+
+
+def test_upsert_do_update(spark):
+    """INSERT ... ON CONFLICT (k) DO UPDATE SET: conflicting rows update
+    (excluded.* = proposed row), new rows insert, count = inserted+updated."""
+    from db_converter_spark.operators.migration import upsert
+
+    tbl = _fresh_upsert_table(spark, "ups1")
+    src = spark.sql(
+        "SELECT * FROM VALUES (2, 'B', 200), (4, 'd', 40) AS s(k, name, v)"
+    )
+    n = upsert(spark, tbl, src, ["k"], {"name": "excluded.name", "v": "t.v + excluded.v"})
+    assert n == 2  # one updated + one inserted
+    got = {(r.k, r.name, r.v) for r in spark.table(tbl).collect()}
+    assert got == {(1, "a", 10), (2, "B", 220), (3, "c", 30), (4, "d", 40)}
+
+
+def test_upsert_do_nothing(spark):
+    from db_converter_spark.operators.migration import upsert
+
+    tbl = _fresh_upsert_table(spark, "ups2")
+    src = spark.sql("SELECT * FROM VALUES (3, 'X', 999), (5, 'e', 50) AS s(k, name, v)")
+    n = upsert(spark, tbl, src, ["k"], None)
+    assert n == 1  # PG counts only the inserted row
+    got = {(r.k, r.name, r.v) for r in spark.table(tbl).collect()}
+    assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)}
+
+
+def test_upsert_do_update_where(spark):
+    """DO UPDATE ... WHERE limits which conflicting rows update (and which
+    count as affected)."""
+    from db_converter_spark.operators.migration import upsert
+
+    tbl = _fresh_upsert_table(spark, "ups3")
+    src = spark.sql("SELECT * FROM VALUES (1, 'A', 1), (2, 'B', 2) AS s(k, name, v)")
+    n = upsert(spark, tbl, src, ["k"], {"name": "excluded.name"}, "t.v >= 20")
+    assert n == 1  # only k=2 passes the WHERE; k=1 conflicts but is excluded
+    got = {(r.k, r.name) for r in spark.table(tbl).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_statement_routing(spark, tmp_path):
+    """The full PG statement shape runs as plain packet SQL and reports
+    the PG rowcount."""
+    from db_converter_spark.plans.model import ResultCode
+    from db_converter_spark.plans.runner import PacketRunner
+
+    pkt = tmp_path / "ups_pkt"
+    pkt.mkdir()
+    (pkt / "run_once.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS ups_tbl (k BIGINT, name STRING, v BIGINT)"
+        " USING parquet"
+    )
+    (pkt / "01_step.sql").write_text(
+        "INSERT INTO ups_tbl SELECT id AS k, concat('n', id) AS name,"
+        " id * 10 AS v FROM range(1, 4);\n"
+        "INSERT INTO ups_tbl(k, name, v) VALUES (2, 'two', 999), (9, 'nine', 90)"
+        " ON CONFLICT (k) DO UPDATE SET v = excluded.v, name = excluded.name;\n"
+        "INSERT INTO ups_tbl(k, name, v) VALUES (3, 'X', 0)"
+        " ON CONFLICT (k) DO NOTHING;\n"
+    )
+    runner = PacketRunner(spark, tmp_path / "wh")
+    res = runner.run(pkt, dbs=["ups_db"])
+    assert res.result_code["ups_db"] == ResultCode.SUCCESS, res.result_data["ups_db"]
+    rows = {(r.k, r.name, r.v) for r in spark.table("ups_db.ups_tbl").collect()}
+    assert rows == {
+        (1, "n1", 10),
+        (2, "two", 999),
+        (3, "n3", 30),
+        (9, "nine", 90),
+    }

@@ -793,6 +793,118 @@ def _rw_interval_cmp_literals(text: str, lits: list[str]) -> str:
     return _INTERVAL_CMP_RE.sub(sub, text)
 
 
+_DISTINCT_ON_RE = re.compile(r"(?<![\w.])select\s+distinct\s+on\s*\(", re.I)
+_DON_BOUND_RE = re.compile(
+    r"\b(order\s+by|limit|offset|group\s+by|having|union|intersect|except)\b",
+    re.I,
+)
+
+
+def _match_paren(text: str, open_idx: int) -> int:
+    depth, j = 1, open_idx + 1
+    while j < len(text) and depth:
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+        j += 1
+    return j - 1
+
+
+def _rw_distinct_on(text: str) -> str:
+    """PG ``SELECT DISTINCT ON (keys) list FROM … ORDER BY keys, o…`` →
+    first-row-per-group via ``row_number()`` subquery (Spark has neither
+    DISTINCT ON nor QUALIFY). The inner query carries ``*`` so list/ORDER
+    BY expressions over unselected base columns still resolve; when the
+    FROM clause is one relation the subquery is re-aliased to that
+    relation's name so qualified references (``t.x``) keep working.
+    Output ordering follows the original ORDER BY, PG semantics; without
+    one, PG documents the kept row as unpredictable — here it is the
+    first by the keys themselves."""
+    guard = 0
+    while guard < 20:
+        guard += 1
+        m = _DISTINCT_ON_RE.search(text)
+        if m is None:
+            return text
+        kclose = _match_paren(text, m.end() - 1)
+        keys = text[m.end() : kclose].strip()
+        # select list: kclose+1 .. top-level FROM
+        depth, j, from_start = 0, kclose + 1, None
+        while j < len(text):
+            ch = text[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and ch in "fF" and re.match(r"from\b", text[j:], re.I):
+                if not re.search(r"[\w.]$", text[j - 1 : j]):
+                    from_start = j
+                    break
+            j += 1
+        if from_start is None:
+            raise UnsupportedConstruct("DISTINCT ON without a FROM clause")
+        sel_list = text[kclose + 1 : from_start].strip()
+        # walk the body: FROM+WHERE part, then ORDER BY / LIMIT-OFFSET tail
+        depth, j = 0, from_start
+        ob_start = tail_start = body_end = None
+        while j < len(text):
+            ch = text[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    body_end = j
+                    break
+            elif depth == 0:
+                km = _DON_BOUND_RE.match(text, j)
+                if km and not re.search(r"[\w.]$", text[j - 1 : j]):
+                    kw = km.group(1).lower().split()[0]
+                    if kw in ("group", "having", "union", "intersect", "except"):
+                        raise UnsupportedConstruct(
+                            f"DISTINCT ON combined with {km.group(1).upper()} has"
+                            " no mechanical rewrite — restructure the query"
+                        )
+                    if kw == "order" and ob_start is None:
+                        ob_start = j
+                    elif kw in ("limit", "offset") and tail_start is None:
+                        tail_start = j
+                    j += len(km.group(1))
+                    continue
+            j += 1
+        if body_end is None:
+            body_end = len(text)
+        fw_end = ob_start if ob_start is not None else (tail_start if tail_start is not None else body_end)
+        from_where = text[from_start:fw_end].rstrip()
+        ob_end = tail_start if tail_start is not None else body_end
+        order_by = text[ob_start:ob_end].strip() if ob_start is not None else None
+        tail = text[tail_start:body_end].strip() if tail_start is not None else ""
+        win_order = order_by[len("order by") :].strip() if order_by else keys
+        # single-relation FROM → re-alias the subquery to the relation name
+        rel = re.match(
+            r"^from\s+([\w.`\x01]+)(?:\s+(?:as\s+)?(\w+))?\s*(where\b.*)?$",
+            from_where,
+            re.I | re.S,
+        )
+        alias = ""
+        if rel and rel.group(1).lower() not in ("select",):
+            alias = rel.group(2) or rel.group(1).split(".")[-1].strip("`")
+        inner = (
+            f"SELECT *, row_number() OVER (PARTITION BY {keys}"
+            f" ORDER BY {win_order}) AS __don_rn {from_where}"
+        )
+        replaced = (
+            f"SELECT {sel_list} FROM ({inner}) {alias} WHERE __don_rn = 1"
+            + (f" {order_by}" if order_by else "")
+            + (f" {tail}" if tail else "")
+        )
+        text = text[: m.start()] + replaced + text[body_end:]
+    return text
+
+
 _SRF_CLAUSE_END_RE = re.compile(
     r"\b(where|group\s+by|having|qualify|window|order\s+by|limit"
     r"|union|intersect|except)\b",
@@ -914,6 +1026,7 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     text = _rw_casts(text, lits)
     text = _rw_operators(text, lits)
     text = _rw_types_ddl(text)
+    text = _rw_distinct_on(text)
     text = _rw_hoist_nested_srf(text)
     # PG's default schema maps to Spark's current database: drop bare
     # `public.` qualifiers (reference packets write `public.test_tbl`,

@@ -332,3 +332,43 @@ def test_srf_hoist_executes(spark):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == [(1, 20), (1, 30), (2, 400)]
+
+
+# ----------------------------------------------------------- DISTINCT ON
+
+
+def test_distinct_on_against_duckdb(spark):
+    """PG's DISTINCT ON, cross-checked: DuckDB supports the construct
+    natively, so run the ORIGINAL text there and the rewrite on Spark."""
+    import duckdb
+
+    rows = [(1, 10, "x"), (1, 20, "y"), (2, 5, "z"), (2, 9, "w"), (3, 1, "q")]
+    spark.createDataFrame(rows, "k INT, ts INT, v STRING").createOrReplaceTempView("don_t")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE don_t(k INT, ts INT, v VARCHAR)")
+    con.executemany("INSERT INTO don_t VALUES (?, ?, ?)", rows)
+    for sql in [
+        "select distinct on (k) k, v from don_t order by k, ts desc",
+        "select distinct on (k) k, ts, v from don_t where ts > 1 order by k, ts",
+        "select distinct on (k) v from don_t order by k, ts desc limit 2",
+    ]:
+        got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+        want = con.execute(sql).fetchall()
+        assert got == want, (sql, got, want)
+
+
+def test_distinct_on_qualified_refs(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW don_q AS SELECT * FROM VALUES"
+        " (1, 10, 'x'), (1, 20, 'y') AS t(k, ts, v)"
+    )
+    out = spark.sql(
+        rewrite("select distinct on (don_q.k) don_q.k, don_q.v from don_q"
+                " order by don_q.k, don_q.ts desc")
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, "y")]
+
+
+def test_distinct_on_group_by_unsupported():
+    with pytest.raises(UnsupportedConstruct):
+        rewrite("select distinct on (k) k from t group by k")

@@ -294,6 +294,44 @@ def upsert(
     return n
 
 
+def upsert_affected_plan(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    set_map: dict[str, str] | None,
+    update_where: str | None = None,
+) -> DataFrame:
+    """Post-image of the rows an :func:`upsert` touches — inserted rows
+    plus (DO UPDATE only) updated rows with their NEW values: exactly what
+    PG's ``INSERT … ON CONFLICT … RETURNING`` surfaces."""
+    tcols = [name for name, _ in _columns(spark, table)]
+    src = source.dropDuplicates(keys)
+    for name, dtype in _columns(spark, table):
+        if name not in src.columns:
+            src = src.withColumn(name, F.lit(None).cast(dtype))
+    cond = [F.col(f"t.{k}") == F.col(f"excluded.{k}") for k in keys]
+    new_rows = (
+        src.alias("excluded")
+        .join(spark.table(table).alias("t"), cond, "left_anti")
+        .select(*[F.col(f"excluded.{c}").alias(c) for c in tcols])
+    )
+    if set_map is None:
+        return new_rows
+    hits = spark.table(table).alias("t").join(
+        F.broadcast(src).alias("excluded"), cond, "inner"
+    )
+    if update_where is not None:
+        hits = hits.where(F.expr(update_where))
+    updated = hits.select(
+        *[
+            F.expr(set_map[c]).alias(c) if c in set_map else F.col(f"t.{c}").alias(c)
+            for c in tcols
+        ]
+    )
+    return updated.unionByName(new_rows)
+
+
 def upsert_affected_count(
     spark: SparkSession,
     table: str,

@@ -177,6 +177,19 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
         return [status]
     stmt = _expand_insert_defaults(ctx, stmt)
     stmt = substitute_sequence_calls(ctx, stmt)
+    # PG RETURNING: rows the DML touches, surfaced as a resultset
+    # (reference clients consume psycopg rows; pairs with sequence
+    # defaults — the standard way to read back generated ids). Rows are
+    # computed from the pre-statement snapshot (PG semantics), then the
+    # stripped statement executes through the normal flow below (a
+    # recursive call — every rewrite above is idempotent on its output).
+    if re.match(r"^\s*(insert|update|delete)\b", _strip_leading_comments(stmt), re.I):
+        head, ret = _split_returning(stmt)
+        if ret is not None:
+            table_rows = _capture_select(ctx, _returning_rows(ctx, head, ret))
+            _run_statement(ctx, head)
+            ctx.current_step_results.append(table_rows)
+            return table_rows
     if ctx.no_commit and kind != "query":
         # dry-run. Routed UPDATE/DELETE get SHADOW EXECUTION: the exact
         # rewrite plan runs end-to-end into the noop sink and the status
@@ -249,8 +262,10 @@ def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
     if not any(f.name.lower() in props and f.name.lower() not in cols for f in schema):
         return stmt
     src = m.group(3).rstrip().rstrip(";")
-    # an ON CONFLICT clause is not part of the row source — detach it and
-    # re-attach to the rewritten INSERT (the upsert router handles it)
+    # trailing RETURNING / ON CONFLICT clauses are not part of the row
+    # source — detach both and re-attach to the rewritten INSERT (the
+    # upsert router / RETURNING capture handle them downstream)
+    src, returning = _split_returning(src)
     src, conflict_clause = _split_on_conflict(src)
     # bind the source's outputs to the provided column names positionally
     # (arbitrary expressions have no usable names), then project the table's
@@ -267,7 +282,84 @@ def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
         else:
             proj.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
     out = f"INSERT INTO {table} SELECT {', '.join(proj)} FROM {tmp}"
-    return f"{out} {conflict_clause}" if conflict_clause else out
+    if conflict_clause:
+        out = f"{out} {conflict_clause}"
+    if returning:
+        out = f"{out} RETURNING {returning}"
+    return out
+
+
+def _split_returning(stmt: str) -> tuple[str, str | None]:
+    """Split a top-level trailing ``RETURNING <exprs>`` off a DML
+    statement (mask-aware: never matches inside strings/comments)."""
+    masked = mask_strings(stmt)
+    for m in re.finditer(r"\breturning\b", masked, re.I):
+        pre = masked[: m.start()]
+        if pre.count("(") == pre.count(")"):
+            return stmt[: m.start()].rstrip(), stmt[m.end() :].strip().rstrip(";")
+    return stmt, None
+
+
+def _returning_rows(ctx: RunContext, stmt: str, ret: str):
+    """DataFrame of PG ``RETURNING`` rows for ``stmt`` (already stripped of
+    the clause, defaults expanded, sequence calls inlined): DELETE returns
+    the OLD rows, UPDATE the NEW values of matched rows, INSERT the rows
+    being inserted, upsert the inserted + updated post-image. Evaluated
+    against the pre-statement state, like PG (the statement sees the same
+    snapshot)."""
+    from db_converter_spark.operators import migration
+    from db_converter_spark.plans.pgdialect import UnsupportedConstruct
+    from pyspark.sql import functions as F
+
+    spark = ctx.spark
+    s = _strip_leading_comments(stmt).rstrip().rstrip(";")
+    ups = _parse_insert_on_conflict(ctx, s)
+    if ups is not None:
+        table, src_df, keys, set_map, upd_where = ups
+        df = migration.upsert_affected_plan(spark, table, src_df, keys, set_map, upd_where)
+        df.createOrReplaceTempView("__dbc_ret")
+        return spark.sql(f"SELECT {ret} FROM __dbc_ret")
+    m = _DELETE_RE.match(s)
+    if m:
+        table, pred = m.group(1).strip("`"), m.group(2)
+        where = f" WHERE ({pred})" if pred else ""
+        return spark.sql(f"SELECT {ret} FROM (SELECT * FROM {table}{where}) __dbc_ret")
+    m = _UPDATE_RE.match(s)
+    if m:
+        table, talias = m.group(1).strip("`"), m.group(2)
+        rest = s[m.end() :].rstrip().rstrip(";")
+        if _find_top_level(rest, "from") != -1:
+            raise UnsupportedConstruct(
+                "RETURNING on UPDATE ... FROM is not supported — port to a py-step"
+            )
+        set_map, pred = _split_set_clause(rest)
+        cols = [f.name for f in spark.table(table).schema]
+        proj = ", ".join(
+            f"({set_map[c]}) AS `{c}`" if c in set_map else f"`{c}`" for c in cols
+        )
+        alias = f" {talias}" if talias else ""
+        where = f" WHERE ({pred})" if pred else ""
+        return spark.sql(
+            f"SELECT {ret} FROM (SELECT {proj} FROM {table}{alias}{where}) __dbc_ret"
+        )
+    im = _INSERT_HEAD_RE.match(s)
+    if im:
+        table = im.group(1).strip('`"')
+        src = spark.sql(im.group(3))
+        schema = spark.table(table).schema
+        if im.group(2):
+            cols = [c.strip().strip('`"') for c in im.group(2).split(",")]
+        else:
+            cols = [f.name for f in schema][: len(src.columns)]
+        src = src.toDF(*cols)
+        for f in schema:
+            if f.name not in src.columns:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src.createOrReplaceTempView("__dbc_ret")
+        return spark.sql(f"SELECT {ret} FROM __dbc_ret")
+    raise UnsupportedConstruct(
+        "RETURNING is supported on INSERT/UPDATE/DELETE statements only"
+    )
 
 
 def _split_on_conflict(stmt: str) -> tuple[str, str | None]:

@@ -137,10 +137,15 @@ def _per_row_demand(ctx: "RunContext", stmt: str) -> tuple[int, str | None]:
     from db_converter_spark.plans.pgdialect import UnsupportedConstruct
     from db_converter_spark.plans.runner import (
         _find_top_level,
+        _split_returning,
         _strip_leading_comments,
     )
 
     body = _strip_leading_comments(stmt).rstrip().rstrip(";")
+    # a trailing RETURNING clause is not part of the row source — with it
+    # attached the demand-count subquery fails to parse and silently falls
+    # back to a SHARED scalar (one value for every row)
+    body, _ = _split_returning(body)
     if _DELETE_HEAD_RE.match(body):
         raise UnsupportedConstruct(
             "nextval() inside DELETE is not supported — PG draws one value"

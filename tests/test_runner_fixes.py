@@ -262,3 +262,90 @@ def test_read_only_allowlist():
     assert not is_read_only_ok("insert into t values (1)")
     assert not is_read_only_ok("create table t(a int)")
     assert not is_read_only_ok("vacuum analyze t")
+
+
+# --------------------------------------------------------------- RETURNING
+
+
+@pytest.fixture()
+def ret_ctx(spark):
+    from types import SimpleNamespace
+
+    from db_converter_spark.plans.runner import RunContext
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS retdb")
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase("retdb")
+    pkt = SimpleNamespace(meta={}, session_conf={})
+    yield RunContext(spark, "retdb", pkt, read_only=False)
+    spark.catalog.setCurrentDatabase(prev)
+
+
+def test_returning_insert_with_sequence_default(ret_ctx):
+    """INSERT ... RETURNING id reads back the sequence-assigned keys —
+    the canonical PG idiom."""
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.r1")
+    spark.sql("CREATE TABLE retdb.r1 (id BIGINT, name STRING) USING parquet")
+    ctx.execute("CREATE SEQUENCE r1_seq START WITH 100")
+    ctx.execute("ALTER TABLE r1 ALTER COLUMN id SET DEFAULT nextval('r1_seq')")
+    out = ctx.execute("INSERT INTO r1(name) VALUES ('a'), ('b') RETURNING id, name")
+    assert out[0] == ["id", "name"]
+    assert sorted(out[1:]) == [[100, "a"], [101, "b"]]
+    spark.catalog.refreshTable("retdb.r1")
+    assert sorted(r.id for r in spark.table("retdb.r1").collect()) == [100, 101]
+
+
+def test_returning_update_new_values(ret_ctx):
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.r2")
+    spark.sql(
+        "CREATE TABLE retdb.r2 USING parquet AS"
+        " SELECT * FROM VALUES (1, 10), (2, 20), (3, 30) AS t(k, v)"
+    )
+    out = ctx.execute("UPDATE r2 SET v = v + 5 WHERE k <= 2 RETURNING k, v")
+    assert out[0] == ["k", "v"]
+    assert sorted(out[1:]) == [[1, 15], [2, 25]]  # NEW values, matched rows only
+    spark.catalog.refreshTable("retdb.r2")
+    got = {(r.k, r.v) for r in spark.table("retdb.r2").collect()}
+    assert got == {(1, 15), (2, 25), (3, 30)}
+
+
+def test_returning_delete_old_rows(ret_ctx):
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.r3")
+    spark.sql(
+        "CREATE TABLE retdb.r3 USING parquet AS"
+        " SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(k, v)"
+    )
+    out = ctx.execute("DELETE FROM r3 WHERE k = 2 RETURNING *")
+    assert out[0] == ["k", "v"]
+    assert out[1:] == [[2, "y"]]
+    spark.catalog.refreshTable("retdb.r3")
+    assert [tuple(r) for r in spark.table("retdb.r3").collect()] == [(1, "x")]
+
+
+def test_returning_upsert_post_image(ret_ctx):
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.r4")
+    spark.sql(
+        "CREATE TABLE retdb.r4 USING parquet AS"
+        " SELECT * FROM VALUES (1, 10) AS t(k, v)"
+    )
+    out = ctx.execute(
+        "INSERT INTO r4(k, v) VALUES (1, 100), (2, 20)"
+        " ON CONFLICT (k) DO UPDATE SET v = excluded.v RETURNING k, v"
+    )
+    assert out[0] == ["k", "v"]
+    assert sorted(out[1:]) == [[1, 100], [2, 20]]  # updated post-image + inserted
+    spark.catalog.refreshTable("retdb.r4")
+    assert {(r.k, r.v) for r in spark.table("retdb.r4").collect()} == {(1, 100), (2, 20)}
+
+
+def test_returning_literal_in_string_untouched(ret_ctx):
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.r5")
+    spark.sql("CREATE TABLE retdb.r5 (s STRING) USING parquet")
+    ctx.execute("INSERT INTO r5 VALUES ('no returning here')")
+    spark.catalog.refreshTable("retdb.r5")
+    assert spark.table("retdb.r5").collect()[0].s == "no returning here"

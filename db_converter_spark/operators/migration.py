@@ -358,6 +358,47 @@ def upsert_affected_count(
     return n_new + hits.count()
 
 
+def delete_using_plan(
+    spark: SparkSession,
+    table: str,
+    talias: str,
+    source: DataFrame,
+    salias: str,
+    condition: str,
+) -> DataFrame:
+    """Kept-rows plan of :func:`delete_using` — PG ``DELETE FROM t USING s
+    WHERE cond`` (the delete-join idiom; beyond the reference corpus):
+    target rows with ANY matching source row are removed, i.e. an
+    anti-join on the condition. The join side choice is left to the
+    planner/AQE (the source is often but not always small)."""
+    t = spark.table(table).alias(talias)
+    s = source.alias(salias)
+    return t.join(s, F.expr(condition), "left_anti")
+
+
+def delete_using(
+    spark: SparkSession,
+    table: str,
+    talias: str,
+    source: DataFrame,
+    salias: str,
+    condition: str,
+) -> int:
+    """Execute :func:`delete_using_plan` via swap write; returns the PG
+    affected-row count (each target row counted at most once —
+    left_semi)."""
+    n = (
+        spark.table(table)
+        .alias(talias)
+        .join(source.alias(salias), F.expr(condition), "left_semi")
+        .count()
+    )
+    _swap_write(
+        spark, table, delete_using_plan(spark, table, talias, source, salias, condition)
+    )
+    return n
+
+
 def delete_plan(spark: SparkSession, table: str, predicate: str | None) -> DataFrame:
     """Kept-rows plan of :func:`delete_where` (anti-filter); analyzed eagerly
     so dry-runs surface bad predicates without writing."""

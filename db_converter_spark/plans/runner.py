@@ -243,7 +243,36 @@ def _expand_insert_defaults(ctx: RunContext, stmt: str) -> str:
     column-list INSERT fills NULLs natively)."""
     from db_converter_spark.operators.maintenance import DEFAULT_PROP_PREFIX
 
-    m = _INSERT_COLS_RE.match(_strip_leading_comments(stmt))
+    body = _strip_leading_comments(stmt)
+    dm = re.match(
+        r"^\s*insert\s+into\s+([\w.`\"]+)\s+default\s+values\s*"
+        r"(returning\s.+)?$",
+        body.rstrip().rstrip(";"),
+        re.I | re.S,
+    )
+    if dm:
+        # PG `INSERT INTO t DEFAULT VALUES` (beyond-corpus): one row, every
+        # column from its recorded default (sequence calls inline next) or
+        # NULL — rewritten onto the same full-projection path
+        table = dm.group(1).strip('`"')
+        try:
+            props = {
+                r["key"][len(DEFAULT_PROP_PREFIX):].lower(): r["value"]
+                for r in ctx.spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+                if r["key"].startswith(DEFAULT_PROP_PREFIX)
+            }
+        except Exception:  # noqa: BLE001 — unknown table: let Spark report it
+            props = {}
+        proj = []
+        for f in ctx.spark.table(table).schema:
+            n = f.name.lower()
+            if n in props:
+                proj.append(f"({props[n]}) AS `{f.name}`")
+            else:
+                proj.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
+        out = f"INSERT INTO {table} SELECT {', '.join(proj)}"
+        return f"{out} {dm.group(2)}" if dm.group(2) else out
+    m = _INSERT_COLS_RE.match(body)
     if not m:
         return stmt
     table = m.group(1).strip('`"')
@@ -319,6 +348,15 @@ def _returning_rows(ctx: RunContext, stmt: str, ret: str):
         df = migration.upsert_affected_plan(spark, table, src_df, keys, set_map, upd_where)
         df.createOrReplaceTempView("__dbc_ret")
         return spark.sql(f"SELECT {ret} FROM __dbc_ret")
+    du = _parse_delete_using(ctx, s)
+    if du is not None:
+        table, talias, src_df, salias, cond = du
+        doomed = (
+            spark.table(table).alias(talias).join(src_df.alias(salias), _F_expr(cond), "left_semi")
+        )
+        doomed.createOrReplaceTempView("__dbc_ret")
+        # re-alias to the target's name so qualified RETURNING refs resolve
+        return spark.sql(f"SELECT {ret} FROM __dbc_ret {talias}")
     m = _DELETE_RE.match(s)
     if m:
         table, pred = m.group(1).strip("`"), m.group(2)
@@ -377,6 +415,28 @@ def _split_on_conflict(stmt: str) -> tuple[str, str | None]:
 _DELETE_RE = re.compile(
     r"^\s*delete\s+from\s+([\w.`]+)\s*(?:where\s+(.+))?$", re.I | re.S
 )
+_DELETE_USING_RE = re.compile(
+    r"^\s*delete\s+from\s+([\w.`]+)(?:\s+(?:as\s+)?(?!using\b|where\b)(\w+))?"
+    r"\s+using\s+(.+)$",
+    re.I | re.S,
+)
+
+
+def _parse_delete_using(ctx: RunContext, stmt: str):
+    """``DELETE FROM t [alias] USING <rel> WHERE cond`` (PG delete-join;
+    beyond-corpus) → (table, talias, source_df, salias, condition), or
+    None. Compiled onto operators.migration.delete_using."""
+    m = _DELETE_USING_RE.match(stmt)
+    if m is None:
+        return None
+    table, talias = m.group(1).strip("`"), m.group(2) or m.group(1).split(".")[-1].strip("`")
+    rest = m.group(3).rstrip().rstrip(";")
+    wi = _find_top_level(rest, "where")
+    if wi == -1:
+        raise ValueError("DELETE ... USING requires a WHERE join condition")
+    src_text, cond = rest[:wi].strip(), rest[wi + 5 :].strip()
+    src_sql, salias = _parse_relation(src_text, "DELETE ... USING")
+    return table, talias, ctx.spark.sql(src_sql), salias, cond
 _UPDATE_RE = re.compile(
     r"^\s*update\s+([\w.`]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?\s+set\s+", re.I
 )
@@ -482,6 +542,12 @@ def _parse_insert_on_conflict(ctx: RunContext, stmt: str):
     return table, src_df, keys, set_map, upd_where
 
 
+def _F_expr(cond: str):
+    from pyspark.sql import functions as F
+
+    return F.expr(cond)
+
+
 def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     """Spark cannot run DELETE/UPDATE against v1 (parquet) catalog tables —
     route them through the migration rewrites (anti-filter delete,
@@ -510,6 +576,25 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
             ]
         n = migration.upsert(ctx.spark, table, src_df, keys, set_map, upd_where)
         return ["INSERT", n]
+    du = _parse_delete_using(ctx, stmt)
+    if du is not None:
+        table, talias, src_df, salias, cond = du
+        if dry:
+            migration.shadow_execute(
+                migration.delete_using_plan(ctx.spark, table, talias, src_df, salias, cond)
+            )
+        else:
+            return [
+                "DELETE",
+                migration.delete_using(ctx.spark, table, talias, src_df, salias, cond),
+            ]
+        return [
+            "DELETE",
+            ctx.spark.table(table)
+            .alias(talias)
+            .join(src_df.alias(salias), _F_expr(cond), "left_semi")
+            .count(),
+        ]
     m = _DELETE_RE.match(stmt)
     if m:
         table, predicate = m.group(1).strip("`"), m.group(2)
@@ -543,6 +628,18 @@ def _route_v1_dml(ctx: RunContext, stmt: str, dry: bool = False) -> list | None:
     return None
 
 
+def _parse_relation(src_text: str, what: str) -> tuple[str, str]:
+    """``(subquery) [AS] alias`` or ``table [AS] alias`` → (sql, alias)."""
+    sm = re.match(r"^\((.*)\)\s*(?:as\s+)?(\w+)\s*$", src_text, re.I | re.S)
+    if sm:
+        return sm.group(1), sm.group(2)
+    tm = re.match(r"^([\w.`]+)(?:\s+(?:as\s+)?(\w+))?\s*$", src_text, re.I)
+    if not tm:
+        raise ValueError(f"cannot parse {what} source: {src_text!r}")
+    alias = tm.group(2) or tm.group(1).split(".")[-1].strip("`")
+    return f"SELECT * FROM {tm.group(1)}", alias
+
+
 def _update_from(
     ctx: RunContext,
     table: str,
@@ -566,14 +663,7 @@ def _update_from(
     if wi == -1:
         raise ValueError("UPDATE ... FROM requires a WHERE join condition")
     src_text, where_text = from_part[:wi].strip(), from_part[wi + 5 :].strip()
-    sm = re.match(r"^\((.*)\)\s*(?:as\s+)?(\w+)\s*$", src_text, re.I | re.S)
-    if sm:
-        src_sql, salias = sm.group(1), sm.group(2)
-    else:
-        tm = re.match(r"^([\w.`]+)\s+(?:as\s+)?(\w+)\s*$", src_text, re.I)
-        if not tm:
-            raise ValueError(f"cannot parse UPDATE ... FROM source: {src_text!r}")
-        src_sql, salias = f"SELECT * FROM {tm.group(1)}", tm.group(2)
+    src_sql, salias = _parse_relation(src_text, "UPDATE ... FROM")
 
     def realias(expr: str) -> str:
         expr = re.sub(rf"\b{re.escape(salias)}\.", "\x02.", expr)

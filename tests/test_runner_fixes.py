@@ -349,3 +349,44 @@ def test_returning_literal_in_string_untouched(ret_ctx):
     ctx.execute("INSERT INTO r5 VALUES ('no returning here')")
     spark.catalog.refreshTable("retdb.r5")
     assert spark.table("retdb.r5").collect()[0].s == "no returning here"
+
+
+def test_delete_using(ret_ctx):
+    """PG DELETE ... USING (delete-join): rows with any matching source row
+    go; count = target rows, each at most once; RETURNING = old rows."""
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.du_t")
+    spark.sql("DROP TABLE IF EXISTS retdb.du_s")
+    spark.sql(
+        "CREATE TABLE retdb.du_t USING parquet AS"
+        " SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS t(k, v)"
+    )
+    spark.sql(
+        "CREATE TABLE retdb.du_s USING parquet AS"
+        " SELECT * FROM VALUES (2), (2), (3) AS s(k)"  # dup source keys
+    )
+    out = ctx.execute(
+        "DELETE FROM du_t USING du_s WHERE du_t.k = du_s.k RETURNING du_t.k"
+    )
+    assert out[0] == ["k"] and sorted(r[0] for r in out[1:]) == [2, 3]
+    spark.catalog.refreshTable("retdb.du_t")
+    assert [tuple(r) for r in spark.table("retdb.du_t").collect()] == [(1, "a")]
+    # subquery source + aliases + rowcount
+    spark.sql("INSERT INTO retdb.du_t VALUES (7, 'x'), (8, 'y')")
+    st = ctx.execute(
+        "DELETE FROM du_t a USING (SELECT 7 AS kk) b WHERE a.k = b.kk"
+    )
+    assert st == [["DELETE", 1]]
+
+
+def test_insert_default_values(ret_ctx):
+    ctx, spark = ret_ctx, ret_ctx.spark
+    spark.sql("DROP TABLE IF EXISTS retdb.dv")
+    spark.sql("CREATE TABLE retdb.dv (id BIGINT, name STRING) USING parquet")
+    ctx.execute("CREATE SEQUENCE dv_seq START WITH 7")
+    ctx.execute("ALTER TABLE dv ALTER COLUMN id SET DEFAULT nextval('dv_seq')")
+    out = ctx.execute("INSERT INTO dv DEFAULT VALUES RETURNING id, name")
+    assert out[0] == ["id", "name"] and out[1:] == [[7, None]]
+    ctx.execute("INSERT INTO dv DEFAULT VALUES")
+    spark.catalog.refreshTable("retdb.dv")
+    assert sorted(r.id for r in spark.table("retdb.dv").collect()) == [7, 8]

@@ -793,6 +793,41 @@ def _rw_interval_cmp_literals(text: str, lits: list[str]) -> str:
     return _INTERVAL_CMP_RE.sub(sub, text)
 
 
+_SELECT_INTO_RE = re.compile(r"^(\s*select\b)", re.I)
+
+
+def _rw_select_into(text: str) -> str:
+    """PG ``SELECT … INTO newtable FROM …`` (the script-era CTAS spelling)
+    → ``CREATE TABLE newtable AS SELECT … FROM …``. Only a TOP-LEVEL INTO
+    between the select list and FROM qualifies — subqueries and INSERT
+    INTO are untouched."""
+    if not _SELECT_INTO_RE.match(text):
+        return text
+    depth = 0
+    for m in re.finditer(r"[()]|\binto\b|\bfrom\b", text, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0 and tok.lower() == "from":
+            return text  # reached FROM before any top-level INTO
+        elif depth == 0:
+            tm = re.match(
+                r"into\s+(?:temp(?:orary)?\s+|unlogged\s+)?([\w.`\x01]+)",
+                text[m.start() :],
+                re.I,
+            )
+            if tm is None:
+                return text
+            table = tm.group(1)
+            rest = text[m.start() + tm.end() :]
+            return (
+                f"CREATE TABLE {table} AS {text[: m.start()].rstrip()} {rest.lstrip()}"
+            )
+    return text
+
+
 _DISTINCT_ON_RE = re.compile(r"(?<![\w.])select\s+distinct\s+on\s*\(", re.I)
 _DON_BOUND_RE = re.compile(
     r"\b(order\s+by|limit|offset|group\s+by|having|union|intersect|except)\b",
@@ -1026,6 +1061,7 @@ def rewrite(sql: str, settings: dict[str, str] | None = None) -> str:
     text = _rw_casts(text, lits)
     text = _rw_operators(text, lits)
     text = _rw_types_ddl(text)
+    text = _rw_select_into(text)
     text = _rw_distinct_on(text)
     text = _rw_hoist_nested_srf(text)
     # PG's default schema maps to Spark's current database: drop bare

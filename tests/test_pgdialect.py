@@ -372,3 +372,32 @@ def test_distinct_on_qualified_refs(spark):
 def test_distinct_on_group_by_unsupported():
     with pytest.raises(UnsupportedConstruct):
         rewrite("select distinct on (k) k from t group by k")
+
+
+# ----------------------------------------------------------- SELECT INTO
+
+
+@pytest.mark.parametrize(
+    ("pg", "expect"),
+    [
+        (
+            "select a, b into newtbl from src where a > 1",
+            "CREATE TABLE newtbl AS select a, b from src where a > 1",
+        ),
+        ("SELECT x INTO TEMP tmp_t FROM y", "CREATE TABLE tmp_t AS SELECT x FROM y"),
+        # subquery INTO-free select, INSERT INTO: untouched
+        ("select a from t where b in (select c from u)",
+         "select a from t where b in (select c from u)"),
+        ("insert into t select * from u", "insert into t select * from u"),
+    ],
+)
+def test_select_into(pg, expect):
+    assert rewrite(pg) == expect
+
+
+def test_select_into_executes(spark):
+    spark.sql("CREATE OR REPLACE TEMP VIEW si_src AS SELECT 1 AS a, 2 AS b")
+    spark.sql("DROP TABLE IF EXISTS si_new")
+    spark.sql(rewrite("select a, b into si_new from si_src"))
+    assert [tuple(r) for r in spark.table("si_new").collect()] == [(1, 2)]
+    spark.sql("DROP TABLE si_new")

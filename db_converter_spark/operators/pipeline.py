@@ -216,3 +216,106 @@ def _pack(spark: SparkSession, docs: DataFrame, nparts: int) -> DataFrame:
         F.min("first_block").cast("bigint").alias("min_block"),
         F.max("last_block").cast("bigint").alias("max_block"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe03 — deterministic weighted corpus sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+# Mixture weights per source domain (keep-rate x1000), the shape of a
+# training-mix config (e.g. upsample books/wiki, downsample crawl). Derived
+# deterministically here so both dialects embed identical literals.
+_MIX_WEIGHTS = {f"src{i}": 100 + (i * 97) % 900 for i in range(20)}
+
+
+def _weight_values() -> str:
+    return ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+
+
+def _pipe03(values_table: str) -> str:
+    # Deterministic per-doc coin: a Knuth multiplicative hash on doc_id,
+    # pure 64-bit integer arithmetic so Spark and DuckDB agree exactly
+    # (the doc_id % 999983 pre-reduction bounds the product far below
+    # int64 overflow at any corpus size).
+    return f"""
+WITH weights AS (
+  SELECT * FROM {values_table}
+), hashed AS (
+  SELECT doc_id, source, lang,
+         ((doc_id % 999983) * 2654435761 + 12345) % 1000 AS coin
+  FROM documents
+), decided AS (
+  SELECT h.doc_id, h.source, h.lang, w.keep_x1000,
+         (h.coin < w.keep_x1000) AS keep
+  FROM hashed h JOIN weights w ON h.source = w.wsource
+)
+SELECT source,
+  MAX(keep_x1000) AS keep_x1000,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+FROM decided GROUP BY source
+"""
+
+
+_PIPE03_SPARK = _pipe03(f"VALUES {_weight_values()} AS t(wsource, keep_x1000)")
+_PIPE03_DUCK = _pipe03(f"(VALUES {_weight_values()}) t(wsource, keep_x1000)")
+
+
+@query("pipe03_weighted_sample", oracle=_PIPE03_DUCK, tags=("pipeline", "sampling"))
+def pipe03_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus sampling (domain mixing): each source
+    gets a keep-rate from a mixture config, each document flips a
+    deterministic multiplicative-hash coin on its id, and the operator
+    reports kept counts + an id checksum per source (no reference analog;
+    SURVEY §6 extension).
+
+    Determinism — not rand() — is the production requirement: re-running
+    the pipeline must select the SAME subset (resumable builds,
+    reproducible ablations). Scale shape: pure map arithmetic in codegen,
+    a broadcast join against the 20-row weights table, one aggregate
+    shuffle on the low-cardinality source key. At 100 TB this is a
+    map-only pass."""
+    return _sql(spark, sf_dir, _PIPE03_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe04 — deterministic global shuffle → training-shard assignment
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+_PIPE04_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         ((doc_id % 999983) * 2654435761 + 40503) % 4294967296 AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id) - 1
+       AS BIGINT) AS pos
+FROM hashed
+"""
+
+
+@query("pipe04_shard_assign", oracle=_PIPE04_SQL, tags=("pipeline", "shuffle"))
+def pipe04_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: place every document into a training
+    shard at a hash-ordered position — the "shuffle the corpus once,
+    reproducibly" step before sequence packing (no reference analog;
+    SURVEY §6 extension).
+
+    A naive global ORDER BY rand() is a total sort with a random key and
+    is not reproducible; this formulation hashes doc_id (multiplicative
+    hash, overflow-bounded integer arithmetic identical across engines),
+    shards by ``h % N``, and orders WITHIN each shard — one hash shuffle,
+    per-shard parallel sort, no total order anywhere. Shard sizes are
+    balanced by hash uniformity. At 100 TB, N_SHARDS scales with the
+    cluster (thousands); each shard sorts independently and spills — the
+    same per-reducer sort any shuffle does. Full row-level output keeps
+    the oracle's value-hash check strong."""
+    return _sql(spark, sf_dir, _PIPE04_SQL)

@@ -392,3 +392,67 @@ def pii01_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §6 extension). Pure JVM-side regex, codegen'd, one aggregate
     shuffle; at 100 TB this is a map-only pass."""
     return _sql(spark, sf_dir, _PII01_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ta07 — character-trigram LM scoring (KenLM-style rarity proxy)
+# ---------------------------------------------------------------------------
+
+
+def _ta07(gen_trigrams: str) -> str:
+    return f"""
+WITH tg AS (
+  SELECT doc_id, lang, {gen_trigrams} AS g
+  FROM documents WHERE length(text) >= 3
+), model AS (
+  SELECT g, COUNT(*) AS cnt FROM tg GROUP BY g
+), scored AS (
+  SELECT t.doc_id, t.lang,
+         COUNT(*) AS n_trigrams,
+         COUNT(DISTINCT t.g) AS n_distinct,
+         SUM(m.cnt) AS sum_freq,
+         SUM(CASE WHEN m.cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM tg t JOIN model m ON t.g = m.g
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang,
+  CAST(n_trigrams AS BIGINT) AS n_trigrams,
+  CAST(n_distinct AS BIGINT) AS n_distinct_trigrams,
+  CAST(n_hapax AS BIGINT) AS n_hapax_trigrams,
+  CAST(ROUND(100.0 * sum_freq / n_trigrams) AS BIGINT) AS avg_corpus_freq_x100
+FROM scored
+"""
+
+
+# Spark: sequence(1, 0) yields the DESCENDING [1, 0] — the length >= 3
+# WHERE guard above makes the bound >= 1, so the ascending form is safe.
+_TA07_SPARK = _ta07(
+    "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+)
+_TA07_DUCK = _ta07(
+    "unnest(list_transform(range(1, length(text) - 1), i -> substring(text, i::INT, 3)))"
+)
+
+
+@query("ta07_trigram_lm", oracle=_TA07_DUCK, tags=("text", "lm", "quality"))
+def ta07_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model scoring — the KenLM-perplexity
+    proxy a pre-training pipeline uses to rank document fluency (no
+    reference analog; SURVEY §6 extension). Two passes, both
+    corpus-parallel:
+
+    1. **model**: count every character trigram across the corpus. The
+       explode is linear and trigram cardinality is bounded by charset³,
+       so partial (map-side) aggregation collapses the shuffle to at most
+       |charset|³ rows per partition — the shuffle is O(distinct grams),
+       not O(corpus).
+    2. **score**: re-join occurrences against the model. The model side is
+       bounded-small → Spark broadcasts it (no shuffle); the per-doc
+       aggregate reduces map-side because explode keeps a document's
+       trigrams co-located in its input partition, so the final shuffle
+       carries ~one row per document.
+
+    Output is integer-scaled (x100 round) so the DuckDB compare is exact.
+    At 100 TB: two scans, one bounded-key shuffle, one O(n_docs) shuffle —
+    no UDFs, fully codegen'd."""
+    return _sql(spark, sf_dir, _TA07_SPARK)

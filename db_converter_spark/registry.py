@@ -84,6 +84,12 @@ _CHECK_TAIL = (
     "mm04_resize_plumbing",
     "ev01_windowed_event_stats",
     "ev06_multi_rollup",
+    # --- parked mid-r4 to fund head slots for the three new r4 operators
+    # (ta07_trigram_lm, pipe03_weighted_sample, pipe04_shard_assign): green
+    # + unchanged in CORRECTNESS_r03.json, untouched by the r4 perf work ---
+    "dd06_simhash",
+    "ev04_asof_join",
+    "pii01_pii_scrub",
 )
 
 

@@ -1,0 +1,84 @@
+"""pipe03 / pipe04 / ta07 structural invariants — properties the
+oracle compare can't see: determinism across re-runs and partitionings,
+shard-position contiguity, and sampling-rate calibration."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from tests.conftest import SF_DIR
+
+
+def test_shard_positions_are_contiguous_and_total(spark):
+    """Every document lands in exactly one (shard, pos); positions within a
+    shard are a gapless 0..n-1 run — the property that lets a trainer mmap
+    shard files by offset."""
+    from db_converter_spark.operators.pipeline import pipe04_shard_assign
+
+    rows = pipe04_shard_assign(spark, SF_DIR).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert n_docs == len(rows), "a doc_id appeared in two shards"
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} has position gaps"
+
+
+def test_shard_assignment_deterministic_across_partitionings(spark):
+    from db_converter_spark.operators.pipeline import pipe04_shard_assign
+
+    a = {tuple(r) for r in pipe04_shard_assign(spark, SF_DIR).collect()}
+    b = {
+        tuple(r)
+        for r in pipe04_shard_assign(spark, SF_DIR).repartition(3).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_is_calibrated(spark):
+    """Kept fraction per source tracks its configured keep-rate: the
+    multiplicative-hash coin must behave uniformly (binomial 3-sigma band),
+    and re-running selects the identical subset (checksum equality)."""
+    from db_converter_spark.operators.pipeline import (
+        _MIX_WEIGHTS,
+        pipe03_weighted_sample,
+    )
+
+    rows = {r["source"]: r for r in pipe03_weighted_sample(spark, SF_DIR).collect()}
+    assert set(rows) == set(_MIX_WEIGHTS)
+    for source, r in rows.items():
+        p = _MIX_WEIGHTS[source] / 1000.0
+        n = r["n_docs"]
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(r["n_kept"] - n * p) <= 3 * sigma + 1, (
+            f"{source}: kept {r['n_kept']}/{n} vs rate {p}"
+        )
+    again = {r["source"]: r for r in pipe03_weighted_sample(spark, SF_DIR).collect()}
+    assert {s: r["kept_id_checksum"] for s, r in rows.items()} == {
+        s: r["kept_id_checksum"] for s, r in again.items()
+    }
+
+
+def test_trigram_counts_are_internally_consistent(spark):
+    """Per doc: distinct <= total trigrams, total == max(len-2, 0) over the
+    guard, hapax <= distinct, and a doc's average corpus frequency is at
+    least 100 (every trigram occurs at least once corpus-wide)."""
+    from db_converter_spark.catalog import load_table
+    from db_converter_spark.operators.textops import ta07_trigram_lm
+
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .selectExpr("doc_id", "length(text) AS n")
+        .collect()
+    }
+    rows = ta07_trigram_lm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_trigrams"] == lens[r["doc_id"]] - 2
+        assert 1 <= r["n_distinct_trigrams"] <= r["n_trigrams"]
+        assert 0 <= r["n_hapax_trigrams"] <= r["n_distinct_trigrams"]
+        assert r["avg_corpus_freq_x100"] >= 100
+    short = [d for d, n in lens.items() if n < 3]
+    assert {r["doc_id"] for r in rows} == set(lens) - set(short)

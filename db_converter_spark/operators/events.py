@@ -548,3 +548,84 @@ def ev07_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ev08 — stream-stream interval join (click → purchase attribution)
+# ---------------------------------------------------------------------------
+
+_EV08_DUCK = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s,
+       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("ev08_stream_stream_join", oracle=_EV08_DUCK, tags=("events", "streaming", "join"))
+def ev08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, run as an ACTUAL Structured Stream: a
+    click stream joins a purchase stream on user_id where the purchase
+    lands within 30 minutes of the click — the attribution primitive of an
+    event pipeline, and the one join family Spark executes with SYMMETRIC
+    state on both sides.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's state store holds only the watermark+interval
+    horizon — at 100 TB/day the state is a sliding window of joinable
+    rows, not the full history. Append output under an ``availableNow``
+    trigger over the static backlog makes the result equal the batch
+    interval join, which is exactly what the DuckDB oracle computes —
+    row-level output, so the value-hash pins every attributed pair.
+    Delay and cents are integer-scaled for the exact compare."""
+    sink = "ev08_sink"
+    clicks = (
+        _events_stream_source(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream_source(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.expr("CAST(unix_timestamp(purchase_ts) - unix_timestamp(click_ts) AS BIGINT)").alias("delay_s"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("purchase_cents"),
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

@@ -411,3 +411,97 @@ def ss05_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ss06 — product quantization (ADC top-k over a fixed codebook)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces (64-d → 4 × 16-d)
+_PQ_SUBDIM = 16
+_PQ_K = 16         # codewords per subspace
+
+
+def _pq_spark_l2sq(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f"), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_duck_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len({a}))], "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _ss06(slice_expr: str, l2sq, values_m: str, hint: str = "") -> str:
+    # Per-term ROUND before the 4-term SUM: the rounded cell distances are
+    # what both engines add, so partial-aggregation order can never flip
+    # the final 6-digit rounding.
+    return f"""
+WITH ms AS (
+  SELECT * FROM {values_m}
+), sub AS (
+  SELECT v.vec_id, v.label, ms.m, {slice_expr} AS sv
+  FROM embeddings v CROSS JOIN ms
+), cw AS (
+  SELECT vec_id AS k, m, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+), assign AS (
+  SELECT vec_id, label, m, k FROM (
+    SELECT s.vec_id, s.label, s.m, c.k,
+      ROW_NUMBER() OVER (
+        PARTITION BY s.vec_id, s.m
+        ORDER BY ROUND({l2sq('s.sv', 'c.cv')}, 6) ASC, c.k
+      ) AS rn
+    FROM sub s JOIN cw c ON s.m = c.m
+  ) t WHERE rn = 1
+), qtab AS (
+  SELECT c.m, c.k, ROUND({l2sq('q.sv', 'c.cv')}, 6) AS d
+  FROM cw c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) q ON q.m = c.m
+)
+SELECT {hint}a.vec_id, a.label, ROUND(SUM(qt.d), 6) AS adc_dist
+FROM assign a JOIN qtab qt ON qt.m = a.m AND qt.k = a.k
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id, a.label
+ORDER BY adc_dist ASC, a.vec_id
+LIMIT 10
+"""
+
+
+_SS06_SPARK = _ss06(
+    f"slice(v.embedding, ms.m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})",
+    _pq_spark_l2sq,
+    "(VALUES (0), (1), (2), (3)) AS t(m)",
+    # qtab is 64 rows but reaches the join behind a window+join lineage
+    # with no stats — without the hint it plans as SortMergeJoin
+    hint="/*+ BROADCAST(qt) */ ",
+)
+_SS06_DUCK = _ss06(
+    f"list_slice(v.embedding, ms.m * {_PQ_SUBDIM} + 1, ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM})",
+    _pq_duck_l2sq,
+    "(VALUES (0), (1), (2), (3)) t(m)",
+)
+
+
+@query("ss06_pq_adc_topk", oracle=_SS06_DUCK, tags=("similarity", "pq", "ann", "knn"))
+def ss06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (ADC) —
+    the memory-bound tier of the ANN family (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each 64-d vector
+    into 4 × 16-d subvectors, assign each to its nearest of 16 codewords
+    (codebook = the deterministic vec_id < 16 donor set — FIXED size, like
+    ss03's centroids, so the broadcast side is O(1) in the corpus), then
+    rank against query vec_id=0 by summing the query's precomputed
+    per-cell distances.
+
+    Plan: codebook (64 rows) and ADC table broadcast; assignment is a
+    map-side join + per-(vec, subspace) argmin window — the only real
+    shuffle, keyed (vec_id, m); the top-10 is TakeOrderedAndProject. At
+    100 TB the assignment is precomputed once (codes stored as 4 bytes per
+    vector — the point of PQ) and a query touches only the 64-entry ADC
+    table plus the code column, never the raw vectors. Distances are
+    per-cell rounded so the cross-engine compare is exact."""
+    return _sql(spark, sf_dir, _SS06_SPARK)

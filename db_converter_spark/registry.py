@@ -90,6 +90,11 @@ _CHECK_TAIL = (
     "dd06_simhash",
     "ev04_asof_join",
     "pii01_pii_scrub",
+    # --- parked mid-r4 to fund head slots for ss06_pq_adc_topk and
+    # ev08_stream_stream_join: green + unchanged in CORRECTNESS_r03.json,
+    # untouched by the r4 perf work ---
+    "ev02_sessionization",
+    "ta04_winnow_fingerprints",
 )
 
 

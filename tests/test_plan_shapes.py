@@ -74,3 +74,37 @@ def test_scans_prune_columns(spark, name):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line and "props" not in line, line
+
+
+def test_ta07_model_is_broadcast_side(spark):
+    """The trigram model (bounded by charset³) builds the broadcast side of
+    the scoring join; the occurrence stream must never shuffle for it."""
+    plan = _plan(spark, "ta07_trigram_lm")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pipe03_weights_broadcast_map_only(spark):
+    """Weighted sampling: broadcast the 20-row mixture table; the only
+    exchange is the low-cardinality source rollup."""
+    plan = _plan(spark, "pipe03_weighted_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pipe04_single_shard_exchange(spark):
+    """Shard assignment is exactly one hash exchange (the global shuffle
+    being produced) — no total sort, no extra aggregation exchanges."""
+    plan = _plan(spark, "pipe04_shard_assign")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ss06_no_sort_merge_join(spark):
+    """PQ: codebook + ADC table broadcast (the hint must hold — qtab sits
+    behind a stats-free lineage); top-10 compiles to TakeOrdered."""
+    plan = _plan(spark, "ss06_pq_adc_topk")
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -73,6 +73,7 @@ def main() -> int:
         "pipe02_sequence_pack",
         "ev03_streaming_window",
         "ev07_stream_dedup",
+        "ev08_stream_stream_join",
     }
     since_gc = 0
     for name in sorted(queries):

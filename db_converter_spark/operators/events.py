@@ -619,7 +619,11 @@ def ev08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_timestamp(purchase_ts) - unix_timestamp(click_ts) AS BIGINT)").alias("delay_s"),
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("purchase_cents"),
     )
-    with _scoped_shuffle_partitions(spark, 8):
+    # 4 state partitions, not the session's 8/32: a symmetric join keeps
+    # FOUR state stores per partition, and store init dominates at this
+    # state volume (measured 6.8 s @ 8 → 3.5 s @ 4; a production deployment
+    # sizes this to state volume / executor count instead)
+    with _scoped_shuffle_partitions(spark, 4):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)

@@ -319,3 +319,87 @@ def pipe04_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     same per-reducer sort any shuffle does. Full row-level output keeps
     the oracle's value-hash check strong."""
     return _sql(spark, sf_dir, _PIPE04_SQL)
+
+
+# ---------------------------------------------------------------------------
+# pipe05 — end-to-end corpus build: filter → dedup → mix in ONE plan
+# ---------------------------------------------------------------------------
+
+
+def _pipe05(size_fn: str, filter_fn: str, values_table: str) -> str:
+    # One declarative plan for the whole build: per-doc metrics (array
+    # domain), C4-style quality gate, normalized-fingerprint dedup rank,
+    # pipe03's deterministic mixture coin, then one per-source rollup of
+    # the funnel. Catalyst fuses the per-doc stages into the scan pass;
+    # the only wide ops are the dedup window and the final rollup.
+    return f"""
+WITH weights AS (
+  SELECT * FROM {values_table}
+), metrics AS (
+  SELECT doc_id, source,
+    {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+    length(replace(text, ' ', '')) AS n_alpha,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_punct,
+    length(text) AS n_chars,
+    md5(lower(regexp_replace(text, '[^a-z0-9 ]', ''))) AS fp,
+    ((doc_id % 999983) * 2654435761 + 12345) % 1000 AS coin
+  FROM documents
+), gated AS (
+  SELECT *,
+    (n_tokens >= 5 AND n_tokens <= 100000 AND n_chars > 0 AND n_tokens > 0
+      AND CAST(ROUND(100.0 * n_alpha / n_tokens) AS BIGINT) BETWEEN 150 AND 1500
+      AND CAST(ROUND(1000.0 * n_punct / n_chars) AS BIGINT) <= 300) AS quality_ok
+  FROM metrics
+), ranked AS (
+  -- single-scan dedup: quality rows partition by fingerprint; every
+  -- non-quality row gets its own 'nq:'-prefixed partition (rank 1,
+  -- never counted as unique) so the funnel keeps raw counts without a
+  -- second pass over the corpus
+  SELECT *,
+    ROW_NUMBER() OVER (
+      PARTITION BY (CASE WHEN quality_ok THEN fp
+                         ELSE 'nq:' || CAST(doc_id AS STRING) END)
+      ORDER BY doc_id) AS dup_rank
+  FROM gated
+), final AS (
+  SELECT g.*,
+    (g.quality_ok AND g.dup_rank = 1 AND g.coin < w.keep_x1000) AS kept
+  FROM ranked g
+  JOIN weights w ON g.source = w.wsource
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_raw,
+  CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(SUM(CASE WHEN quality_ok AND dup_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final,
+  CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+FROM final GROUP BY source
+"""
+
+
+_PIPE05_SPARK = _pipe05(
+    "size", "filter", f"VALUES {_weight_values()} AS t(wsource, keep_x1000)"
+).replace("string_split", "split")
+_PIPE05_DUCK = _pipe05(
+    "len", "list_filter", f"(VALUES {_weight_values()}) t(wsource, keep_x1000)"
+)
+
+
+@query("pipe05_corpus_build", oracle=_PIPE05_DUCK, tags=("pipeline", "dedup", "sampling"))
+def pipe05_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus build as ONE declarative plan: C4-style
+    quality gate → normalized-fingerprint dedup (first-occurrence wins) →
+    deterministic weighted domain mixing → per-source funnel report
+    (raw → quality → unique → final, with final token counts and an id
+    checksum). This is the composition the single-purpose operators exist
+    for (pipe01 metrics, dd02 fingerprints, pipe03 mixing), expressed so
+    Catalyst fuses every per-document stage into the scan pass.
+
+    Scale shape: ONE corpus scan, two wide ops total — the dedup window
+    on the md5 fingerprint (uniform 128-bit key; non-quality rows get
+    synthetic singleton partitions so the funnel keeps raw counts without
+    a second pass) and the 20-key source rollup; the weights join
+    broadcasts; everything else is array-domain codegen fused into the
+    scan."""
+    return _sql(spark, sf_dir, _PIPE05_SPARK)

@@ -456,3 +456,77 @@ def ta07_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: two scans, one bounded-key shuffle, one O(n_docs) shuffle —
     no UDFs, fully codegen'd."""
     return _sql(spark, sf_dir, _TA07_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ta08 — vocabulary stats: top-k tokens + cumulative corpus coverage
+# ---------------------------------------------------------------------------
+
+
+def _ta08(unnest: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {unnest} AS w
+  FROM documents
+), counts AS (
+  SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY w
+), tot AS (
+  SELECT SUM(cnt) AS n FROM counts
+), top AS (
+  SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 100
+)
+SELECT
+  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rnk,
+  w AS token,
+  CAST(cnt AS BIGINT) AS n_occurrences,
+  CAST(ROUND(1000000.0 * cnt / tot.n) AS BIGINT) AS freq_ppm,
+  CAST(ROUND(1000.0 * SUM(cnt) OVER (ORDER BY cnt DESC, w
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.n)
+       AS BIGINT) AS cum_coverage_x1000
+FROM top CROSS JOIN tot
+"""
+
+
+_TA08_DUCK = _ta08("unnest(string_split(text, ' '))")
+
+
+@query("ta08_vocab_topk", oracle=_TA08_DUCK, tags=("text", "vocab", "tokenizer"))
+def ta08_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the 100 most frequent tokens with
+    per-million frequency and cumulative corpus coverage — the
+    distribution pass that precedes tokenizer/BPE training and drives
+    stopword-list and coverage decisions (no reference analog; SURVEY §6
+    extension).
+
+    Scale shape: the canonical word count — explode is linear, partial
+    (map-side) aggregation collapses the shuffle to the per-partition
+    vocabulary. The vocabulary counts are materialized ONCE (Spark inlines
+    a twice-referenced CTE, which would re-run the corpus word count for
+    the grand total — the SQL form planned 2 full scans, measured); the
+    grand total and the top-100 both read the vocab-sized checkpoint, the
+    top-100 compiles to TakeOrderedAndProject (never a global sort of the
+    vocabulary), and the coverage window runs over the 100 survivors
+    only."""
+    register_views(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    counts = spark.sql(
+        "SELECT w, COUNT(*) AS cnt FROM "
+        "(SELECT explode(split(text, ' ')) AS w FROM documents) t "
+        "WHERE w <> '' GROUP BY w"
+    ).localCheckpoint(eager=True)
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    top = counts.orderBy(F.col("cnt").desc(), "w").limit(100)
+    w_ord = Window.orderBy(F.col("cnt").desc(), "w")
+    cum = Window.orderBy(F.col("cnt").desc(), "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(w_ord).cast("bigint").alias("rnk"),
+        F.col("w").alias("token"),
+        F.col("cnt").cast("bigint").alias("n_occurrences"),
+        F.expr("CAST(ROUND(1000000.0 * cnt / n) AS BIGINT)").alias("freq_ppm"),
+        (F.round(F.sum("cnt").over(cum) * 1000.0 / F.col("n")))
+        .cast("bigint")
+        .alias("cum_coverage_x1000"),
+    )

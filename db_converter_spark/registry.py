@@ -95,6 +95,11 @@ _CHECK_TAIL = (
     # untouched by the r4 perf work ---
     "ev02_sessionization",
     "ta04_winnow_fingerprints",
+    # --- parked mid-r4 to fund head slots for ta08_vocab_topk and
+    # pipe05_corpus_build: green + unchanged in CORRECTNESS_r03.json,
+    # untouched by the r4 perf work ---
+    "mm01_binary_decode_plumbing",
+    "ta06_repetition_score",
 )
 
 

@@ -108,3 +108,21 @@ def test_ss06_no_sort_merge_join(spark):
     assert plan.count("SortMergeJoin") == 0, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pipe05_single_scan_two_exchanges(spark):
+    """The end-to-end corpus build must stay ONE corpus scan (the funnel
+    trick replaces the join-back) with only the dedup-window and rollup
+    exchanges."""
+    plan = _plan(spark, "pipe05_corpus_build")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ta08_vocab_never_globally_sorted(spark):
+    """Top-100 over the vocabulary compiles to TakeOrderedAndProject; the
+    materialized counts hide the corpus scan from this plan."""
+    plan = _plan(spark, "ta08_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "FileScan parquet" not in plan, plan

@@ -633,3 +633,142 @@ def ev08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# ev09 — stream-static broadcast join (event enrichment)
+# ---------------------------------------------------------------------------
+
+_EV09_DUCK = """
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       c.c_mktsegment AS mktsegment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2, 3
+"""
+
+
+@query("ev09_stream_static_join", oracle=_EV09_DUCK, tags=("events", "streaming", "join"))
+def ev09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a static
+    dimension table (customer → market segment) and aggregate per hour —
+    the third streaming-join family next to ev08's stream-stream and the
+    batch joins: the static side is re-read per micro-batch, requires NO
+    state, and broadcasts (dimension tables at 100 TB event scale are
+    still dimension-sized). Windowed counts in complete mode over an
+    ``availableNow`` backlog equal the batch join — the DuckDB oracle."""
+    from ..catalog import load_table
+
+    sink = "ev09_sink"
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    src = _events_stream_source(spark, sf_dir)
+    agg = (
+        src.join(F.broadcast(dim), src.user_id == dim.c_custkey)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("total_cents"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "mktsegment",
+            "event_type",
+            "n_events",
+            "total_cents",
+        )
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# ev10 — native session-window streaming aggregation
+# ---------------------------------------------------------------------------
+
+_EV10_DUCK = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+), agg AS (
+  SELECT user_id,
+    MIN(ts) AS s_start,
+    MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+    COUNT(*) AS n_events,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+  FROM sess GROUP BY user_id, sid
+)
+SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(total_cents AS BIGINT) AS total_cents
+FROM agg
+WHERE s_end < (SELECT MAX(ts) FROM events)
+"""
+
+
+@query("ev10_session_window_stream", oracle=_EV10_DUCK, tags=("events", "streaming", "session"))
+def ev10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming aggregation (30-minute gap) —
+    Spark's built-in merging-window sessionizer, complementing ev02 (the
+    batch gaps-and-islands twin) and streaming/stateful.py (the custom
+    applyInPandasWithState sessionizer): three implementations of one
+    semantic, each the right tool at a different point (SQL backfill /
+    built-in streaming / custom state logic).
+
+    Append mode is the ONLY mode session windows support with a
+    watermark, and append emits a session only once the watermark passes
+    its end — so with a 0-second watermark over the ``availableNow``
+    backlog, every session except those still inside their gap at the
+    corpus max event time lands in the sink. The oracle encodes exactly
+    that: gaps-and-islands sessions WHERE session_end < max(ts) — i.e.
+    the streaming semantics (open sessions are not final) expressed in
+    batch SQL. State is bounded by open sessions per user — the point of
+    the native operator at 100 TB/day."""
+    sink = "ev10_sink"
+    src = _events_stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("total_cents"),
+        )
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_cents",
+        )
+    )
+    with _scoped_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

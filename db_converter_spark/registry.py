@@ -100,6 +100,11 @@ _CHECK_TAIL = (
     # untouched by the r4 perf work ---
     "mm01_binary_decode_plumbing",
     "ta06_repetition_score",
+    # --- parked mid-r4 to fund head slots for ev09_stream_static_join and
+    # ev10_session_window_stream: green + unchanged in CORRECTNESS_r03.json,
+    # untouched by the r4 perf work ---
+    "dd07_embedding_neardup",
+    "ev05_range_join",
 )
 
 

@@ -74,6 +74,8 @@ def main() -> int:
         "ev03_streaming_window",
         "ev07_stream_dedup",
         "ev08_stream_stream_join",
+        "ev09_stream_static_join",
+        "ev10_session_window_stream",
     }
     since_gc = 0
     for name in sorted(queries):

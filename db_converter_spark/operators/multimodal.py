@@ -414,3 +414,108 @@ def mm04_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     )
     return docs.mapInPandas(_resize_batch, schema=_MM04_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mm05 — perceptual-hash near-dup over binary payloads (pHash plumbing)
+# ---------------------------------------------------------------------------
+
+_MM05_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 'perceptual hash' per binary payload. The STUB
+    decodes the payload as UTF-8 and computes the dd06 32-bit word simhash
+    (bit-identical to the SQL formula, so the oracle can verify the whole
+    Arrow round-trip); a real implementation computes dHash/pHash over
+    decoded pixels here and the Spark-side banding/verify is unchanged."""
+    import hashlib
+
+    def simhash(b: bytes) -> int:
+        words = [w for w in bytes(b).decode("utf-8").split(" ") if w != ""]
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words]
+        n = len(hs)
+        out = 0
+        for j in range(32):
+            if 2 * sum((h >> j) & 1 for h in hs) > n:
+                out |= 1 << j
+        return out
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["payload"].map(simhash).astype("int64"),
+            }
+        )
+
+
+def _mm05_pairs_sql(intdiv: str, xor_expr: str, lead: str = "WITH") -> str:
+    # 4 × 8-bit bands over the 32-bit hash: hamming-close hashes agree on
+    # at least one band (guaranteed for distance <= 3), so the bucket join
+    # finds every pair the verify step would keep. ``lead`` lets the block
+    # open a fresh WITH (Spark, over the temp view) or continue the
+    # oracle's existing WITH chain (",").
+    return f"""
+{lead} bands AS (
+  SELECT doc_id, phash, b,
+         (phash {intdiv} CAST(pow(256, b) AS BIGINT)) % 256 AS bv
+  FROM hashed CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.phash AS ha, y.phash AS hb
+  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT da, db, CAST(bit_count({xor_expr}) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count({xor_expr}) <= 3
+"""
+
+
+_MM05_DUCK = (
+    """
+WITH hashed AS (
+  SELECT doc_id,
+    CAST(list_sum([CASE WHEN 2 * length(list_filter(hs, h -> (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1))
+                         > length(hs)
+                   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+                   for j in generate_series(0, 31)]) AS BIGINT) AS phash
+  FROM (
+    SELECT doc_id,
+      list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                     w -> (('0x' || substr(md5(w), 1, 8))::BIGINT)) AS hs
+    FROM documents
+  ) t
+)
+"""
+    + _mm05_pairs_sql("//", "xor(ha, hb)", lead=",")
+)
+
+
+@query("mm05_phash_neardup", oracle=_MM05_DUCK, tags=("multimodal", "dedup", "udf"))
+def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary payloads — the
+    image-dedup composition: an Arrow-batched Pandas UDF extracts a
+    compact hash per payload (STUB: the dd06 simhash of the decoded
+    bytes; a real deployment computes pHash/dHash over pixels), then
+    pure-Spark banding buckets the hashes and a ``bit_count(xor)``
+    hamming check keeps pairs within distance 3.
+
+    Scale shape: the UDF is the only Python (one pass, batch-bounded
+    memory); banding is the dd04 LSH shape — one shuffle on (band,
+    band-value), candidates only, never all-pairs; for 32-bit hashes and
+    distance ≤ 3, 4 × 8-bit bands guarantee ≥ 1 agreeing band
+    (pigeonhole), so the bucket join loses no true pair. The oracle
+    recomputes the identical hash in SQL, pinning the UDF's Arrow
+    round-trip bit-for-bit."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    hashed = docs.mapInPandas(_phash_batch, schema=_MM05_SCHEMA)
+    hashed.createOrReplaceTempView("hashed")
+    return spark.sql(_mm05_pairs_sql("div", "ha ^ hb"))

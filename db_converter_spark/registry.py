@@ -105,6 +105,10 @@ _CHECK_TAIL = (
     # untouched by the r4 perf work ---
     "dd07_embedding_neardup",
     "ev05_range_join",
+    # --- parked mid-r4 to fund the head slot for mm05_phash_neardup:
+    # green + unchanged in CORRECTNESS_r03.json, untouched by r4 perf work
+    # (dd10's rework shares no code with dd04's banding SQL) ---
+    "dd04_minhash_lsh_bands",
 )
 
 

@@ -455,7 +455,7 @@ def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def _mm05_pairs_sql(intdiv: str, xor_expr: str, lead: str = "WITH") -> str:
+def _mm05_pairs_sql(intdiv: str, xor_expr: str, lead: str = "WITH", hashed_rel: str = "hashed") -> str:
     # 4 × 8-bit bands over the 32-bit hash: hamming-close hashes agree on
     # at least one band (guaranteed for distance <= 3), so the bucket join
     # finds every pair the verify step would keep. ``lead`` lets the block
@@ -465,7 +465,7 @@ def _mm05_pairs_sql(intdiv: str, xor_expr: str, lead: str = "WITH") -> str:
 {lead} bands AS (
   SELECT doc_id, phash, b,
          (phash {intdiv} CAST(pow(256, b) AS BIGINT)) % 256 AS bv
-  FROM hashed CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+  FROM {hashed_rel} CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.phash AS ha, y.phash AS hb
   FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
@@ -517,5 +517,7 @@ def mm05_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     hashed = docs.mapInPandas(_phash_batch, schema=_MM05_SCHEMA)
-    hashed.createOrReplaceTempView("hashed")
-    return spark.sql(_mm05_pairs_sql("div", "ha ^ hb"))
+    hashed.createOrReplaceTempView("mm05_hashed")
+    return spark.sql(
+        _mm05_pairs_sql("div", "ha ^ hb", hashed_rel="mm05_hashed")
+    )

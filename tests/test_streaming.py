@@ -262,3 +262,96 @@ def test_cdc_upsert_stream(spark, tmp_path):
     got = {(r.k, r.v) for r in spark.table("cdc_tgt").collect()}
     assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
     spark.sql("DROP TABLE IF EXISTS cdc_tgt")
+
+
+def test_session_window_checkpoint_resume(spark, tmp_path, landing):
+    """Native session_window append stream across a restart: run with a
+    DURABLE checkpoint, land a second batch, re-start from the SAME
+    checkpoint — the resumed query must (a) not re-emit sessions the first
+    run already finalized (exactly-once over the sink) and (b) close the
+    sessions the new data's watermark advance finalizes — matching the
+    batch gaps-and-islands of the full data restricted to closed
+    sessions."""
+    from db_converter_spark.catalog import load_table
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+        .orderBy("ts")
+        .limit(2000)
+        .cache()
+    )
+    rows = events.collect()
+    first, second = rows[:1200], rows[1200:]
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+    def land(batch, name):
+        spark.createDataFrame(batch, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(landing))
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(str(landing))
+        agg = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("session_window.start").alias("s_start"),
+                F.col("user_id"),
+                F.col("n_events"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(first, "b1")
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    land(second, "b2")
+    run_once()
+    got = spark.read.parquet(out)
+    # exactly-once: no (session, user) emitted twice across the restart
+    assert got.groupBy("s_start", "user_id").count().filter("count > 1").count() == 0
+
+    # parity: closed sessions of the FULL landed data (watermark = max ts)
+    from pyspark.sql.window import Window
+
+    all_ev = spark.read.parquet(str(landing))
+    max_ts = all_ev.agg(F.max("ts")).collect()[0][0]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        all_ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("last_ts"),
+             F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("last_ts") + F.expr("INTERVAL 30 MINUTES") < F.lit(max_ts))
+        .select("s_start", "user_id", "n_events")
+    )
+    expect = {tuple(r) for r in sess.collect()}
+    emitted = {tuple(r) for r in got.collect()}
+    assert expect <= emitted, f"missing {len(expect - emitted)} closed sessions"
+    # anything extra must be sessions the first run closed that the full
+    # data would have merged/extended — with ordered landing there are none
+    assert emitted == expect

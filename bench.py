@@ -46,7 +46,11 @@ def main() -> int:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").collect()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: two same-code runs this round recorded 83 s vs 140 s totals
+    # purely from ambient host spikes (dd04 0.9 s vs 15.3 s) — a third
+    # sample per query costs ~2 min against the 1200 s budget and makes the
+    # best-of robust to a spike landing on any single pass.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # wall budget: a loaded host can stretch the suite past the driver's
     # patience — after the budget is spent, degrade remaining queries to
     # best-of-1 so ONE json line always lands instead of a timeout recording

@@ -450,7 +450,10 @@ def ta07_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
        bounded-small → Spark broadcasts it (no shuffle); the per-doc
        aggregate reduces map-side because explode keeps a document's
        trigrams co-located in its input partition, so the final shuffle
-       carries ~one row per document.
+       carries ~one row per document. Caveat: for CJK corpora the
+       observed trigram vocabulary can outgrow the broadcast threshold —
+       stats/AQE then fall back to a shuffled join, still O(distinct
+       grams), which is the correct degradation.
 
     Output is integer-scaled (x100 round) so the DuckDB compare is exact.
     At 100 TB: two scans, one bounded-key shuffle, one O(n_docs) shuffle —

@@ -4,8 +4,6 @@ shard-position contiguity, and sampling-rate calibration."""
 
 from __future__ import annotations
 
-from collections import Counter
-
 from tests.conftest import SF_DIR
 
 

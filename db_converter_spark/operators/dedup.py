@@ -924,3 +924,53 @@ def dd10_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_sh = spark.sql(_DD10_DOCSH_SPARK).localCheckpoint(eager=True)
     doc_sh.createOrReplaceTempView("dd10_doc_sh")
     return spark.sql(_DD10_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd11 — keep-best dedup (representative selection, not first-occurrence)
+# ---------------------------------------------------------------------------
+
+
+def _dd11(re_replace: str) -> str:
+    # C4 keeps the LONGEST member of a duplicate group (Raffel et al. 2020
+    # §2.2 dedups on 3-sentence spans keeping one occurrence; production
+    # pipelines keep the highest-quality/longest member) — dd01/dd02 keep
+    # first-occurrence, this is the argmax variant: same single window,
+    # different ORDER BY.
+    return f"""
+WITH metrics AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+    md5(lower({re_replace})) AS fp
+  FROM documents
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS pick,
+    COUNT(*) OVER (PARTITION BY fp) AS group_sz
+  FROM metrics
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN pick = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN pick > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(SUM(CASE WHEN pick = 1 AND group_sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_group_reps,
+  CAST(SUM(CASE WHEN pick = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+FROM ranked GROUP BY source
+"""
+
+
+_DD11_SPARK = _dd11("regexp_replace(text, '[^a-z0-9 ]', '')")
+# DuckDB regexp_replace is first-match-only without the 'g' flag
+_DD11_DUCK = _dd11("regexp_replace(text, '[^a-z0-9 ]', '', 'g')")
+
+
+@query("dd11_dedup_keep_best", oracle=_DD11_DUCK, tags=("dedup", "quality"))
+def dd11_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact dedup: normalized-fingerprint groups keep their
+    LONGEST member (ties → lowest doc_id) instead of the first occurrence
+    — the representative-selection policy production pipelines use (keep
+    the highest-quality duplicate, drop the rest). Identical plan shape to
+    dd02 — one window on the uniform md5 fingerprint, one rollup — the
+    policy change is just the window's ORDER BY, which is the point: in a
+    declarative engine, "keep first" vs "keep best" costs the same."""
+    return _sql(spark, sf_dir, _DD11_SPARK)

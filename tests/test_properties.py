@@ -111,3 +111,43 @@ def test_hoisted_srf_leaves_no_nested_generator(wrapper, srf, clause):
         assert wrapper == "{srf}", out
     else:
         assert "LATERAL VIEW explode(" in out, out
+
+
+# ---------------------------------------------------------------------------
+# mm05: the Pandas-UDF simhash must equal the SQL formula on ANY text —
+# the corpus oracle pins it on real documents; this pins unicode, empties,
+# and degenerate whitespace the corpus doesn't contain.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mm05_udf_simhash_matches_sql_formula(text):
+    import duckdb
+    import pandas as pd
+
+    from db_converter_spark.operators.multimodal import _phash_batch
+
+    [out] = list(
+        _phash_batch(
+            iter([pd.DataFrame({"doc_id": [0], "payload": [text.encode("utf-8")]})])
+        )
+    )
+    py_hash = int(out["phash"][0])
+    con = duckdb.connect()
+    [(sql_hash,)] = con.execute(
+        """
+        SELECT CAST(list_sum([CASE WHEN 2 * length(list_filter(hs, h -> (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1))
+                                    > length(hs)
+                              THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+                              for j in generate_series(0, 31)]) AS BIGINT)
+        FROM (SELECT list_transform(list_filter(string_split(?, ' '), w -> w <> ''),
+                                    w -> (('0x' || substr(md5(w), 1, 8))::BIGINT)) AS hs)
+        """,
+        [text],
+    ).fetchall()
+    assert py_hash == (sql_hash or 0), (text, py_hash, sql_hash)

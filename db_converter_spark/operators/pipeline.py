@@ -345,10 +345,14 @@ WITH weights AS (
     ((doc_id % 999983) * 2654435761 + 12345) % 1000 AS coin
   FROM documents
 ), gated AS (
+  -- CASE, not a flat conjunction: SQL does not short-circuit ANDs, and
+  -- under Spark's ANSI mode a zero-token/zero-char document would raise
+  -- DIVIDE_BY_ZERO; the CASE guarantees the guards evaluate first
   SELECT *,
-    (n_tokens >= 5 AND n_tokens <= 100000 AND n_chars > 0 AND n_tokens > 0
-      AND CAST(ROUND(100.0 * n_alpha / n_tokens) AS BIGINT) BETWEEN 150 AND 1500
-      AND CAST(ROUND(1000.0 * n_punct / n_chars) AS BIGINT) <= 300) AS quality_ok
+    (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 AND n_chars > 0
+          THEN CAST(ROUND(100.0 * n_alpha / n_tokens) AS BIGINT) BETWEEN 150 AND 1500
+           AND CAST(ROUND(1000.0 * n_punct / n_chars) AS BIGINT) <= 300
+          ELSE FALSE END) AS quality_ok
   FROM metrics
 ), ranked AS (
   -- single-scan dedup: quality rows partition by fingerprint; every

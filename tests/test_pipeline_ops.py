@@ -80,3 +80,26 @@ def test_trigram_counts_are_internally_consistent(spark):
         assert r["avg_corpus_freq_x100"] >= 100
     short = [d for d, n in lens.items() if n < 3]
     assert {r["doc_id"] for r in rows} == set(lens) - set(short)
+
+
+def test_corpus_build_survives_degenerate_documents(spark):
+    """ANSI mode turns an unguarded division into DIVIDE_BY_ZERO: empty and
+    whitespace-only documents (zero tokens / zero alpha chars) must flow
+    through the quality gate as not-quality rows, never crash the plan."""
+    from db_converter_spark.operators.pipeline import _PIPE05_SPARK
+
+    spark.createDataFrame(
+        [
+            (1, "", "en", "src0", 0),
+            (2, "   ", "en", "src1", 3),
+            (3, "a b c d e f g h i j", None, "src2", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = {r["source"]: r for r in spark.sql(_PIPE05_SPARK).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert set(rows) == {"src0", "src1", "src2"}
+    for r in rows.values():
+        assert r["n_raw"] == 1 and r["n_quality"] == 0 and r["n_final"] == 0

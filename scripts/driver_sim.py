@@ -55,10 +55,11 @@ def main() -> int:
     # VANILLA session, deliberately NOT build_session: the grading driver
     # constructs its own SparkSession without any of our confs (round-1
     # lesson — engine must be self-sufficient on a session it didn't build).
+    cpus = os.environ.get("SPARK_GRAFT_SIM_CPUS", "8")
     spark = (
         SparkSession.builder.appName("driver-sim")
-        .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )

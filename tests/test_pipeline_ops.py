@@ -99,7 +99,13 @@ def test_corpus_build_survives_degenerate_documents(spark):
     try:
         rows = {r["source"]: r for r in spark.sql(_PIPE05_SPARK).collect()}
     finally:
-        spark.catalog.dropTempView("documents")
+        # restore the real view THROUGH the memo: register_views memoizes on
+        # the session, so a bare dropTempView would leave every later test's
+        # `documents` unresolvable (it broke 8 plan-shape tests once)
+        from db_converter_spark.catalog import register_views
+
+        spark._dbc_registered_sf = None
+        register_views(spark, SF_DIR)
     assert set(rows) == {"src0", "src1", "src2"}
     for r in rows.values():
         assert r["n_raw"] == 1 and r["n_quality"] == 0 and r["n_final"] == 0

@@ -40,3 +40,18 @@ def test_every_query_has_doc_and_builder():
     for name, spec in all_queries().items():
         assert spec.doc, f"{name} has no docstring"
         assert callable(spec.builder)
+
+
+def test_bench_heavy_set_names_are_real():
+    """bench.py GCs after the queries in its `heavy` set — a renamed query
+    would silently stop getting its post-query GC and its shuffle state
+    would inflate the next five queries' numbers."""
+    import re
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parent.parent.joinpath("bench.py").read_text()
+    m = re.search(r"heavy = \{(.*?)\}", src, re.S)
+    heavy = set(re.findall(r'"([^"]+)"', m.group(1)))
+    assert heavy, "heavy set not found in bench.py"
+    unknown = heavy - set(all_queries())
+    assert not unknown, f"bench.py heavy set names not in registry: {unknown}"

@@ -118,10 +118,13 @@ def dd01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dd02 — normalized fingerprint dedup
 # ---------------------------------------------------------------------------
 
-_DD02_BODY = """
+def _dd02(re_g: str) -> str:
+    # re_g: DuckDB regexp_replace is first-match-only without 'g'; Spark
+    # always replaces all, so the oracle variant passes ", 'g'".
+    return f"""
 WITH normed AS (
   SELECT source,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' ')))
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''{re_g}), ' +', ' '{re_g})))
            AS fp
   FROM documents
 )
@@ -132,7 +135,11 @@ FROM normed GROUP BY source
 """
 
 
-@query("dd02_norm_fingerprint", oracle=_DD02_BODY, tags=("dedup", "fingerprint"))
+_DD02_BODY = _dd02("")
+_DD02_DUCK = _dd02(", 'g'")
+
+
+@query("dd02_norm_fingerprint", oracle=_DD02_DUCK, tags=("dedup", "fingerprint"))
 def dd02_norm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-then-hash dedup (lowercase, strip non-alnum, collapse
     whitespace → md5) — catches trivial near-dups exact hashing misses."""

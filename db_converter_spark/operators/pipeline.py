@@ -31,7 +31,9 @@ _ALL_STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
 _STOPLIST = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
 
 
-def _pipe01(size_fn: str, filter_expr: str) -> str:
+def _pipe01(size_fn: str, filter_expr: str, re_g: str) -> str:
+    # re_g: DuckDB's regexp_replace is first-match-only without the 'g'
+    # flag (Spark always replaces all), so the oracle passes ", 'g'".
     return f"""
 WITH stats AS (
   SELECT
@@ -42,7 +44,7 @@ WITH stats AS (
     {size_fn}(string_split(text, ' ')) AS n_tokens,
     length(replace(text, ' ', '')) AS n_alpha_chars,
     {filter_expr} AS n_stopword_hits,
-    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_punct_chars,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''{re_g})) AS n_punct_chars,
     length(text) AS n_chars_total
   FROM documents
 ), scored AS (
@@ -79,10 +81,12 @@ FROM scored
 _PIPE01_SPARK = _pipe01(
     "size",
     f"size(filter(split(text, ' '), w -> w IN ({_STOPLIST})))",
+    "",
 ).replace("string_split", "split")
 _PIPE01_DUCK = _pipe01(
     "len",
     f"len(list_filter(string_split(text, ' '), w -> w IN ({_STOPLIST})))",
+    ", 'g'",
 )
 
 
@@ -326,7 +330,10 @@ def pipe04_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pipe05(size_fn: str, filter_fn: str, values_table: str) -> str:
+def _pipe05(size_fn: str, filter_fn: str, values_table: str, re_g: str) -> str:
+    # re_g: DuckDB regexp_replace needs the 'g' flag to replace ALL
+    # matches (Spark always does); without it the n_punct and fp
+    # expressions silently diverge on any doc with >=2 special chars.
     # One declarative plan for the whole build: per-doc metrics (array
     # domain), C4-style quality gate, normalized-fingerprint dedup rank,
     # pipe03's deterministic mixture coin, then one per-source rollup of
@@ -339,9 +346,9 @@ WITH weights AS (
   SELECT doc_id, source,
     {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) AS n_tokens,
     length(replace(text, ' ', '')) AS n_alpha,
-    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_punct,
+    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''{re_g})) AS n_punct,
     length(text) AS n_chars,
-    md5(lower(regexp_replace(text, '[^a-z0-9 ]', ''))) AS fp,
+    md5(lower(regexp_replace(text, '[^a-z0-9 ]', ''{re_g}))) AS fp,
     ((doc_id % 999983) * 2654435761 + 12345) % 1000 AS coin
   FROM documents
 ), gated AS (
@@ -383,10 +390,10 @@ FROM final GROUP BY source
 
 
 _PIPE05_SPARK = _pipe05(
-    "size", "filter", f"VALUES {_weight_values()} AS t(wsource, keep_x1000)"
+    "size", "filter", f"VALUES {_weight_values()} AS t(wsource, keep_x1000)", ""
 ).replace("string_split", "split")
 _PIPE05_DUCK = _pipe05(
-    "len", "list_filter", f"(VALUES {_weight_values()}) t(wsource, keep_x1000)"
+    "len", "list_filter", f"(VALUES {_weight_values()}) t(wsource, keep_x1000)", ", 'g'"
 )
 
 

@@ -109,3 +109,56 @@ def test_corpus_build_survives_degenerate_documents(spark):
     assert set(rows) == {"src0", "src1", "src2"}
     for r in rows.values():
         assert r["n_raw"] == 1 and r["n_quality"] == 0 and r["n_final"] == 0
+
+
+_EDGE_DOCS = [
+    # degenerate: empty / whitespace-only (ANSI division guards)
+    (1, "", "src0"),
+    (2, "   ", "src1"),
+    # multi-punctuation: exercises the regexp_replace 'g'-flag split — a
+    # first-match-only oracle diverges on n_punct AND on the dedup
+    # fingerprint for every one of these rows
+    (3, "hello, world! this is fine... really, truly fine!!!", "src2"),
+    (4, "hello world this is fine really truly fine", "src2"),
+    (5, "hello; world?? this is fine; (really) truly fine...", "src2"),
+    # exact-length boundary: exactly 5 tokens
+    (6, "alpha beta gamma delta epsilon", "src3"),
+    (7, "a b c d", "src4"),  # 4 tokens: below the floor
+]
+
+
+def test_corpus_build_edge_docs_match_duckdb(spark):
+    """Spark/oracle parity on the edges the corpus never hits: degenerate
+    documents (division guards, CASE semantics) and multi-punctuation text
+    (DuckDB regexp_replace needs the 'g' flag — first-match-only replace
+    silently diverges on n_punct and the dedup fingerprint). Mirrors the
+    mm05 property-test pattern: same rows through both engines."""
+    import duckdb
+
+    from db_converter_spark.operators.pipeline import _PIPE05_DUCK, _PIPE05_SPARK
+
+    spark.createDataFrame(
+        _EDGE_DOCS, "doc_id long, text string, source string"
+    ).createOrReplaceTempView("documents")
+    try:
+        srows = sorted(tuple(r) for r in spark.sql(_PIPE05_SPARK).collect())
+    finally:
+        from db_converter_spark.catalog import register_views
+
+        spark._dbc_registered_sf = None
+        register_views(spark, SF_DIR)
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", _EDGE_DOCS)
+        orows = sorted(tuple(r) for r in con.execute(_PIPE05_DUCK).fetchall())
+    finally:
+        con.close()
+    assert srows == orows
+    # docs 3 and 5 normalize to doc 4's fingerprint only under replace-ALL
+    # semantics; src2 must therefore report one unique doc across its three
+    by_src = {r[0]: r for r in srows}
+    assert by_src["src2"][1] == 3 and by_src["src2"][3] == 1  # n_raw, n_unique

@@ -355,3 +355,69 @@ def test_session_window_checkpoint_resume(spark, tmp_path, landing):
     # anything extra must be sessions the first run closed that the full
     # data would have merged/extended — with ordered landing there are none
     assert emitted == expect
+
+
+def test_session_window_exact_boundaries(spark, tmp_path):
+    """Pin Spark's session_window boundary semantics against the ev10
+    oracle's comparison-operator choices on second-granularity data
+    (the corpus's tie-free microsecond timestamps never hit either edge):
+
+    - a gap of EXACTLY the 30-minute session gap MERGES (the oracle's
+      "new session when gap > 30 min" — strict >);
+    - append mode EMITS a session whose end is exactly equal to the
+      watermark (emit when watermark >= end — the oracle's s_end <= max).
+    """
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from db_converter_spark.operators.events import (
+        _EV10_DUCK,
+        ev10_session_window_stream,
+    )
+
+    T = lambda s: dt.datetime.fromisoformat("2024-01-01 " + s)
+    rows = [
+        # user 1: gap of exactly 30:00 between the first two events
+        (1, T("10:00:00"), 1, "c", 1.0, "{}"),
+        (2, T("10:30:00"), 1, "c", 1.0, "{}"),
+        (3, T("11:30:00"), 1, "c", 1.0, "{}"),
+        # user 2: single event whose session end == global max ts exactly
+        (4, T("14:30:00"), 2, "c", 1.0, "{}"),
+        # user 3: anchor closed session + the global-max event (open session)
+        (5, T("09:00:00"), 3, "c", 1.0, "{}"),
+        (6, T("15:00:00"), 3, "c", 1.0, "{}"),
+    ]
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    cols = list(zip(*rows))
+    tbl = pa.Table.from_arrays([pa.array(c) for c in cols], schema=schema)
+    d = tmp_path / "edge_events"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    srows = sorted(tuple(r) for r in ev10_session_window_stream(spark, str(d)).collect())
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        orows = sorted(tuple(r) for r in con.execute(_EV10_DUCK).fetchall())
+    finally:
+        con.close()
+    assert srows == orows
+    # the boundary cases landed the way the oracle encodes them:
+    assert ("2024-01-01 10:00:00", "2024-01-01 11:00:00", 1, 2, 200) in srows  # exact-gap merge
+    assert ("2024-01-01 14:30:00", "2024-01-01 15:00:00", 2, 1, 100) in srows  # end == max ts emitted
+    assert not any(r[2] == 3 and r[0] == "2024-01-01 15:00:00" for r in srows)  # open session held

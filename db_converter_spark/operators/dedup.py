@@ -242,7 +242,8 @@ def _dd05() -> str:
 WITH doc_sh AS (
   SELECT DISTINCT doc_id, sh
   FROM (
-    SELECT doc_id, {unnest} AS sh FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id, {unnest} AS sh FROM documents
+    WHERE doc_id % 10 = 0 AND doc_id < 5000
   ) t
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM doc_sh GROUP BY doc_id
@@ -271,7 +272,7 @@ _DD05_DUCK = _dd05().format(unnest=f"unnest({_SHINGLES_DUCK})")
 _DD05_DOCSH_SPARK = f"""
 SELECT DISTINCT doc_id, sh
 FROM (SELECT doc_id, explode({_SHINGLES_SPARK}) AS sh
-      FROM documents WHERE doc_id % 10 = 0) t
+      FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000) t
 """
 
 _DD05_TAIL_SPARK = """
@@ -300,10 +301,13 @@ FROM jac
 @query("dd05_ngram_jaccard", oracle=_DD05_DUCK, tags=("dedup", "jaccard"))
 def dd05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard over an inverted-index self-join — exact
-    near-dup ground truth, run on a deterministic 10% sample (doc_id%10=0).
-    Exact all-pairs Jaccard is intrinsically O(n²) when the corpus shares
-    vocabulary; the production path at 100 TB is dd04 (LSH banding) for
-    candidates + this exact measure on candidates/samples only.
+    near-dup ground truth, run on a deterministic ABSOLUTELY-BOUNDED
+    sample (doc_id%10=0 AND doc_id<5000 → ≤500 docs at ANY corpus size;
+    a proportional sample would keep the O(n²) pair space growing with
+    the corpus). Exact all-pairs Jaccard is intrinsically O(n²) when the
+    corpus shares vocabulary; the production path at 100 TB is dd04 (LSH
+    banding) for candidates + this exact measure on candidates/samples
+    only.
 
     The sampled shingle table is materialized once (localCheckpoint): the
     CTE form re-ran the explode+DISTINCT for each of its three references

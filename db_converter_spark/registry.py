@@ -119,6 +119,79 @@ _CHECK_TAIL = (
 # cannot grow further this round without letting an official row go stale.
 
 
+def query_fingerprint(name: str) -> str:
+    """Content fingerprint of a registered query's SOURCE: the oracle SQL,
+    the AST-normalized builder (docstrings and comments ignored — they
+    don't change semantics), and, transitively within each function's own
+    module, every module-level constant/helper the code references (the
+    SQL template strings live there). Used by the official-row freshness
+    guard (tests/test_registry.py + tests/official_rows.json): a query
+    parked in the rotation tail whose fingerprint drifted from its
+    recorded official round MUST be re-headed — this replaces the manual
+    git-diff bookkeeping the r4 verdict flagged as will-eventually-slip.
+
+    Scope note: helpers imported INSIDE a builder body (catalog loaders
+    etc.) are not chased — engine-layer drift is caught by the full local
+    parity sweep (tests/test_oracle_parity.py) every session; this guard
+    is specifically for query-level source changes vs the rotation."""
+    import ast
+    import hashlib
+    import inspect
+    import sys
+    import textwrap
+
+    spec = QUERIES[name]
+
+    def _norm_tree(obj) -> tuple[ast.AST, list[str]]:
+        src = textwrap.dedent(inspect.getsource(obj))
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef))
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:]
+        names = sorted(
+            {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+        )
+        return tree, names
+
+    parts: list[str] = [f"oracle:{spec.oracle or ''}"]
+    seen: set[tuple[str, str]] = set()
+
+    def _visit(obj) -> None:
+        mod = sys.modules.get(obj.__module__)
+        key = (obj.__module__, obj.__qualname__)
+        if mod is None or key in seen:
+            return
+        seen.add(key)
+        tree, names = _norm_tree(obj)
+        parts.append(f"fn {key}:{ast.dump(tree)}")
+        for n in names:
+            if (obj.__module__, n) in seen or not hasattr(mod, n):
+                continue
+            val = getattr(mod, n)
+            if (
+                inspect.isfunction(val)
+                and (val.__module__ or "").startswith("db_converter_spark")
+                and val.__module__ != __name__  # the @query decorator itself
+            ):
+                _visit(val)
+            elif isinstance(val, (str, int, float, bool, tuple, dict)):
+                r = repr(val)
+                if " at 0x" in r:  # object addresses are not content
+                    continue
+                seen.add((obj.__module__, n))
+                parts.append(f"const {obj.__module__}.{n}={r}")
+
+    _visit(spec.builder)
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: registration) and return the
     full registry, reordered so the harness's 50-query budget covers every

@@ -55,3 +55,53 @@ def test_bench_heavy_set_names_are_real():
     assert heavy, "heavy set not found in bench.py"
     unknown = heavy - set(all_queries())
     assert not unknown, f"bench.py heavy set names not in registry: {unknown}"
+
+
+def _official_rows():
+    import json
+    from pathlib import Path
+
+    return json.loads(
+        Path(__file__).resolve().parent.joinpath("official_rows.json").read_text()
+    )
+
+
+def test_every_query_has_an_official_row_record():
+    """New queries must be stamped into tests/official_rows.json (run
+    scripts/update_official_rows.py --round N <name>) so the freshness
+    guard covers them from day one."""
+    missing = set(all_queries()) - set(_official_rows())
+    assert not missing, (
+        f"no official-row record for {sorted(missing)}; run"
+        " scripts/update_official_rows.py --round <N> <names>"
+    )
+
+
+def test_tail_queries_unchanged_since_official_row():
+    """THE rotation-freshness guard (r4 verdict 'What's wrong #3'): a query
+    parked in _CHECK_TAIL relies on an official green row from an earlier
+    round, which is only valid while its source (oracle SQL + builder +
+    referenced SQL constants/helpers) is unchanged. Mechanically enforces
+    what r3/r4 verified by hand with git diff."""
+    from db_converter_spark.registry import query_fingerprint
+
+    rows = _official_rows()
+    all_queries()  # ensure registration
+    stale = []
+    for n in _CHECK_TAIL:
+        rec = rows.get(n)
+        if rec is None or query_fingerprint(n) != rec["fp"]:
+            stale.append(n)
+    assert not stale, (
+        f"tail queries changed since their recorded official round: {stale} —"
+        " move them to the head for this round (update _CHECK_TAIL), then"
+        " re-stamp with scripts/update_official_rows.py after the green row"
+    )
+
+
+def test_query_fingerprint_is_deterministic():
+    from db_converter_spark.registry import query_fingerprint
+
+    all_queries()
+    for n in ("dd01_dedup_exact", "pipe05_corpus_build", "ev10_session_window_stream"):
+        assert query_fingerprint(n) == query_fingerprint(n)

@@ -501,13 +501,70 @@ FROM comp GROUP BY comp_id HAVING COUNT(*) >= 2
 """
 
 
+def _min_label_components(sym: DataFrame, max_rounds: int = 50) -> tuple[DataFrame, int]:
+    """Min-label propagation with per-round POINTER JUMPING over a
+    symmetrized edge list ``(src, dst)`` → (labels ``(doc_id, label)``,
+    rounds run).
+
+    Each round does (a) the one-hop propagate (join on src + min-agg on
+    doc_id) and (b) a two-hop shortcut: follow each doc's label to THAT
+    doc's current label (labels always satisfy label(x) ≤ x, so every
+    label value is itself a doc with a row — the join is total). The
+    shortcut doubles the effective propagation distance per round, so
+    rounds drop from graph diameter to ~log₂(diameter) — the public
+    pointer-doubling/hash-to-min trick (Rastogi et al. 2013, "Finding
+    Connected Components in Map-Reduce"), the difference between 50
+    synchronization barriers and ~6 on a chain-shaped component (pinned
+    by tests/test_plan_shapes.py::test_pointer_jump_rounds_logarithmic).
+
+    Convergence probe: labels only ever DECREASE, so the label sum is a
+    strictly-decreasing checksum until fixpoint — equal sums ⟺ no label
+    moved; one map-side-combined aggregate per round instead of a
+    join+filter+count. decimal(38,0): a 100 TB corpus sums ~1e12 64-bit
+    ids, past BIGINT. ``localCheckpoint`` cuts lineage per round — on a
+    production cluster use a reliable checkpoint dir."""
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    checksum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev_sum = checksum(labels)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        prop = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        hop = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        ptr = hop.select(
+            F.col("doc_id").alias("_pid"), F.col("label").alias("_plabel")
+        )
+        new = (
+            hop.join(ptr, hop["label"] == ptr["_pid"])
+            .select("doc_id", F.least("label", "_plabel").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = checksum(new)
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels, rounds
+
+
 @query("dd08_neardup_components", oracle=_dd08_duck(), tags=("dedup", "lsh", "graph"))
 def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the MinHash-LSH
-    bucket graph via iterative min-label propagation (each round: one join +
-    one min-aggregate, both shuffling on doc_id; rounds ≈ graph diameter,
-    which LSH star edges keep small). ``localCheckpoint`` cuts the lineage
-    per round — on a production cluster use a reliable checkpoint dir.
+    bucket graph via min-label propagation with pointer jumping (see
+    ``_min_label_components`` — rounds ≈ log₂(diameter), not diameter).
     Oracle = DuckDB recursive-CTE transitive closure of the same graph."""
     register_views(spark, sf_dir)
     # materialize the edge list BEFORE symmetrizing: union references the
@@ -517,36 +574,7 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # Convergence probe: per-doc labels only ever DECREASE under min-label
-    # propagation, so the label sum is a strictly-decreasing checksum until
-    # fixpoint — equal sums ⟺ no label moved. One map-side-combined
-    # aggregate per round instead of a join+filter+count (≥30% fewer jobs).
-    # decimal(38,0): a 100 TB corpus sums ~1e12 64-bit ids, past BIGINT.
-    checksum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
-    prev_sum = checksum(labels)
-    for _ in range(50):
-        prop = sym.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        new_sum = checksum(new)
-        labels = new
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    labels, _ = _min_label_components(sym)
     sym.unpersist()
     return (
         labels.groupBy("label")

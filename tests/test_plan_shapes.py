@@ -126,3 +126,23 @@ def test_ta08_vocab_never_globally_sorted(spark):
     plan = _plan(spark, "ta08_vocab_topk")
     assert "TakeOrderedAndProject" in plan, plan
     assert "FileScan parquet" not in plan, plan
+
+
+def test_pointer_jump_rounds_logarithmic(spark):
+    """dd08's propagation must converge in ~log2(diameter) rounds, not
+    diameter: a 64-node chain (diameter 63 — one-hop propagation would
+    blow the 50-round cap and return WRONG labels) must finish in <= 10
+    rounds with every node labeled 0."""
+    from pyspark.sql import functions as F
+
+    from db_converter_spark.operators.dedup import _min_label_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels, rounds = _min_label_components(sym)
+    got = {(r["doc_id"], r["label"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 10, f"chain-64 took {rounds} rounds — pointer jump broken"

@@ -80,6 +80,7 @@ def main() -> int:
         "ev08_stream_stream_join",
         "ev09_stream_static_join",
         "ev10_session_window_stream",
+        "ss07_kmeans_train",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -653,6 +653,90 @@ def dd09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dd12 — exact-substring duplicated-run detection (suffix-window variant)
+# ---------------------------------------------------------------------------
+
+_DD12_W = 20  # window width in tokens (Lee et al. threshold 50 BPE tokens;
+              # 20 here because the corpus docs are 10-99 words — the
+              # algorithm is width-invariant)
+
+
+def _dd12(split_fn: str, explode_expr: str, slice_join: str, len_fn: str) -> str:
+    # Overlapping stride-1 W-token windows: a duplicated substring of
+    # >= W tokens exists IFF some W-token window hash repeats corpus-wide
+    # (md5 collisions negligible). Consecutive duplicated windows merge
+    # into maximal runs via gaps-and-islands; a run of r windows covers
+    # r + W - 1 tokens.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents
+), wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, {slice_join} AS h
+  FROM (SELECT doc_id, w, {explode_expr} AS i FROM toks
+        WHERE {len_fn}(w) >= {_DD12_W}) t
+), freq AS (
+  SELECT h, COUNT(*) AS c FROM wins GROUP BY h
+), marked AS (
+  SELECT w.doc_id, w.i, (f.c > 1) AS dup
+  FROM wins w JOIN freq f ON f.h = w.h
+), runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM marked WHERE dup
+), runagg AS (
+  SELECT doc_id, grp, COUNT(*) AS run_wins
+  FROM runs GROUP BY doc_id, grp
+), perdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM marked GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_windows, p.n_dup_windows,
+  CAST(COALESCE(COUNT(r.grp), 0) AS BIGINT)                 AS n_dup_runs,
+  CAST(COALESCE(MAX(r.run_wins), 0) AS BIGINT)              AS max_run_windows,
+  CAST(COALESCE(SUM(r.run_wins + {_DD12_W} - 1), 0) AS BIGINT) AS est_dup_tokens
+FROM perdoc p LEFT JOIN runagg r ON r.doc_id = p.doc_id
+GROUP BY p.doc_id, p.n_windows, p.n_dup_windows
+"""
+
+
+_DD12_SPARK = _dd12(
+    "split",
+    f"explode(sequence(0, size(w) - {_DD12_W}))",
+    f"md5(array_join(slice(w, CAST(i AS INT) + 1, {_DD12_W}), ' '))",
+    "size",
+)
+_DD12_DUCK = _dd12(
+    "string_split",
+    f"UNNEST(range(0, len(w) - {_DD12_W - 1}))",
+    f"md5(array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + {_DD12_W}], ' '))",
+    "len",
+)
+
+
+@query("dd12_dup_substring_runs", oracle=_DD12_DUCK, tags=("dedup", "span", "substring"))
+def dd12_dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, the suffix-window approximation of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): detect MAXIMAL duplicated token runs of >= W tokens per
+    document — the component RefinedWeb/C4 actually threshold on —
+    via overlapping stride-1 W-token window hashes + corpus-wide
+    frequency + gaps-and-islands run merging. Per doc: window counts,
+    duplicated-window count, merged run count, longest run, and the
+    estimated duplicated-token total (r + W - 1 per r-window run).
+
+    Scale shape (dd09's two-pass pattern, stride-1 instead of
+    non-overlapping): the explode is linear (windows ≈ tokens), the
+    frequency aggregate and the mark-join shuffle on uniform 128-bit
+    hashes, and the run merge is a window PARTITIONED by doc_id — no
+    global order anywhere. Hash cost is W× the corpus bytes; at 100 TB
+    you'd swap md5 of the joined slice for a rolling (Rabin-Karp) hash
+    computed in one pass — same plan shape, cheaper map stage."""
+    return _sql(spark, sf_dir, _DD12_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # dc01 — benchmark decontamination (n-gram overlap vs a held-out set)
 # ---------------------------------------------------------------------------
 # The published test-set decontamination pass (GPT-3 App. C / PaLM / Llama):

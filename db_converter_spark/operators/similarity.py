@@ -486,6 +486,134 @@ _SS06_DUCK = _ss06(
 )
 
 
+# ---------------------------------------------------------------------------
+# ss07 — distributed Lloyd's k-means (trains the coarse codebook in-engine)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8          # centroids
+_KM_T = 3          # fixed Lloyd iterations (no data-dependent stopping —
+                   # determinism + oracle-expressibility)
+_KM_D = 64         # embedding dims
+_KM_Q = 1000       # quantization scale
+
+
+def _ss07_vflat(quant: str, dims: str, elem: str) -> str:
+    """The (vec_id, d, x) exploded quantized-vector table — the one input
+    every k-means stage reads. The Spark builder materializes it ONCE
+    (localCheckpoint): the unrolled plan references it ~7 times, and
+    recomputing scan+quantize+explode per reference dominated cost."""
+    return f"""
+SELECT v.vec_id, dims.d, {elem} AS x
+FROM (SELECT vec_id, {quant} AS xq FROM embeddings) v
+CROSS JOIN {dims} dims
+"""
+
+
+def _ss07_main(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+    """Unrolled k-means SQL over a ``vflat`` relation, dialect-
+    parameterized. EXACT cross-engine arithmetic: vectors quantize to
+    BIGINT (×1000 — values are O(1), so |xq| ≤ ~1000 and every
+    distance/sum below stays far under 2^53), distances and per-dim sums
+    are integer ops, and the centroid update rounds half-up WITHOUT
+    float ROUND via FLOOR((2s + n) / 2n) — the quotient has denominator
+    2n, so it is either exactly representable (the tie case) or ≥ 1/2n
+    away from an integer, far beyond double error: FLOOR is
+    deterministic and identical in both engines."""
+    stages = ([prelude] if prelude else []) + [
+        f"""cent0 AS (
+  SELECT CAST(vec_id {intdiv} 16 AS BIGINT) AS cid, d, x AS val
+  FROM {vflat} WHERE vec_id % 16 = 0 AND vec_id < {_KM_K * 16}
+)"""
+    ]
+    for t in range(_KM_T):
+        stages.append(
+            f"""dist{t} AS (
+  SELECT {hint_c}v.vec_id, c.cid, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+  FROM {vflat} v JOIN cent{t} c ON c.d = v.d
+  GROUP BY v.vec_id, c.cid
+), asg{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid) AS rn
+    FROM dist{t}) r WHERE rn = 1
+), upd{t} AS (
+  SELECT a.cid, v.d, SUM(v.x) AS s, COUNT(*) AS n
+  FROM asg{t} a JOIN {vflat} v ON v.vec_id = a.vec_id
+  GROUP BY a.cid, v.d
+), cent{t + 1} AS (
+  SELECT {hint_u}c.cid, c.d,
+         CAST(COALESCE(FLOOR((2.0 * u.s + u.n) / (2.0 * u.n)),
+                       CAST(c.val AS DOUBLE)) AS BIGINT) AS val
+  FROM cent{t} c LEFT JOIN upd{t} u ON u.cid = c.cid AND u.d = c.d
+)"""
+        )
+    last = _KM_T
+    return f"""
+WITH {", ".join(stages)}
+SELECT {hint_u.replace("u)", "sz)")}c.cid,
+  CAST(COALESCE(MAX(sz.n), 0) AS BIGINT) AS cell_size,
+  CAST(SUM(c.d * c.val) AS BIGINT)       AS c_checksum,
+  CAST(SUM(c.val * c.val) AS BIGINT)     AS c_norm_sq
+FROM cent{last} c
+LEFT JOIN (SELECT cid, COUNT(*) AS n FROM asg{last - 1} GROUP BY cid) sz
+  ON sz.cid = c.cid
+GROUP BY c.cid
+"""
+
+
+_SS07_VFLAT_SPARK = _ss07_vflat(
+    f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}, 0) AS BIGINT))",
+    f"(SELECT explode(sequence(1, {_KM_D})) AS d)",
+    "element_at(v.xq, dims.d)",
+)
+# cent{t}/upd{t} are <= 512 rows behind join/agg chains with no stats —
+# without the hints the per-dim joins plan as SortMergeJoin
+_SS07_MAIN_SPARK = _ss07_main(
+    "ss07_vflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
+)
+_SS07_VFLAT_DUCK = _ss07_vflat(
+    f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))",
+    f"(SELECT CAST(g AS INT) AS d FROM generate_series(1, {_KM_D}) t(g))",
+    "v.xq[dims.d]",
+)
+_SS07_DUCK = _ss07_main(
+    "vflat", "//", "", "", prelude=f"vflat AS ({_SS07_VFLAT_DUCK})"
+)
+
+
+@query("ss07_kmeans_train", oracle=_SS07_DUCK, tags=("similarity", "ann", "train"))
+def ss07_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings — trains the coarse
+    codebook IN-ENGINE instead of taking a fixture slice (the r4 verdict's
+    'train the ANN codebooks' item): 8 centroids, 3 fixed iterations,
+    deterministic spread init (vec_id % 16 = 0, vec_id < 128 — fixed-size
+    at any corpus). Output per centroid: final cell size + exact integer
+    centroid checksums (position-weighted sum + squared norm), fully
+    sensitive to any drift in any dimension.
+
+    DataFrame-only Lloyd's, unrolled: per iteration, (1) assignment = the
+    ss03 argmin shape — per-dim distance terms against the ≤512-row
+    broadcast centroid table, partial-aggregated map-side to n×k rows
+    before the single argmin shuffle keyed vec_id; (2) update = one
+    shuffle join of the n-row assignment back to the exploded vectors +
+    a (k×d)-group aggregate (map-side combined). No driver-side state at
+    all — the centroid chain lives in the plan. At 100 TB you'd train on
+    a sampled slice (k-means is sample-efficient) and/or fuse
+    assign+update map-side as MLlib does; the shuffle-per-iteration here
+    is the honest declarative shape. Arithmetic is exact-integer
+    throughout (see ``_ss07``), so the DuckDB oracle matches
+    bit-for-bit; this codebook is exactly what ss03/ss04 consume as
+    their centroid set and ss06 generalizes per-subspace."""
+    register_views(spark, sf_dir)
+    # materialize the exploded quantized-vector table ONCE: the unrolled
+    # plan references it ~7 times (cent0 + 2×/iteration), and recomputing
+    # scan+quantize+explode per reference dominated the runtime (15 s →
+    # ~3 s at sf0.1). Narrow schema: (vec_id, d, x) ≈ 24 B/row.
+    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
+    vflat.createOrReplaceTempView("ss07_vflat")
+    return spark.sql(_SS07_MAIN_SPARK)
+
+
 @query("ss06_pq_adc_topk", oracle=_SS06_DUCK, tags=("similarity", "pq", "ann", "knn"))
 def ss06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with asymmetric distance computation (ADC) —

@@ -113,6 +113,12 @@ _CHECK_TAIL = (
     # green + unchanged in CORRECTNESS_r03.json (rows-only by design, the
     # sketch is re-asserted every run by tests/test_sketch.py) ---
     "ta05_hll_distinct",
+    # --- parked r5 to fund head slots for the two new r5 operators
+    # (ss07_kmeans_train, dd12_dup_substring_runs): green + unchanged in
+    # CORRECTNESS_r04.json, untouched in r5 — enforced mechanically now by
+    # tests/official_rows.json + the freshness guard ---
+    "q18_group_ordinal_having",
+    "q24_distinct_agg",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -81,6 +81,8 @@ def main() -> int:
         "ev09_stream_static_join",
         "ev10_session_window_stream",
         "ss07_kmeans_train",
+        "ta07_trigram_lm",
+        "dd12_dup_substring_runs",
     }
     since_gc = 0
     for name in sorted(queries):

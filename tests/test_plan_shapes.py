@@ -146,3 +146,23 @@ def test_pointer_jump_rounds_logarithmic(spark):
     got = {(r["doc_id"], r["label"]) for r in labels.collect()}
     assert got == {(i, 0) for i in range(n)}
     assert rounds <= 10, f"chain-64 took {rounds} rounds — pointer jump broken"
+
+
+def test_ss07_joins_stay_broadcast(spark):
+    """k-means' per-dim distance joins run against <=512-row centroid
+    tables behind stat-less agg chains — the BROADCAST hints must hold
+    (a SortMergeJoin here sorts the exploded vector stream per
+    iteration), and nothing may plan as a nested-loop."""
+    plan = _plan(spark, "ss07_kmeans_train")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan  # 2/iteration + final
+
+
+def test_dd12_no_nested_loop_and_partitioned_window(spark):
+    """dd12's run merge must window PARTITIONED by doc_id (no global
+    order), and the frequency mark-join must be a hash join."""
+    plan = _plan(spark, "dd12_dup_substring_runs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan

@@ -83,6 +83,8 @@ def main() -> int:
         "ss07_kmeans_train",
         "ta07_trigram_lm",
         "dd12_dup_substring_runs",
+        "ss08_ivf_trained_topk",
+        "dd13_neardup_purge",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from db_converter_spark.catalog import register_views
+from db_converter_spark.catalog import load_table, register_views
 from db_converter_spark.registry import query
 
 # 8 minhash "permutations": (a, b, r). Each permutes the 60-bit base hash h
@@ -476,11 +476,14 @@ SELECT DISTINCT src, dst FROM star WHERE src <> dst
 """
 
 
-def _dd08_duck() -> str:
+def _dd08_duck(tail: str = "") -> str:
     bands = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5(concat(CAST(h{2*b} AS VARCHAR), ',', CAST(h{2*b+1} AS VARCHAR))) AS bkey FROM sig"
         for b in range(4)
     )
+    tail = tail or """
+SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp GROUP BY comp_id HAVING COUNT(*) >= 2"""
     return f"""
 WITH RECURSIVE sig AS ({_DD03_DUCK}),
 bands AS ({bands}),
@@ -495,9 +498,7 @@ reach(doc_id, label) AS (
   UNION
   SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.doc_id
 ),
-comp AS (SELECT doc_id, MIN(label) AS comp_id FROM reach GROUP BY doc_id)
-SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM comp GROUP BY comp_id HAVING COUNT(*) >= 2
+comp AS (SELECT doc_id, MIN(label) AS comp_id FROM reach GROUP BY doc_id){tail}
 """
 
 
@@ -581,6 +582,62 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .select(F.col("label").alias("comp_id"), "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd13 — near-dup purge list (the composition a pipeline actually ships)
+# ---------------------------------------------------------------------------
+
+_DD13_TAIL_DUCK = """
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_in_dup_graph,
+  CAST(SUM(CASE WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+  CAST(SUM(CASE WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id
+                THEN d.doc_id ELSE 0 END) AS BIGINT) AS purged_id_checksum
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+GROUP BY d.source"""
+
+
+@query("dd13_neardup_purge", oracle=_dd08_duck(_DD13_TAIL_DUCK), tags=("dedup", "lsh", "graph", "purge"))
+def dd13_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup KEEP/DROP decision a pipeline actually ships: dd08's
+    connected components, representative = the component's min doc_id
+    (which IS the propagated label — no extra pass), every other member
+    purged. Per source: total docs, docs with any near-dup edge, purge
+    count, and a purged-id checksum so the oracle compare pins the exact
+    drop set, not just its size.
+
+    Scale shape = dd08 (star edges, pointer-jump propagation) plus ONE
+    broadcast-size join back to the corpus on doc_id and a
+    low-cardinality source rollup. This is the composition dd04 (bands) →
+    dd08 (clusters) → keep-one exists for; dd11 is the within-group
+    variant when a quality ranking, not min-id, picks the survivor."""
+    register_views(spark, sf_dir)
+    edges = spark.sql(_dd08_bands_spark()).localCheckpoint(eager=True)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels, _ = _min_label_components(sym)
+    sym.unpersist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    purged = F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
+    return (
+        docs.join(labels, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("label").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_graph"),
+            F.sum(F.when(purged, 1).otherwise(0)).cast("bigint").alias("n_purged"),
+            F.sum(F.when(purged, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("purged_id_checksum"),
+        )
     )
 
 

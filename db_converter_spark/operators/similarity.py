@@ -509,15 +509,16 @@ CROSS JOIN {dims} dims
 """
 
 
-def _ss07_main(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
-    """Unrolled k-means SQL over a ``vflat`` relation, dialect-
-    parameterized. EXACT cross-engine arithmetic: vectors quantize to
-    BIGINT (×1000 — values are O(1), so |xq| ≤ ~1000 and every
-    distance/sum below stays far under 2^53), distances and per-dim sums
-    are integer ops, and the centroid update rounds half-up WITHOUT
-    float ROUND via FLOOR((2s + n) / 2n) — the quotient has denominator
-    2n, so it is either exactly representable (the tie case) or ≥ 1/2n
-    away from an integer, far beyond double error: FLOOR is
+def _ss07_stages(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> list[str]:
+    """The unrolled k-means CTE stages over a ``vflat`` relation,
+    dialect-parameterized — shared by ss07 (training output) and ss08
+    (trained-IVF query path). EXACT cross-engine arithmetic: vectors
+    quantize to BIGINT (×1000 — values are O(1), so |xq| ≤ ~1000 and
+    every distance/sum below stays far under 2^53), distances and
+    per-dim sums are integer ops, and the centroid update rounds half-up
+    WITHOUT float ROUND via FLOOR((2s + n) / 2n) — the quotient has
+    denominator 2n, so it is either exactly representable (the tie case)
+    or ≥ 1/2n away from an integer, far beyond double error: FLOOR is
     deterministic and identical in both engines."""
     stages = ([prelude] if prelude else []) + [
         f"""cent0 AS (
@@ -547,6 +548,13 @@ def _ss07_main(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str =
   FROM cent{t} c LEFT JOIN upd{t} u ON u.cid = c.cid AND u.d = c.d
 )"""
         )
+    return stages
+
+
+def _ss07_main(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+    """ss07's training output: per trained centroid, final cell size +
+    exact integer checksums (see ``_ss07_stages``)."""
+    stages = _ss07_stages(vflat, intdiv, hint_c, hint_u, prelude)
     last = _KM_T
     return f"""
 WITH {", ".join(stages)}
@@ -559,6 +567,56 @@ LEFT JOIN (SELECT cid, COUNT(*) AS n FROM asg{last - 1} GROUP BY cid) sz
   ON sz.cid = c.cid
 GROUP BY c.cid
 """
+
+
+_SS08_NPROBE = 2
+
+
+def _ss08_main(vflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+    """ss08: the trained-IVF QUERY path — k-means stages through
+    cent{T}, then probe the query's nearest cells and exact-rerank only
+    the vectors assigned there. All in the quantized integer space, so
+    the oracle compare is exact."""
+    last = _KM_T
+    stages = _ss07_stages(vflat, intdiv, hint_c, hint_u, prelude)
+    stages.append(
+        f"""qv AS (
+  SELECT d, x FROM {vflat} WHERE vec_id = 0
+), cdist AS (
+  SELECT {hint_c}c.cid, SUM((q.x - c.val) * (q.x - c.val)) AS dd
+  FROM cent{last} c JOIN qv q ON q.d = c.d
+  GROUP BY c.cid
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY dd ASC, cid) AS rn FROM cdist
+  ) t WHERE rn <= {_SS08_NPROBE}
+), vdist AS (
+  SELECT {hint_c}v.vec_id, c.cid, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+  FROM {vflat} v JOIN cent{last} c ON c.d = v.d
+  GROUP BY v.vec_id, c.cid
+), vassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid) AS rn
+    FROM vdist) t WHERE rn = 1
+), survivors AS (
+  SELECT {hint_u.replace("u)", "p)")}a.vec_id, a.cid
+  FROM vassign a JOIN probe p ON p.cid = a.cid
+  WHERE a.vec_id <> 0
+), qdist AS (
+  -- exact distance computed ONLY for vectors in probed cells — the
+  -- IVF contract: a query touches nprobe/k of the corpus
+  SELECT v.vec_id, s.cid, SUM((v.x - q.x) * (v.x - q.x)) AS dd
+  FROM {vflat} v JOIN survivors s ON s.vec_id = v.vec_id
+  JOIN qv q ON q.d = v.d
+  GROUP BY v.vec_id, s.cid
+)
+SELECT vec_id, cid, CAST(dd AS BIGINT) AS l2sq_q
+FROM qdist
+ORDER BY l2sq_q ASC, vec_id
+LIMIT 10"""
+    )
+    return f"WITH {', '.join(stages[:-1])}, {stages[-1]}"
 
 
 _SS07_VFLAT_SPARK = _ss07_vflat(
@@ -579,6 +637,34 @@ _SS07_VFLAT_DUCK = _ss07_vflat(
 _SS07_DUCK = _ss07_main(
     "vflat", "//", "", "", prelude=f"vflat AS ({_SS07_VFLAT_DUCK})"
 )
+_SS08_SPARK = _ss08_main(
+    "ss07_vflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
+)
+_SS08_DUCK = _ss08_main(
+    "vflat", "//", "", "", prelude=f"vflat AS ({_SS07_VFLAT_DUCK})"
+)
+
+
+@query("ss08_ivf_trained_topk", oracle=_SS08_DUCK, tags=("similarity", "ivf", "ann", "knn", "train"))
+def ss08_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL train→index→query ANN path: ss07's k-means stages produce
+    the trained codebook, every vector is assigned to its trained cell,
+    the query (vec_id=0) probes its nearest 2 cells, and the exact
+    distance is computed ONLY for vectors assigned there — top-10 by
+    quantized-integer L2 (exact cross-engine, see ``_ss07_stages``).
+    Closes the loop the fixture-codebook operators (ss03/ss04) leave
+    open: the index a real deployment queries is the one training
+    produced.
+
+    Plan: identical k-means shape as ss07 (broadcast centroid joins, one
+    argmin shuffle per stage), then the probe set (≤2 rows) and query
+    vector broadcast; the rerank join keeps the IVF contract — a query
+    touches nprobe/k of the corpus, and the top-10 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    register_views(spark, sf_dir)
+    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
+    vflat.createOrReplaceTempView("ss07_vflat")
+    return spark.sql(_SS08_SPARK)
 
 
 @query("ss07_kmeans_train", oracle=_SS07_DUCK, tags=("similarity", "ann", "train"))

@@ -119,6 +119,10 @@ _CHECK_TAIL = (
     # tests/official_rows.json + the freshness guard ---
     "q18_group_ordinal_having",
     "q24_distinct_agg",
+    # --- parked r5 for ss08_ivf_trained_topk and dd13_neardup_purge:
+    # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
+    "q19_case_agg",
+    "q24b_array_agg_distinct",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -566,7 +566,13 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the MinHash-LSH
     bucket graph via min-label propagation with pointer jumping (see
     ``_min_label_components`` — rounds ≈ log₂(diameter), not diameter).
-    Oracle = DuckDB recursive-CTE transitive closure of the same graph."""
+    Oracle = DuckDB recursive-CTE transitive closure of the same graph.
+
+    NOTE: this is the component PRIMITIVE over raw (unverified) bucket
+    candidates — on a skew-shingled corpus min-hash ties make that graph
+    one giant component (4998/5000 docs at sf0.1), which is precisely why
+    a shipping pipeline clusters AFTER verification: dd13 runs these same
+    components over dd10's exact-Jaccard-verified pairs."""
     register_views(spark, sf_dir)
     # materialize the edge list BEFORE symmetrizing: union references the
     # edges lineage twice, so without this the md5-heavy MinHash banding
@@ -582,62 +588,6 @@ def dd08_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .select(F.col("label").alias("comp_id"), "n_docs")
-    )
-
-
-# ---------------------------------------------------------------------------
-# dd13 — near-dup purge list (the composition a pipeline actually ships)
-# ---------------------------------------------------------------------------
-
-_DD13_TAIL_DUCK = """
-SELECT d.source,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_in_dup_graph,
-  CAST(SUM(CASE WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
-  CAST(SUM(CASE WHEN c.comp_id IS NOT NULL AND c.comp_id <> d.doc_id
-                THEN d.doc_id ELSE 0 END) AS BIGINT) AS purged_id_checksum
-FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-GROUP BY d.source"""
-
-
-@query("dd13_neardup_purge", oracle=_dd08_duck(_DD13_TAIL_DUCK), tags=("dedup", "lsh", "graph", "purge"))
-def dd13_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dup KEEP/DROP decision a pipeline actually ships: dd08's
-    connected components, representative = the component's min doc_id
-    (which IS the propagated label — no extra pass), every other member
-    purged. Per source: total docs, docs with any near-dup edge, purge
-    count, and a purged-id checksum so the oracle compare pins the exact
-    drop set, not just its size.
-
-    Scale shape = dd08 (star edges, pointer-jump propagation) plus ONE
-    broadcast-size join back to the corpus on doc_id and a
-    low-cardinality source rollup. This is the composition dd04 (bands) →
-    dd08 (clusters) → keep-one exists for; dd11 is the within-group
-    variant when a quality ranking, not min-id, picks the survivor."""
-    register_views(spark, sf_dir)
-    edges = spark.sql(_dd08_bands_spark()).localCheckpoint(eager=True)
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels, _ = _min_label_components(sym)
-    sym.unpersist()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    purged = F.col("label").isNotNull() & (F.col("label") != F.col("doc_id"))
-    return (
-        docs.join(labels, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("label").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_in_dup_graph"),
-            F.sum(F.when(purged, 1).otherwise(0)).cast("bigint").alias("n_purged"),
-            F.sum(F.when(purged, F.col("doc_id")).otherwise(0))
-            .cast("bigint")
-            .alias("purged_id_checksum"),
-        )
     )
 
 
@@ -1024,7 +974,10 @@ FROM (
 """
 
 
-def _dd10_verify_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
+def _dd10_jac_ctes(cand: str, doc_sh: str, hints: bool = False) -> str:
+    """The ``sizes``/``common``/``jac`` CTE chain (per-candidate exact
+    Jaccard) — shared by dd10's verify aggregate and dd13's
+    verified-edge components."""
     # Spark-side: the materialized candidate/size relations are TINY by LSH
     # design but checkpointed RDDs carry no stats, so without hints every
     # tail join plans as SortMergeJoin (8 needless exchanges measured);
@@ -1049,7 +1002,13 @@ sizes AS (
   LEFT JOIN common m ON m.da = c.da AND m.db = c.db
   JOIN sizes sa ON sa.doc_id = c.da
   JOIN sizes sb ON sb.doc_id = c.db
-)
+)"""
+
+
+def _dd10_verify_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
+    return (
+        _dd10_jac_ctes(cand, doc_sh, hints)
+        + """
 SELECT
   CAST(COUNT(*) AS BIGINT)                                  AS n_candidate_pairs,
   CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_05,
@@ -1058,6 +1017,7 @@ SELECT
   ROUND(AVG(j), 4)                                          AS avg_jaccard
 FROM jac
 """
+    )
 
 
 _DD10_TAIL_SPARK = "WITH " + _dd10_verify_tail("dd10_cand", "dd10_doc_sh", hints=True)
@@ -1113,6 +1073,14 @@ def dd10_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized ONCE via localCheckpoint and the tail joins the
     materialized results — signatures are computed exactly once per run
     (r3 verdict: the un-materialized form recomputed them ~4x)."""
+    _dd10_prepare(spark, sf_dir)
+    return spark.sql(_DD10_TAIL_SPARK)
+
+
+def _dd10_prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize dd10's three expensive intermediates (signatures,
+    gated candidates, candidate-doc shingles) as temp views — shared by
+    dd10's verify aggregate and dd13's verified-edge components."""
     register_views(spark, sf_dir)
     sig = spark.sql(_DD10_SIG_SPARK).localCheckpoint(eager=True)
     sig.createOrReplaceTempView("dd10_sig")
@@ -1120,7 +1088,6 @@ def dd10_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand.createOrReplaceTempView("dd10_cand")
     doc_sh = spark.sql(_DD10_DOCSH_SPARK).localCheckpoint(eager=True)
     doc_sh.createOrReplaceTempView("dd10_doc_sh")
-    return spark.sql(_DD10_TAIL_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,3 +1138,103 @@ def dd11_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy change is just the window's ORDER BY, which is the point: in a
     declarative engine, "keep first" vs "keep best" costs the same."""
     return _sql(spark, sf_dir, _DD11_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd13 — near-dup purge list (the composition a pipeline actually ships)
+# ---------------------------------------------------------------------------
+# Components over dd10's VERIFIED pairs, not the raw bucket graph: on this
+# corpus the skewed shingle distribution ties min-hashes so hard that the
+# dd08 bucket graph is one giant component (4998 of 5000 docs at sf0.1) —
+# purging on it would drop the corpus. The published pipelines cluster
+# AFTER verification (candidates → exact-Jaccard gate → components), which
+# is exactly this operator: exact dedup first (reps), verified j >= 0.8
+# edges between reps, components, keep the min-id member per component.
+
+_DD13_J = 0.8
+
+_DD13_FINAL = """
+SELECT m.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN m.doc_id <> m.rep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_purged,
+  CAST(SUM(CASE WHEN m.doc_id = m.rep AND c.comp_id IS NOT NULL
+                     AND c.comp_id <> m.rep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_neardup_purged,
+  CAST(SUM(CASE WHEN m.doc_id = m.rep
+                     AND (c.comp_id IS NULL OR c.comp_id = m.rep)
+                THEN m.doc_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+FROM repmap m LEFT JOIN comp c ON c.doc_id = m.rep
+GROUP BY m.source"""
+
+
+def _dd13_duck() -> str:
+    base = _dd10_duck()
+    # reuse dd10's whole verified-pair chain; swap its final aggregate for
+    # the closure + purge rollup, and make the WITH recursive
+    head = base[: base.rindex(")\nSELECT")] + ")"
+    return (
+        head.replace("\nWITH reps AS (", "\nWITH RECURSIVE reps AS (", 1)
+        + f""",
+vedges AS (SELECT da AS src, db AS dst FROM jac WHERE j >= {_DD13_J}),
+vsym AS (SELECT src, dst FROM vedges UNION SELECT dst, src FROM vedges),
+reach(doc_id, label) AS (
+  SELECT src, src FROM vsym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN vsym s ON s.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS comp_id FROM reach GROUP BY doc_id),
+repmap AS (
+  SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents
+){_DD13_FINAL}"""
+    )
+
+
+@query("dd13_neardup_purge", oracle=_dd13_duck(), tags=("dedup", "lsh", "jaccard", "graph", "purge"))
+def dd13_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup KEEP/DROP decision a pipeline actually ships, end to
+    end: exact dedup first (one representative per distinct text — the
+    'reps' every published pipeline runs before MinHash), dd10's LSH
+    candidates + exact-Jaccard verification, connected components over
+    the VERIFIED (j >= 0.8) pairs via pointer-jump propagation, keep the
+    min-id member per component. Per source: exact-dup purges, near-dup
+    purges, and a kept-id checksum pinning the exact survivor set.
+
+    Components run on verified edges, NOT the raw bucket graph — see the
+    module comment: bucket-graph components are one giant cluster on a
+    skew-shingled corpus, and purging on unverified candidates is how a
+    pipeline deletes its corpus. Scale shape: dd10's O(candidates) work,
+    a verified-edge graph that is tiny by construction, log-round
+    propagation, one join back to the corpus on doc_id, low-cardinality
+    rollup."""
+    _dd10_prepare(spark, sf_dir)
+    edges = spark.sql(
+        "WITH "
+        + _dd10_jac_ctes("dd10_cand", "dd10_doc_sh", hints=True)
+        + f"\nSELECT da AS src, db AS dst FROM jac WHERE j >= {_DD13_J}"
+    ).localCheckpoint(eager=True)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels, _ = _min_label_components(sym)
+    sym.unpersist()
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    repmap = docs.select(
+        "doc_id",
+        "source",
+        F.min("doc_id").over(Window.partitionBy("text")).alias("rep"),
+    )
+    comp = labels.select(F.col("doc_id").alias("rep"), F.col("label").alias("comp_id"))
+    j = repmap.join(F.broadcast(comp), "rep", "left")
+    is_rep = F.col("doc_id") == F.col("rep")
+    near_purged = is_rep & F.col("comp_id").isNotNull() & (F.col("comp_id") != F.col("rep"))
+    kept = is_rep & (F.col("comp_id").isNull() | (F.col("comp_id") == F.col("rep")))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~is_rep, 1).otherwise(0)).cast("bigint").alias("n_exact_purged"),
+        F.sum(F.when(near_purged, 1).otherwise(0)).cast("bigint").alias("n_neardup_purged"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("bigint").alias("kept_id_checksum"),
+    )

@@ -25,6 +25,7 @@ footer sniff handles either unit).
 
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -34,11 +35,26 @@ SRC = "/root/testdata/sf0.1"
 DST = Path(__file__).resolve().parent.parent / ".scale" / "sf1"
 N_REP = 10
 
-# 10 distinct vowel permutations (index 0 = identity)
+# 10 distinct vowel permutations (index 0 = identity); for replica counts
+# beyond 10 a consonant rotation (i // 10) provides the second distinct
+# knob, so every replica's text transform is unique up to 100 replicas.
 VOWELS = [
     "aeiou", "eioua", "iouae", "ouaei", "uaeio",
     "aeiuo", "eioau", "iouea", "ouaie", "uaeoi",
 ]
+CONS = "bcdfghjklm"
+
+
+def _translate_expr(i: int) -> str:
+    if i == 0:
+        return "text"
+    src_chars, dst_chars = "aeiou", VOWELS[i % 10]
+    j = i // 10
+    if j:
+        rot = CONS[j:] + CONS[:j]
+        src_chars += CONS
+        dst_chars += rot
+    return f"translate(text, '{src_chars}', '{dst_chars}')"
 
 M = 1_000_000
 B = 10_000_000
@@ -84,7 +100,7 @@ def replica_select(table: str, i: int) -> str:
             f" FROM {src}"
         )
     if table == "documents":
-        tr = f"translate(text, 'aeiou', '{VOWELS[i]}')" if i else "text"
+        tr = _translate_expr(i)
         return (
             f"SELECT doc_id + {i * M} AS doc_id, {tr} AS text, lang, source,"
             f" n_chars FROM {src}"
@@ -97,7 +113,14 @@ def replica_select(table: str, i: int) -> str:
 
 
 def main() -> int:
-    DST.mkdir(parents=True, exist_ok=True)
+    global N_REP
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10, help="replica count (10=sf1, 100=sf10)")
+    ap.add_argument("--dst", default=str(DST))
+    args = ap.parse_args()
+    N_REP = args.reps
+    dst = Path(args.dst)
+    dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -105,7 +128,7 @@ def main() -> int:
     ):
         selects = [s for i in range(N_REP) if (s := replica_select(t, i))]
         union = " UNION ALL ".join(selects)
-        out = DST / f"{t}.parquet"
+        out = dst / f"{t}.parquet"
         con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{t}: {n} rows -> {out}")

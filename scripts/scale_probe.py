@@ -70,9 +70,17 @@ def plan_profile(spark, df) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--scales",
+        default=f"sf0.1:{SF01},sf1:{SF1}",
+        help="comma-separated label:dir pairs; ratios are vs the FIRST",
+    )
+    ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or HEAVY
+    scales = [tuple(p.split(":", 1)) for p in args.scales.split(",")]
+    base_label = scales[0][0]
 
     spark = build_session(
         app_name="scale-probe", master="local[32]", shuffle_partitions=32
@@ -80,7 +88,7 @@ def main() -> int:
     spark.range(1).count()  # warm the JVM
     qs = all_queries()
     out: dict[str, dict] = {}
-    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+    for sf_label, sf_dir in scales:
         for name in names:
             spec = qs[name]
             best = float("inf")
@@ -100,9 +108,10 @@ def main() -> int:
             print(f"{sf_label} {name}: {best:.2f}s ({n} rows)", flush=True)
 
     flips_total = 0
+    big_label = scales[-1][0]
     for name, rec in out.items():
-        rec["ratio"] = round(rec["sf1"] / max(rec["sf0.1"], 0.01), 2)
-        p0, p1 = rec["plan_sf0.1"], rec["plan_sf1"]
+        rec["ratio"] = round(rec[big_label] / max(rec[base_label], 0.01), 2)
+        p0, p1 = rec[f"plan_{base_label}"], rec[f"plan_{big_label}"]
         flips = []
         if p1["BroadcastHashJoin"] < p0["BroadcastHashJoin"]:
             flips.append("broadcast->non-broadcast")
@@ -114,13 +123,15 @@ def main() -> int:
         rec["plan_flips"] = flips
         flips_total += len(flips)
 
-    Path(ROOT / "SCALE_PROBE.json").write_text(json.dumps(out, indent=1) + "\n")
-    print("\n| query | sf0.1 s | sf1 s | ratio (10x data) | plan flips |")
-    print("|---|---|---|---|---|")
+    Path(ROOT / args.out).write_text(json.dumps(out, indent=1) + "\n")
+    header = " | ".join(f"{lbl} s" for lbl, _ in scales)
+    print(f"\n| query | {header} | ratio ({big_label}/{base_label}) | plan flips |")
+    print("|---|" + "---|" * (len(scales) + 2))
     for name in names:
         r = out[name]
+        times = " | ".join(str(r[lbl]) for lbl, _ in scales)
         print(
-            f"| {name} | {r['sf0.1']} | {r['sf1']} | {r['ratio']}x |"
+            f"| {name} | {times} | {r['ratio']}x |"
             f" {', '.join(r['plan_flips']) or 'none'} |"
         )
     worst = max(out[n]["ratio"] for n in names)

@@ -8,6 +8,12 @@ This is the r4 verdict's Next #1: the 100×-scale claims rested on
 plan-shape arguments measured only at sf0.1. Done = ~linear wall-time
 scaling (≤ ~15× at 10× data) and zero plan flips.
 
+A reported "broadcast->non-broadcast" needs inspection, not automatic
+red: AQE flipping a GROWN side (e.g. a fact-fact join) to SortMergeJoin
+at scale is the correct adaptive choice — the red flag is a DIMENSION
+join losing its broadcast. See BASELINE.md's 100× section for the
+join-by-join reading of the sf10 flips.
+
 Usage: python scripts/scale_probe.py [--runs 2] [name ...]
 Writes SCALE_PROBE.json and prints a markdown table for BASELINE.md.
 """

@@ -166,3 +166,51 @@ def test_dd12_no_nested_loop_and_partitioned_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_pointer_jump_matches_union_find(spark):
+    """Property check for the pointer-jump rewrite: on seeded random
+    graphs (including disconnected pieces, self-contained stars, rings)
+    the propagated labels must equal classic union-find components."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from db_converter_spark.operators.dedup import _min_label_components
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 60
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(10, 80))
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {v for e in edges for v in e}
+        expect = {v: find(v) for v in in_graph}
+        # normalize: label = min member of the component
+        comp_min: dict[int, int] = {}
+        for v, r in expect.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in in_graph}
+
+        e = spark.createDataFrame(edges, "src LONG, dst LONG")
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        labels, rounds = _min_label_components(sym)
+        got = {r["doc_id"]: r["label"] for r in labels.collect()}
+        assert got == expect, f"trial {trial}: mismatch (rounds={rounds})"

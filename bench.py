@@ -85,6 +85,7 @@ def main() -> int:
         "dd12_dup_substring_runs",
         "ss08_ivf_trained_topk",
         "dd13_neardup_purge",
+        "pipe06_token_budget",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -846,6 +846,70 @@ def dc01_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dc02 — pairwise source-overlap matrix (inter-source duplication audit)
+# ---------------------------------------------------------------------------
+
+
+def _dc02(gram_explode: str, split_fn: str, len_fn: str) -> str:
+    # DISTINCT per (source, gram) FIRST: the pair join then runs on the
+    # source-level vocabulary (bounded by distinct grams × n_sources),
+    # never the raw occurrence stream — and the output is 190 rows for
+    # 20 sources regardless of corpus size.
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, {gram_explode} AS h
+  FROM (SELECT source, {split_fn}(text, ' ') AS w FROM documents) d
+  WHERE {len_fn}(w) >= 5
+), szs AS (
+  SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+  FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa, p.sb,
+  CAST(p.shared AS BIGINT)                                   AS shared_grams,
+  CAST(za.n AS BIGINT)                                       AS grams_a,
+  CAST(zb.n AS BIGINT)                                       AS grams_b,
+  CAST(ROUND(1000.0 * p.shared / LEAST(za.n, zb.n)) AS BIGINT)
+                                                             AS containment_x1000
+FROM pairs p
+JOIN szs za ON za.source = p.sa
+JOIN szs zb ON zb.source = p.sb
+"""
+
+
+_DC02_SPARK = _dc02(
+    "explode(transform(sequence(1, size(w) - 4), i -> md5(array_join(slice(w, i, 5), ' '))))",
+    "split",
+    "size",
+)
+_DC02_DUCK = _dc02(
+    "unnest(list_transform(range(1, len(w) - 3), i -> md5(array_to_string(w[i : i + 4], ' '))))",
+    "string_split",
+    "len",
+)
+
+
+@query("dc02_source_overlap", oracle=_DC02_DUCK, tags=("dedup", "decontamination", "mixing"))
+def dc02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: word-5-gram containment between
+    every pair of corpus sources — the inter-source duplication audit
+    behind data-mixing decisions (two crawls of the same sites, a subset
+    re-released under a new name, a benchmark hiding inside a source;
+    the cross-SOURCE generalization of dc01's corpus-vs-benchmark
+    check). Output: shared gram counts + containment (shared/min) per
+    source pair, 190 rows for 20 sources at any corpus size.
+
+    Scale shape: DISTINCT (source, gram) first — one uniform-key
+    shuffle bounds everything after to the source-level vocabulary; the
+    pair join is a hash join on the 128-bit gram key (uniform, no skew)
+    whose output collapses map-side to ≤ C(n_sources, 2) rows. No
+    all-pairs document work anywhere."""
+    return _sql(spark, sf_dir, _DC02_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # dd10 — LSH-candidates + exact-Jaccard verify (the production near-dup path)
 # ---------------------------------------------------------------------------
 # dd05 is the exact all-pairs baseline (O(n²)-family, 10% sample by design);

@@ -414,3 +414,102 @@ def pipe05_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; everything else is array-domain codegen fused into the
     scan."""
     return _sql(spark, sf_dir, _PIPE05_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe06 — token-budget selection (best-quality docs under a token budget)
+# ---------------------------------------------------------------------------
+
+_PIPE06_BUDGET = 100_000  # tokens — FIXED absolute budget: at any corpus
+                          # size the operator selects the best ~100k tokens
+                          # (the "train on the best N tokens" decision)
+
+
+def _pipe06_metrics(size_fn: str, filter_fn: str) -> str:
+    # quality = stopword density x1000 (integer — deterministic ordering
+    # across engines); zero-token docs excluded by the guard
+    return f"""
+SELECT doc_id, source,
+  {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) AS n_tok,
+  CAST(ROUND(1000.0 * {size_fn}({filter_fn}(string_split(text, ' '),
+        w -> w IN ({_STOPLIST})))
+       / {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS q
+FROM documents
+WHERE {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) > 0
+"""
+
+
+_PIPE06_ROLLUP = f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT)      AS n_selected,
+  CAST(SUM(n_tok) AS BIGINT)    AS tokens_selected,
+  CAST(MIN(q) AS BIGINT)        AS min_quality_x1000,
+  CAST(SUM(doc_id) AS BIGINT)   AS selected_id_checksum
+FROM sel GROUP BY source
+"""
+
+_PIPE06_DUCK = f"""
+WITH m AS ({_pipe06_metrics("len", "list_filter")}),
+c AS (
+  SELECT *, SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+), sel AS (SELECT * FROM c WHERE cum <= {_PIPE06_BUDGET})
+{_PIPE06_ROLLUP}
+"""
+
+_PIPE06_METRICS_SPARK = _pipe06_metrics("size", "filter").replace(
+    "string_split", "split"
+)
+
+
+@query("pipe06_token_budget", oracle=_PIPE06_DUCK, tags=("pipeline", "sampling", "quality"))
+def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: take the highest-quality documents (by
+    stopword-density score, deterministic integer) until a FIXED token
+    budget is filled — the "train on the best N tokens" decision every
+    budget-constrained data mix makes (no reference analog; SURVEY §6
+    extension).
+
+    The core is a cumulative sum over a GLOBAL quality ordering — the
+    same scale trap as pipe02, solved the same way: range-partition by
+    (q DESC, doc_id), per-partition local running sums (parallel),
+    per-partition totals prefix-summed on the driver (O(n_partitions)
+    state) and broadcast back as offsets. No single-partition window
+    anywhere; the DuckDB oracle uses the plain single-stream window —
+    identical numbers, which is the point (partitioning-invariant)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from db_converter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    m = spark.sql(_PIPE06_METRICS_SPARK)
+    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    parts = m.repartitionByRange(
+        nparts, F.col("q").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    parts = parts.localCheckpoint(eager=True)
+    ptotals = sorted(
+        parts.groupBy("pid")
+        .agg(
+            F.sum("n_tok").alias("ptok"),
+            F.max("q").alias("qmax"),
+            F.min("doc_id").alias("dmin"),
+        )
+        .collect(),
+        key=lambda r: (-r["qmax"], r["dmin"]),
+    )
+    offsets, acc = [], 0
+    for r in ptotals:
+        offsets.append((r["pid"], acc))
+        acc += r["ptok"]
+    off = spark.createDataFrame(offsets, "pid INT, offset BIGINT")
+    w = Window.partitionBy("pid").orderBy(F.col("q").desc(), "doc_id")
+    sel = (
+        parts.join(F.broadcast(off), "pid")
+        .withColumn("cum", F.sum("n_tok").over(w) + F.col("offset"))
+        .where(F.col("cum") <= _PIPE06_BUDGET)
+    )
+    sel.createOrReplaceTempView("sel")
+    return spark.sql(_PIPE06_ROLLUP)

@@ -123,6 +123,10 @@ _CHECK_TAIL = (
     # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
     "q19_case_agg",
     "q24b_array_agg_distinct",
+    # --- parked r5 for dc02_source_overlap and pipe06_token_budget:
+    # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
+    "q27_pivot",
+    "q29_percentile",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

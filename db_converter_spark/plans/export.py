@@ -117,13 +117,10 @@ def export_statements(
             pw_in_name = True
         elif pw:
             zip_password = str(pw)
-        if zip_password is not None and not _HAS_PYZIPPER:
-            # AES zip needs pyzipper (reference hard-depends on it); in a
-            # container without it, degrade LOUDLY: plain zip, the fact
-            # stamped into the file name — never a silent plaintext secret.
-            zip_password = None
-            pw_in_name = False
-            unencrypted_fallback = True
+        # AES is always available: pyzipper when installed (interop-
+        # preferred), else the pure-stdlib AE-2 writer (functions/wzaes.py,
+        # FIPS-197 AES-256 + WinZip AE-2 container). The old LOUD
+        # unencrypted fallback is gone — passwords now always encrypt.
     for stmt in statements:
         if statement_kind(stmt) != "query":
             raise ExportValidationError(
@@ -152,20 +149,26 @@ def export_statements(
 
 
 def _zip_files(files: list[Path], zip_path: Path, password: str | None) -> None:
-    """LZMA zip, AES-encrypted when a password is given and pyzipper exists
-    (reference: dbccore/dbccore.py:781-826). Without pyzipper, a password
-    raises rather than silently writing plaintext."""
+    """Zip the exports (reference: dbccore/dbccore.py:781-826). With a
+    password: pyzipper WZ_AES+LZMA when installed (byte-interop with the
+    reference's output), else the pure-stdlib WinZip AE-2 writer
+    (functions/wzaes.py — AES-256/CTR/HMAC-SHA1 per the public spec,
+    DEFLATE inside). Without a password: plain LZMA zip."""
     if password is not None:
-        if not _HAS_PYZIPPER:
-            raise RuntimeError(
-                "zip password requested but pyzipper is not installed"
-            )
-        with pyzipper.AESZipFile(
-            zip_path, "w", compression=pyzipper.ZIP_LZMA, encryption=pyzipper.WZ_AES
-        ) as zf:
-            zf.setpassword(password.encode())
-            for f in files:
-                zf.write(f, f.name)
+        if _HAS_PYZIPPER:
+            with pyzipper.AESZipFile(
+                zip_path, "w", compression=pyzipper.ZIP_LZMA,
+                encryption=pyzipper.WZ_AES,
+            ) as zf:
+                zf.setpassword(password.encode())
+                for f in files:
+                    zf.write(f, f.name)
+            return
+        from db_converter_spark.functions.wzaes import write_aes_zip
+
+        write_aes_zip(
+            zip_path, [(f.name, f.read_bytes()) for f in files], password
+        )
         return
     with zipfile.ZipFile(zip_path, "w", compression=zipfile.ZIP_LZMA) as zf:
         for f in files:

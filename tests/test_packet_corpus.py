@@ -135,8 +135,11 @@ def test_port_int4_to_int8(runner, spark):
 
 def test_port_export_data(runner, spark, tmp_path):
     """Export packet: in-packet setup DDL runs normally, the all-SELECT step
-    exports to CSV and zips (password degrades to marked-unencrypted when
-    pyzipper is absent — reference hard-depends on pyzipper)."""
+    exports to CSV and AES-zips. With "password": "random" the generated
+    password lands in the file name (reference behavior); without
+    pyzipper the pure-stdlib AE-2 writer (functions/wzaes.py) encrypts —
+    the archive must decrypt with the in-name password and refuse a
+    wrong one."""
     db = "port_export"
     res = runner.run(
         PACKETS_DIR / "test_export_data", dbs=[db], export_dir=tmp_path / "exp"
@@ -149,12 +152,27 @@ def test_port_export_data(runner, spark, tmp_path):
     assert files[0].exists()
     import zipfile
 
-    with zipfile.ZipFile(files[0]) as zf:  # readable archive, 2 CSVs inside
+    with zipfile.ZipFile(files[0]) as zf:  # container structure parses
         names = zf.namelist()
         assert len(names) == 2 and all(n.endswith(".csv") for n in names)
-        with zf.open(names[0]) as fh:
-            header = fh.readline().decode()
-            assert header.split("\t")[0].strip().strip('"') == "id"
+
+    # name = export_{password}_{ts}_{db}.zip → recover the password
+    password = files[0].name.split("_")[1]
+    try:
+        import pyzipper as pz
+
+        with pz.AESZipFile(files[0]) as azf:
+            azf.setpassword(password.encode())
+            header = azf.read(names[0]).split(b"\n")[0].decode()
+    except ImportError:
+        from db_converter_spark.functions.wzaes import read_aes_zip
+
+        contents = read_aes_zip(files[0], password)
+        assert set(contents) == set(names)
+        header = contents[names[0]].split(b"\n")[0].decode()
+        with pytest.raises(ValueError):
+            read_aes_zip(files[0], "definitely-wrong")
+    assert header.split("\t")[0].strip().strip('"') == "id"
 
 
 def test_port_skip_action_cancel(runner, spark):

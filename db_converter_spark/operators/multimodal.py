@@ -143,12 +143,20 @@ def decode_image_real(payload: bytes) -> dict | None:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Codec slot-in point: real PIL decode when available, deterministic
-    stub otherwise (and for non-image payloads)."""
+    """Codec slot-in point, tried in order: PIL (any format, when
+    installed) → the pure-stdlib PNG codec (functions/png.py — REAL
+    metadata for PNG payloads, no dependency) → deterministic stub (the
+    synthetic corpus's text-bytes payloads land here, keeping their
+    oracle rows)."""
     if _pil_available():
         meta = decode_image_real(payload)
         if meta is not None:
             return meta
+    from db_converter_spark.functions.png import png_meta
+
+    meta = png_meta(payload)
+    if meta is not None:
+        return {k: meta[k] for k in ("width", "height", "n_frames", "format")}
     return decode_image_stub(payload)
 
 
@@ -335,12 +343,37 @@ def resize_real(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
         return None
 
 
+def resize_png_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Real fit-within-224 resample for PNG payloads via the pure-stdlib
+    codec (functions/png.py, nearest-neighbor) — same contract as
+    :func:`resize_stub`; None for non-PNG/unsupported payloads."""
+    from db_converter_spark.functions.png import png_meta, png_resize
+
+    meta = png_meta(payload)
+    if meta is None:
+        return None
+    w, h = meta["width"], meta["height"]
+    m = max(w, h)
+    if m > _RESIZE_BOX:
+        dst_w, dst_h = max(1, (w * _RESIZE_BOX) // m), max(1, (h * _RESIZE_BOX) // m)
+    else:
+        dst_w, dst_h = w, h
+    resized = png_resize(payload, dst_w, dst_h)
+    if resized is None:
+        return None
+    return w, h, dst_w, dst_h, resized
+
+
 def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
-    """Codec slot-in point (see :func:`decode_image`)."""
+    """Codec slot-in point, tried in order: PIL → pure-stdlib PNG
+    resampler → deterministic stub (see :func:`decode_image`)."""
     if _pil_available():
         out = resize_real(payload)
         if out is not None:
             return out
+    out = resize_png_stdlib(payload)
+    if out is not None:
+        return out
     return resize_stub(payload)
 
 

@@ -79,10 +79,14 @@ _CHECK_TAIL = (
     "q33_offset_fetch",
     "mg01_chunk_grid",
     "mg02_incremental_diff",
-    "mm02_image_metadata_stub",
+    # mm02/mm04 re-headed in r5: the pure-stdlib PNG codec slots into
+    # their decode/resize chain (stub semantics unchanged on the text
+    # corpus, but the freshness guard rightly demands a fresh official
+    # row). q04/q05 parked in their place (r4-green, untouched).
     "mm03_frame_sample_plumbing",
-    "mm04_resize_plumbing",
     "ev01_windowed_event_stats",
+    "q04_left_join_counts",
+    "q05_customers_without_orders",
     "ev06_multi_rollup",
     # --- parked mid-r4 to fund head slots for the three new r4 operators
     # (ta07_trigram_lm, pipe03_weighted_sample, pipe04_shard_assign): green

@@ -778,3 +778,80 @@ def ev10_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# mg03 — SCD2 dimension snapshot build (slowly-changing-dimension history)
+# ---------------------------------------------------------------------------
+# The third leg of the migration/sync family: mg01 chunks a backfill, mg02
+# diffs two snapshots, mg03 builds the *history table* a warehouse keeps for
+# a mutating dimension — one row per (entity, attribute-run) with
+# valid_from / valid_to / is_current (Kimball SCD type 2). Input here is the
+# event stream read as an attribute timeline: each user's event_type is the
+# tracked attribute; consecutive equal values collapse into one validity
+# span (gaps-and-islands: change-flag via lag, run id via running sum).
+#
+# Scale shape: everything is windowed PARTITION BY user_id — one hash
+# shuffle on the entity key, no global sort, and the run-collapse GROUP BY
+# reuses the same partitioning (no second exchange in the plan). At 100 TB
+# the entity key is the natural partitioner and per-entity timelines are
+# small; there is no skew beyond the entity activity distribution itself.
+
+_MG03 = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), spans AS (
+  SELECT user_id, run_id,
+    MIN(event_type) AS event_type,
+    MIN(ts)         AS ts_from,
+    COUNT(*)        AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type,
+  {fmt_from} AS valid_from,
+  COALESCE({fmt_to}, '9999-12-31 00:00:00') AS valid_to,
+  CAST(n_events AS BIGINT) AS n_events,
+  CAST(CASE WHEN lead(ts_from) OVER
+              (PARTITION BY user_id ORDER BY run_id) IS NULL
+       THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM spans
+"""
+
+_MG03_SPARK = _MG03.format(
+    fmt_from="date_format(ts_from, 'yyyy-MM-dd HH:mm:ss')",
+    fmt_to=(
+        "date_format(lead(ts_from) OVER "
+        "(PARTITION BY user_id ORDER BY run_id), 'yyyy-MM-dd HH:mm:ss')"
+    ),
+)
+_MG03_DUCK = _MG03.format(
+    fmt_from="strftime(ts_from, '%Y-%m-%d %H:%M:%S')",
+    fmt_to=(
+        "strftime(lead(ts_from) OVER "
+        "(PARTITION BY user_id ORDER BY run_id), '%Y-%m-%d %H:%M:%S')"
+    ),
+)
+
+
+@query("mg03_scd2_history", oracle=_MG03_DUCK, tags=("migration", "sync", "scd2"))
+def mg03_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event_type timeline
+    into validity spans (valid_from / valid_to / is_current, open spans
+    capped with the 9999-12-31 sentinel) via gaps-and-islands — the
+    dimension-history complement to mg02's snapshot diff (together they
+    are the load side of the reference's re-runnable migration model,
+    packets/test_int4_to_int8). One entity-key shuffle; the run-collapse
+    aggregate and both windows reuse the same hash partitioning."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MG03_SPARK)

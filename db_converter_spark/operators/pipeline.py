@@ -513,3 +513,60 @@ def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel.createOrReplaceTempView("sel")
     return spark.sql(_PIPE06_ROLLUP)
+
+
+# ---------------------------------------------------------------------------
+# pipe07 — stratified quota sampling (per-stratum deterministic top-K)
+# ---------------------------------------------------------------------------
+# The evaluation-set / ablation-set builder: draw exactly min(K, |stratum|)
+# documents from every (source, lang) stratum, deterministically — ordered
+# by md5(doc_id) so the draw is an unbiased pseudo-random sample yet
+# reproducible run-over-run (same reason pipe03 uses a hash coin, not
+# rand()). Complements pipe03 (Bernoulli domain mixing, proportional) with
+# the exact-quota draw evaluation pipelines need: equal representation per
+# stratum regardless of stratum size.
+#
+# Scale shape: one hash shuffle on the stratum key for the row_number
+# window; the quota filter collapses each stratum to K rows immediately
+# after ranking. Skew caveat at 100 TB: a mega-stratum serializes through
+# one partition's window — production would pre-filter by a hash-prefix
+# range chosen from an approx quantile of md5(doc_id) per stratum (keeps a
+# small superset, provably containing the top-K only after a second exact
+# pass), or salt the window into per-salt top-K + merge. The declarative
+# single-window form here is the semantics contract both engines agree on.
+
+_PIPE07_QUOTA = 5  # per stratum — FIXED absolute quota, corpus-independent
+
+
+def _pipe07(cast_str: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+    row_number() OVER (
+      PARTITION BY source, lang
+      ORDER BY md5(CAST(doc_id AS {cast_str})), doc_id
+    ) AS rk,
+    COUNT(*) OVER (PARTITION BY source, lang) AS stratum_n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+  CAST(rk AS BIGINT)        AS sample_rank,
+  CAST(stratum_n AS BIGINT) AS stratum_size,
+  CAST(n_chars AS BIGINT)   AS n_chars
+FROM ranked
+WHERE rk <= {_PIPE07_QUOTA}
+"""
+
+
+_PIPE07_SPARK = _pipe07("STRING")
+_PIPE07_DUCK = _pipe07("VARCHAR")
+
+
+@query("pipe07_stratified_sample", oracle=_PIPE07_DUCK, tags=("pipeline", "sampling"))
+def pipe07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sample: exactly min(5, |stratum|) docs per
+    (source, lang) stratum, drawn by md5(doc_id) order — deterministic,
+    unbiased within stratum, equal-representation across strata (the
+    eval-set builder pipe03's proportional mixing can't express). One
+    stratum-key shuffle; quota filter right after the rank."""
+    return _sql(spark, sf_dir, _PIPE07_SPARK)

@@ -1302,3 +1302,133 @@ def dd13_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(near_purged, 1).otherwise(0)).cast("bigint").alias("n_neardup_purged"),
         F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("bigint").alias("kept_id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dc03 — Bloom-filter decontamination (bloom pre-filter + exact verify)
+# ---------------------------------------------------------------------------
+# dc01 joins every training gram against the benchmark gram set — exact, but
+# the join's build side is the full benchmark vocabulary. dc03 is the shape
+# a 100 TB pipeline actually runs: compress the benchmark 5-gram set into a
+# FIXED-size Bloom bitmap (65,536 bits = 2,048 × 32-bit words, k=2 md5-
+# derived hash functions), broadcast the ≤2,048-row word table, probe every
+# training gram map-side, and run the exact gram join ONLY on the Bloom-
+# surviving sliver. Bloom guarantees no false negatives, so the verified
+# output equals dc01's distinct-gram semantics while the expensive exact
+# join sees |candidates| ≈ |true hits| + fp·|grams| rows instead of the
+# whole stream. The per-doc false-positive count is part of the output —
+# the filter's quality is measured, not assumed.
+#
+# Scale shape: bloom build = one DISTINCT + one 2,048-key aggregate over
+# the (small) benchmark slice; the bitmap is O(1) in the corpus and
+# broadcast; probing is map-side (join on word_idx against a ≤2,048-row
+# table, then bit-test); the only corpus-scale shuffle is the final per-doc
+# aggregate. The exact verify join's build side is the benchmark vocabulary
+# again, but its PROBE side is now the candidate sliver.
+
+_DC03_WORDS = 2048  # 32-bit words → 65,536 bits; k=2 (h1/h2 = md5 slices)
+
+
+def _dc03_grams(gram_explode: str, split_fn: str, len_fn: str) -> str:
+    """DISTINCT (doc_id, gram-md5) stream, benchmark slice flagged — the
+    one corpus-scale pass, materialized once by the Spark builder."""
+    return f"""
+SELECT DISTINCT doc_id, (doc_id % 97 = 0) AS is_bench, {gram_explode} AS g
+FROM (SELECT doc_id, {split_fn}(text, ' ') AS w FROM documents) d
+WHERE {len_fn}(w) >= 5
+"""
+
+
+_DC03_GRAMS_SPARK = _dc03_grams(
+    "explode(transform(sequence(1, size(w) - 4), i -> md5(array_join(slice(w, i, 5), ' '))))",
+    "split",
+    "size",
+)
+_DC03_GRAMS_DUCK = _dc03_grams(
+    "unnest(list_transform(range(1, len(w) - 3), i -> md5(array_to_string(w[i : i + 4], ' '))))",
+    "string_split",
+    "len",
+)
+
+
+def _dc03_main(grams_src: str, hex_i60: str, intdiv: str, shl1: str) -> str:
+    """From the gram stream to the per-doc contamination report.
+    ``hex_i60``: dialect md5-hex-slice→int; ``intdiv``: integer division
+    operator; ``shl1``: 1<<n spelling (32-bit safe, shift ≤ 31)."""
+    h1 = hex_i60.format(expr="g", lo=1)
+    h2 = hex_i60.format(expr="g", lo=16)
+    return f"""
+WITH gh AS (
+  SELECT doc_id, is_bench, g,
+    ({h1}) % 65536 AS b1,
+    ({h2}) % 65536 AS b2
+  FROM {grams_src}
+), bloom AS (
+  SELECT word_idx, bit_or(mask) AS w
+  FROM (
+    SELECT b1 {intdiv} 32 AS word_idx, {shl1.format(n="b1 % 32")} AS mask
+    FROM gh WHERE is_bench
+    UNION ALL
+    SELECT b2 {intdiv} 32 AS word_idx, {shl1.format(n="b2 % 32")} AS mask
+    FROM gh WHERE is_bench
+  ) bits
+  GROUP BY word_idx
+), probe AS (
+  SELECT doc_id, g, b1 {intdiv} 32 AS word_idx, {shl1.format(n="b1 % 32")} AS mask
+  FROM gh WHERE NOT is_bench
+  UNION ALL
+  SELECT doc_id, g, b2 {intdiv} 32 AS word_idx, {shl1.format(n="b2 % 32")} AS mask
+  FROM gh WHERE NOT is_bench
+), cand AS (
+  -- gram survives iff BOTH bits are set (min over the k=2 probe rows)
+  SELECT p.doc_id, p.g
+  FROM probe p LEFT JOIN bloom bl ON bl.word_idx = p.word_idx
+  GROUP BY p.doc_id, p.g
+  HAVING MIN(CASE WHEN (bl.w & p.mask) <> 0 THEN 1 ELSE 0 END) = 1
+), verified AS (
+  -- exact gram join on the Bloom-surviving sliver only
+  SELECT c.doc_id, c.g,
+    CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+  FROM cand c
+  LEFT JOIN (SELECT DISTINCT g FROM gh WHERE is_bench) e ON c.g = e.g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams
+  FROM gh WHERE NOT is_bench GROUP BY doc_id
+)
+SELECT v.doc_id,
+  CAST(d.n_grams AS BIGINT)        AS n_grams,
+  CAST(COUNT(*) AS BIGINT)         AS n_bloom_candidates,
+  CAST(SUM(v.exact_hit) AS BIGINT) AS n_contaminated,
+  CAST(SUM(1 - v.exact_hit) AS BIGINT) AS n_false_pos
+FROM verified v JOIN per_doc d ON d.doc_id = v.doc_id
+GROUP BY v.doc_id, d.n_grams
+"""
+
+
+_DC03_SPARK_MAIN = _dc03_main(
+    "dc03_grams",
+    "CAST(conv(substring({expr}, {lo}, 15), 16, 10) AS BIGINT)",
+    "DIV",
+    "shiftleft(CAST(1 AS BIGINT), CAST({n} AS INT))",
+)
+_DC03_DUCK = _dc03_main(
+    f"({_DC03_GRAMS_DUCK}) dc03_grams",
+    "(('0x' || substr({expr}, {lo}, 15))::BIGINT)",
+    "//",
+    "(1::BIGINT << ({n}))",
+)
+
+
+@query("dc03_bloom_decontaminate", oracle=_DC03_DUCK, tags=("dedup", "decontamination", "bloom"))
+def dc03_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: benchmark 5-grams (doc_id % 97 slice)
+    compressed to a fixed 65,536-bit / k=2 Bloom bitmap (2,048 broadcastable
+    words), training grams probed map-side, exact verification only on the
+    surviving candidates — per doc: distinct grams, Bloom candidates, exact
+    contaminated grams, and measured false positives. No false negatives by
+    construction (the exact tier restores dc01's precision); the Bloom tier
+    bounds the exact join's probe side at any corpus size."""
+    register_views(spark, sf_dir)
+    grams = spark.sql(_DC03_GRAMS_SPARK).localCheckpoint(eager=True)
+    grams.createOrReplaceTempView("dc03_grams")
+    return spark.sql(_DC03_SPARK_MAIN)

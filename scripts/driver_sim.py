@@ -73,6 +73,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_SIM_ONLY", "").strip()
+    if only:  # comma-separated names — scoped re-verify for iterating
+        keep = {n.strip() for n in only.split(",")}
+        missing = keep - set(qs)
+        assert not missing, f"SPARK_GRAFT_SIM_ONLY names not registered: {missing}"
+        qs = {n: qs[n] for n in keep}
     fails: list[str] = []
     t0 = time.time()
     for qi, name in enumerate(sorted(qs)):

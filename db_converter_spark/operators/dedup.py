@@ -1432,3 +1432,153 @@ def dc03_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = spark.sql(_DC03_GRAMS_SPARK).localCheckpoint(eager=True)
     grams.createOrReplaceTempView("dc03_grams")
     return spark.sql(_DC03_SPARK_MAIN)
+
+
+# ---------------------------------------------------------------------------
+# dd14 — SemDeDup: semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+# dd07 finds embedding near-dups by LSH bucketing; SemDeDup ("SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication",
+# Abbas et al. 2023, arXiv:2303.09540) is the other production shape:
+# k-means-cluster the embeddings, compute pairwise cosine ONLY within each
+# cluster, and purge all but one member of every semantic-duplicate group —
+# keeping the member LEAST similar to its centroid (the paper's choice:
+# prefer the atypical exemplar). Clustering bounds the pairwise stage: with
+# k ∝ n (SemDeDup runs k=50,000 for 600 M docs) cells stay ~constant-size,
+# so within-cell pairs are O(n·cell), not O(n²).
+#
+# Centroids here are the same deterministic fixed slice ss03 uses
+# (vec_id % 16 = 0 AND vec_id < 1024, ≤64 at any corpus — oracle-stable
+# where trained centroids would be float-unstable; ss07 shows training
+# in-engine). τ = 0.35 is calibrated to the synthetic corpus (random
+# embeddings have no true near-dups; real deployments use ~0.95+).
+#
+# Scale shape: centroid table broadcast; assignment = map-side cross join +
+# per-vec argmin (one shuffle keyed vec_id); the pair join shuffles on cid
+# once and is cell-bounded; per-cluster aggregate reuses that partitioning.
+
+_DD14_TAU = 0.35
+
+
+def _dd14_main(dot_ab: str, assign_src: str) -> str:
+    """From a materialized assignment relation (vec_id, cid, cs — centroid
+    cosine — embedding, nrm) to the per-cluster purge report. ``dot_ab``:
+    dialect dot product over a.embedding/b.embedding."""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+    a.cs AS cs_a, b.cs AS cs_b,
+    ROUND(({dot_ab}) / (a.nrm * b.nrm), 6) AS sim
+  FROM {assign_src} a JOIN {assign_src} b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dup_pairs AS (
+  SELECT * FROM pairs WHERE sim >= {_DD14_TAU}
+), purged AS (
+  -- SemDeDup keep-rule: within a duplicate pair, keep the member LESS
+  -- similar to the centroid; the other is purged (ties: keep lower id)
+  SELECT DISTINCT cid, vec_id FROM (
+    SELECT cid,
+      CASE WHEN cs_a > cs_b OR (cs_a = cs_b AND va > vb)
+           THEN va ELSE vb END AS vec_id
+    FROM dup_pairs
+  ) t
+), cells AS (
+  SELECT cid, COUNT(*) AS cell_size FROM {assign_src} GROUP BY cid
+), pair_stats AS (
+  SELECT cid, COUNT(*) AS n_dup_pairs, MAX(sim) AS max_sim
+  FROM dup_pairs GROUP BY cid
+), purge_stats AS (
+  SELECT cid, COUNT(*) AS n_purged, SUM(vec_id) AS purged_checksum
+  FROM purged GROUP BY cid
+)
+SELECT c.cid,
+  CAST(c.cell_size AS BIGINT)                     AS cell_size,
+  CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT)      AS n_dup_pairs,
+  CAST(COALESCE(g.n_purged, 0) AS BIGINT)         AS n_purged,
+  CAST(COALESCE(g.purged_checksum, 0) AS BIGINT)  AS purged_checksum,
+  ROUND(COALESCE(p.max_sim, -1.0), 6)             AS max_sim
+FROM cells c
+LEFT JOIN pair_stats p ON p.cid = c.cid
+LEFT JOIN purge_stats g ON g.cid = c.cid
+"""
+
+
+_DD14_ASSIGN_SPARK = """
+WITH vecs AS (
+  SELECT vec_id, embedding,
+    sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   0.0D, (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+  FROM vecs WHERE vec_id % 16 = 0 AND vec_id < 1024
+)
+SELECT vec_id, cid, cs, embedding, nrm FROM (
+  SELECT v.vec_id, c.cid, v.embedding, v.nrm,
+    ROUND(aggregate(zip_with(v.embedding, c.cv,
+                             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm), 6) AS cs,
+    ROW_NUMBER() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ROUND(aggregate(zip_with(v.embedding, c.cv,
+                               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                      0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm), 6) DESC,
+               c.cid
+    ) AS rn
+  FROM vecs v CROSS JOIN cents c
+) t WHERE rn = 1
+"""
+
+_DD14_SPARK_MAIN = _dd14_main(
+    "aggregate(zip_with(a.embedding, b.embedding, "
+    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)",
+    "dd14_assign",
+)
+
+_DD14_DUCK_ASSIGN = """
+  WITH vecs AS (
+    SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+  ), cents AS (
+    SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+    FROM vecs WHERE vec_id % 16 = 0 AND vec_id < 1024
+  )
+  SELECT vec_id, cid, cs, embedding, nrm FROM (
+    SELECT v.vec_id, c.cid, v.embedding, v.nrm,
+      ROUND(list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
+            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+            / (v.nrm * c.cnrm), 6) AS cs,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY ROUND(list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
+                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+                 / (v.nrm * c.cnrm), 6) DESC, c.cid
+      ) AS rn
+    FROM vecs v CROSS JOIN cents c
+  ) t WHERE rn = 1
+"""
+
+_DD14_DUCK = (
+    f"WITH dd14_assign AS ({_DD14_DUCK_ASSIGN})\n"
+    + _dd14_main(
+        "list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(a.embedding))], "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))",
+        "dd14_assign",
+    ).replace("WITH pairs AS", ", pairs AS", 1)
+)
+
+
+@query("dd14_semdedup", oracle=_DD14_DUCK, tags=("dedup", "embedding", "semdedup"))
+def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-style clusters over the
+    embeddings, pairwise cosine within clusters only, purge every
+    duplicate-pair member that is MORE centroid-typical (keep the atypical
+    exemplar) — per-cluster report of cell size, duplicate pairs, purged
+    count + id checksum, max similarity. Centroid slice and broadcast/argmin
+    shape shared with ss03; pair stage bounded by cell size (k ∝ n at
+    deployment scale)."""
+    register_views(spark, sf_dir)
+    assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
+    assign.createOrReplaceTempView("dd14_assign")
+    return spark.sql(_DD14_SPARK_MAIN)

@@ -563,3 +563,140 @@ def ta08_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_coverage_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ta09 — BPE merge training (Sennrich et al. 2016, vocab-table formulation)
+# ---------------------------------------------------------------------------
+# ta08 measures the pre-BPE word distribution; ta09 TRAINS the tokenizer:
+# byte-pair-encoding merge learning ("Neural Machine Translation of Rare
+# Words with Subword Units", Sennrich et al. 2016, arXiv:1508.07909) in its
+# scale-correct formulation — one corpus pass builds the (word, count)
+# vocabulary table, and every merge iteration then runs on THAT table, whose
+# size is the distinct-word vocabulary (≈10⁶ rows for a web corpus),
+# independent of corpus bytes. 8 fixed iterations; per iteration: adjacent
+# symbol-pair counts weighted by word frequency → global argmax (count
+# desc, then lexicographic pair — deterministic) → merge applied to every
+# spelling.
+#
+# Spellings are '··'-delimited symbol strings with a '</w>' end marker; a
+# merge of (a,b) is replace('·a··b·' → '·ab·') over the '·'-wrapped
+# spelling — the single-delimiter wrap keeps one boundary '·' on each side
+# of the match so consecutive merge sites all rewrite in one left-to-right
+# replace-all pass (plain substring replace: identical semantics in Spark,
+# DuckDB, and Python's str.replace; cross-checked against a reference
+# Python BPE in tests). Repeated-symbol runs ('a a a') merge greedily
+# left-first, the same choice as the reference implementation.
+#
+# Scale shape: the ONLY corpus-scale operation is the word-count groupBy
+# (uniform keys, map-side combined). Each iteration is a vocab-bounded
+# pair-count aggregate (keys = adjacent symbol pairs, partial-aggregated
+# map-side), a 1-row global top-1 (TakeOrdered, no sort of the pair
+# table), and a broadcast (1-row) join applying the merge. Iterations are
+# materialized (localCheckpoint) so the 8-step chain costs 8 small jobs,
+# not an exponentially re-executed CTE tree.
+
+_TA09_N_MERGES = 8
+
+_TA09_SPELL0_SPARK = """
+SELECT word, cnt,
+  array_join(concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+                    array('</w>')), '··') AS sp
+FROM (SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT explode(split(text, ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w) v
+"""
+
+
+def _ta09_pairs_spark(prev: str) -> str:
+    # slice/zip_with (not sequence-index) so a fully-merged single-symbol
+    # spelling yields an empty pair list, never an invalid array index
+    return f"""
+SELECT pr.pa AS pa, pr.pb AS pb, SUM(cnt) AS total
+FROM (SELECT cnt, split(sp, '··') AS s FROM {prev}) t
+LATERAL VIEW explode(zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),
+  (x, y) -> named_struct('pa', x, 'pb', y))) e AS pr
+GROUP BY pr.pa, pr.pb
+"""
+
+
+def _ta09_best(pairs_src: str) -> str:
+    return f"SELECT pa, pb, total FROM ({pairs_src}) p ORDER BY total DESC, pa, pb LIMIT 1"
+
+
+def _ta09_apply_spark(prev: str, best: str) -> str:
+    return f"""
+SELECT word, cnt, substring(r, 2, length(r) - 2) AS sp FROM (
+  SELECT word, cnt,
+    replace(concat('·', sp, '·'),
+            concat('·', b.pa, '··', b.pb, '·'),
+            concat('·', b.pa, b.pb, '·')) AS r
+  FROM {prev} CROSS JOIN ({best}) b) x
+"""
+
+
+def _ta09_duck() -> str:
+    spell0 = """
+SELECT word, cnt,
+  array_to_string(list_append([word[i] for i in generate_series(1, len(word))], '</w>'), '··') AS sp
+FROM (SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w) v
+"""
+    ctes = [f"s0 AS ({spell0})"]
+    for i in range(1, _TA09_N_MERGES + 1):
+        pairs = f"""
+  SELECT s[j] AS pa, s[j+1] AS pb, SUM(cnt) AS total
+  FROM (SELECT cnt, string_split(sp, '··') AS s FROM s{i-1}) t,
+       unnest(range(1, len(s))) AS u(j)
+  GROUP BY 1, 2
+"""
+        apply = f"""
+  SELECT word, cnt, substring(r, 2, length(r) - 2) AS sp FROM (
+    SELECT word, cnt,
+      replace('·' || sp || '·', '·' || b.pa || '··' || b.pb || '·',
+              '·' || b.pa || b.pb || '·') AS r
+    FROM s{i-1} CROSS JOIN b{i} b) x
+"""
+        ctes.append(f"p{i} AS ({pairs})")
+        ctes.append(f"b{i} AS (SELECT pa, pb, total FROM p{i} ORDER BY total DESC, pa, pb LIMIT 1)")
+        ctes.append(f"s{i} AS ({apply})")
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, pa, pb, pa || pb AS merged, "
+        f"CAST(total AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _TA09_N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_TA09_DUCK = _ta09_duck()
+
+
+@query("ta09_bpe_train", oracle=_TA09_DUCK, tags=("text", "vocab", "tokenizer", "train"))
+def ta09_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: learn the first 8 merge rules over the corpus
+    (Sennrich et al. 2016) on the word-count vocabulary table — output one
+    row per merge (rank, pair, merged symbol, weighted pair count).
+    Deterministic argmax (count desc, pair asc); merge application is plain
+    delimiter-wrapped replace-all, identical across Spark/DuckDB/Python.
+    The corpus is touched exactly once (word counts); iterations are
+    vocab-bounded and materialized per step."""
+    register_views(spark, sf_dir)
+    spark.sql(_TA09_SPELL0_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta09_s0"
+    )
+    selects = []
+    for i in range(1, _TA09_N_MERGES + 1):
+        best_sql = _ta09_best(_ta09_pairs_spark(f"ta09_s{i-1}"))
+        spark.sql(best_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+            f"ta09_b{i}"
+        )
+        selects.append(
+            f"SELECT {i} AS merge_idx, pa, pb, concat(pa, pb) AS merged, "
+            f"CAST(total AS BIGINT) AS pair_count FROM ta09_b{i}"
+        )
+        if i < _TA09_N_MERGES:
+            spark.sql(
+                _ta09_apply_spark(f"ta09_s{i-1}", f"SELECT * FROM ta09_b{i}")
+            ).localCheckpoint(eager=True).createOrReplaceTempView(f"ta09_s{i}")
+    return spark.sql(" UNION ALL ".join(selects))

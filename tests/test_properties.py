@@ -151,3 +151,52 @@ def test_mm05_udf_simhash_matches_sql_formula(text):
         [text],
     ).fetchall()
     assert py_hash == (sql_hash or 0), (text, py_hash, sql_hash)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ta09_bpe_oracle_matches_reference_python_bpe(words):
+    """ta09's merge-learning semantics (greedy left-first replace-all,
+    argmax by count desc then pair asc) pinned against a plain-Python
+    reference BPE on arbitrary corpora — the same cross-implementation
+    guarantee mm05's UDF test gives the perceptual hash. Runs the DuckDB
+    oracle (same SQL text parity then extends to Spark via
+    test_oracle_parity)."""
+    import collections
+
+    import duckdb
+
+    from db_converter_spark.operators.textops import _TA09_N_MERGES, _ta09_duck
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?)", [(" ".join(words),)]
+    )
+    got = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(_ta09_duck()).fetchall()
+    }
+
+    counts = collections.Counter(w for w in words if w)
+    spell = {w: "··".join(list(w) + ["</w>"]) for w in counts}
+    for it in range(1, _TA09_N_MERGES + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, sp in spell.items():
+            s = sp.split("··")
+            for j in range(len(s) - 1):
+                pc[(s[j], s[j + 1])] += counts[w]
+        if not pc:
+            assert it not in got
+            break
+        m = max(pc.values())
+        pa, pb = sorted(k for k, v in pc.items() if v == m)[0]
+        assert got.get(it) == (pa, pb, pc[(pa, pb)]), (it, got.get(it), (pa, pb))
+        pat, rep = f"·{pa}··{pb}·", f"·{pa}{pb}·"
+        spell = {w: ("·" + sp + "·").replace(pat, rep)[1:-1] for w, sp in spell.items()}

@@ -86,6 +86,9 @@ def main() -> int:
         "ss08_ivf_trained_topk",
         "dd13_neardup_purge",
         "pipe06_token_budget",
+        "ta09_bpe_train",
+        "dd14_semdedup",
+        "dc03_bloom_decontaminate",
     }
     since_gc = 0
     for name in sorted(queries):

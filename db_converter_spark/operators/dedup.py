@@ -1491,7 +1491,7 @@ WITH pairs AS (
   SELECT cid, COUNT(*) AS n_purged, SUM(vec_id) AS purged_checksum
   FROM purged GROUP BY cid
 )
-SELECT c.cid,
+SELECT /*+ BROADCAST(p), BROADCAST(g) */ c.cid,
   CAST(c.cell_size AS BIGINT)                     AS cell_size,
   CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT)      AS n_dup_pairs,
   CAST(COALESCE(g.n_purged, 0) AS BIGINT)         AS n_purged,

@@ -131,6 +131,15 @@ _CHECK_TAIL = (
     # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
     "q27_pivot",
     "q29_percentile",
+    # --- parked r5 (second tranche) to fund head slots for mg03_scd2_history,
+    # pipe07_stratified_sample, dc03_bloom_decontaminate, dd14_semdedup and
+    # ta09_bpe_train: green + unchanged in CORRECTNESS_r04.json, untouched
+    # in r5 — fingerprint-verified by the freshness guard ---
+    "q06_customers_with_big_order",
+    "q07_nullsafe_self_join",
+    "q08_self_join_pairs",
+    "q28_lateral_top1",
+    "q34_cube_grouping_sets",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

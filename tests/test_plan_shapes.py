@@ -214,3 +214,67 @@ def test_pointer_jump_matches_union_find(spark):
         labels, rounds = _min_label_components(sym)
         got = {r["doc_id"]: r["label"] for r in labels.collect()}
         assert got == expect, f"trial {trial}: mismatch (rounds={rounds})"
+
+
+def test_mg03_single_entity_shuffle(spark):
+    """SCD2 history: both windows and the run-collapse aggregate must reuse
+    the user_id hash partitioning — at most 2 exchanges total (entity
+    shuffle + the spans window repartition), and no global sort."""
+    plan = _plan(spark, "mg03_scd2_history")
+    assert plan.count("Exchange") <= 2, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pipe07_stratum_window_partitioned(spark):
+    """Stratified quota sample: the rank window must be PARTITIONED by the
+    stratum key (a global-order window serializes the corpus) and the quota
+    filter must not plan a global sort."""
+    plan = _plan(spark, "pipe07_stratified_sample")
+    assert "hashpartitioning(source" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_dc03_bloom_and_verify_broadcast(spark):
+    """Bloom decontamination: the <=2,048-word bitmap and the exact-verify
+    gram set must BOTH be broadcast — the training gram stream never
+    shuffles for a join; no sort-merge anywhere."""
+    plan = _plan(spark, "dc03_bloom_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dd14_pair_join_on_cluster_key(spark):
+    """SemDeDup: the pairwise stage must hash-join on the cluster id (cell-
+    bounded), the per-cluster stats joins must broadcast, and nothing may
+    plan as a nested loop / cartesian."""
+    plan = _plan(spark, "dd14_semdedup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "hashpartitioning(cid" in plan, plan
+
+
+def test_ta09_iteration_plans_are_vocab_bounded(spark):
+    """BPE training: the word-count pass is the only corpus-scale job — the
+    per-iteration pair-count plan must read the checkpointed vocab table
+    (never re-scan parquet), aggregate with map-side partials, and pick the
+    argmax via TakeOrdered (no global sort of the pair table)."""
+    from db_converter_spark.catalog import register_views
+    from db_converter_spark.operators.textops import (
+        _TA09_SPELL0_SPARK,
+        _ta09_best,
+        _ta09_pairs_spark,
+    )
+
+    register_views(spark, SF)
+    spark.sql(_TA09_SPELL0_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta09_s0"
+    )
+    best = spark.sql(_ta09_best(_ta09_pairs_spark("ta09_s0")))
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final

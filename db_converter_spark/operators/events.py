@@ -855,3 +855,121 @@ def mg03_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and both windows reuse the same hash partitioning."""
     register_views(spark, sf_dir)
     return spark.sql(_MG03_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev12 — funnel analysis (ordered step conversion with step windows)
+# ---------------------------------------------------------------------------
+# The product-analytics staple the reference's alert packets approximate
+# with per-view counts: how many users complete signup → click → purchase
+# IN ORDER, each step within 7 days of the previous one. Classic minimal-
+# timestamp formulation: step N's candidate events must follow the user's
+# step-(N-1) completion time — no per-user event-array materialization, no
+# sequence regex; each step is one filtered aggregate joined on the entity
+# key.
+#
+# Scale shape: every join and aggregate is keyed user_id — the same hash
+# partitioning reused across all three steps (co-partitioned joins, no
+# re-shuffle of the event stream beyond the first); step relations shrink
+# monotonically down the funnel. The 3-row conversion window at the end is
+# driver-trivial.
+
+_EV12 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '7' DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL '7' DAY
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS funnel_step, 'signup' AS step_name, COUNT(*) AS n FROM s1
+  UNION ALL
+  SELECT 2, 'click_within_7d', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_within_7d', COUNT(*) FROM s3
+)
+SELECT CAST(funnel_step AS BIGINT) AS funnel_step, step_name,
+  CAST(n AS BIGINT) AS n_users,
+  CAST(CASE WHEN prev IS NULL THEN 1000
+            WHEN prev = 0 THEN 0
+            ELSE ROUND(1000.0 * n / prev) END AS BIGINT) AS conv_from_prev_x1000
+FROM (
+  SELECT funnel_step, step_name, n,
+    lag(n) OVER (ORDER BY funnel_step) AS prev
+  FROM counts
+) t
+"""
+
+
+@query("ev12_funnel", oracle=_EV12, tags=("events", "funnel"))
+def ev12_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → click → purchase, each step
+    within 7 days of the previous) via the minimal-timestamp formulation —
+    per step: users reaching it + conversion from the previous step.
+    All joins/aggregates keyed user_id (one partitioning reused down the
+    funnel); the final window runs on 3 rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV12)
+
+
+# ---------------------------------------------------------------------------
+# ev13 — retention cohort matrix (weekly cohorts × week offset)
+# ---------------------------------------------------------------------------
+# The second product staple: group users by first-seen week, then count the
+# distinct users of each cohort active in each subsequent week — the
+# retention triangle every growth dashboard draws. Week arithmetic is kept
+# in day-difference integer division (both engines truncate weeks to
+# Monday, so the day diff is always a multiple of 7 — no engine-specific
+# "week boundary" counting semantics in the oracle-checked output).
+#
+# Scale shape: first-seen aggregate keyed user_id; the activity join reuses
+# that key; the DISTINCT collapses map-side per (user, cohort, offset); the
+# matrix aggregate is keyed (cohort, offset) — bounded by the calendar, not
+# the corpus. Cohort sizes broadcast back.
+
+_EV13 = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+    {daydiff} AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), cohort_sizes AS (
+  SELECT cohort, COUNT(*) AS n0 FROM firsts GROUP BY cohort
+)
+SELECT {fmt} AS cohort_week,
+  CAST(a.week_offset AS BIGINT)  AS week_offset,
+  CAST(COUNT(*) AS BIGINT)       AS n_active,
+  CAST(ROUND(1000.0 * COUNT(*) / s.n0) AS BIGINT) AS retention_x1000
+FROM activity a JOIN cohort_sizes s ON a.cohort = s.cohort
+GROUP BY a.cohort, a.week_offset, s.n0
+"""
+
+_EV13_SPARK = _EV13.format(
+    daydiff="datediff(date_trunc('week', e.ts), f.cohort) DIV 7",
+    fmt="date_format(a.cohort, 'yyyy-MM-dd')",
+)
+_EV13_DUCK = _EV13.format(
+    daydiff="date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7",
+    fmt="strftime(a.cohort, '%Y-%m-%d')",
+)
+
+
+@query("ev13_retention_cohorts", oracle=_EV13_DUCK, tags=("events", "cohort", "retention"))
+def ev13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-seen week,
+    distinct-active counts per (cohort, week offset) with retention ratio
+    vs the cohort size — entity-keyed joins throughout, output bounded by
+    the calendar grid."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV13_SPARK)

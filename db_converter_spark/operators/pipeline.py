@@ -570,3 +570,59 @@ def pipe07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-set builder pipe03's proportional mixing can't express). One
     stratum-key shuffle; quota filter right after the rank."""
     return _sql(spark, sf_dir, _PIPE07_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe08 — curriculum phases (per-source quality quartiles via ntile)
+# ---------------------------------------------------------------------------
+# Curriculum training orders data easy→hard; the pipeline side of that is
+# bucketing each source's documents into quality quartiles (phase 1 = the
+# lowest-scoring quartile, trained first or downweighted — either policy
+# consumes the same bucketing). Score is exact-integer: token count plus
+# lexical-diversity (distinct/total ×1000), so the oracle matches
+# bit-for-bit; ntile(4) is PARTITIONED BY source — identical bucket-split
+# semantics in Spark and DuckDB (earlier buckets take the remainder).
+#
+# Scale shape: one scan computes the score map-side; one stratum-key
+# shuffle for the ntile window; the phase aggregate collapses immediately
+# to 4·n_sources rows. Same mega-stratum caveat as pipe07 (production
+# pre-buckets by score histogram instead of an exact per-source ntile).
+
+
+def _pipe08(split_fn: str, len_fn: str, distinct_fn: str) -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CASE WHEN {len_fn}(w) = 0 THEN 0
+         ELSE {len_fn}(w)
+              + CAST(ROUND(1000.0 * {len_fn}({distinct_fn}(w)) / {len_fn}(w)) AS BIGINT)
+    END AS score
+  FROM (SELECT doc_id, source, {split_fn}(text, ' ') AS w FROM documents) d
+), phased AS (
+  SELECT doc_id, source, score,
+    ntile(4) OVER (PARTITION BY source ORDER BY score, doc_id) AS phase
+  FROM scored
+)
+SELECT source,
+  CAST(phase AS BIGINT)        AS curriculum_phase,
+  CAST(COUNT(*) AS BIGINT)     AS n_docs,
+  CAST(MIN(score) AS BIGINT)   AS score_min,
+  CAST(MAX(score) AS BIGINT)   AS score_max,
+  CAST(SUM(score) AS BIGINT)   AS score_sum,
+  CAST(SUM(doc_id) AS BIGINT)  AS doc_id_checksum
+FROM phased
+GROUP BY source, phase
+"""
+
+
+_PIPE08_SPARK = _pipe08("split", "size", "array_distinct")
+_PIPE08_DUCK = _pipe08("string_split", "len", "list_distinct")
+
+
+@query("pipe08_curriculum_phases", oracle=_PIPE08_DUCK, tags=("pipeline", "curriculum", "quality"))
+def pipe08_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: per-source quality quartiles (ntile over an
+    exact-integer lexical score) with per-phase stats and id checksums —
+    the ordering/weighting input a curriculum or quality-annealing
+    training schedule consumes. One scan + one stratum-key window."""
+    return _sql(spark, sf_dir, _PIPE08_SPARK)

@@ -140,6 +140,13 @@ _CHECK_TAIL = (
     "q08_self_join_pairs",
     "q28_lateral_top1",
     "q34_cube_grouping_sets",
+    # --- parked r5 (third tranche) to fund head slots for ev12_funnel,
+    # ev13_retention_cohorts and pipe08_curriculum_phases: green + unchanged
+    # in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
+    # freshness guard ---
+    "q09_window_top2_orders",
+    "q10_window_running_sum",
+    "q11_set_ops",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

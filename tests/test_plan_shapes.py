@@ -278,3 +278,37 @@ def test_ta09_iteration_plans_are_vocab_bounded(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_ev12_funnel_entity_keyed_no_cartesian(spark):
+    """Funnel: every corpus-scale join/aggregate is keyed user_id (one
+    partitioning reused down the funnel); no cartesian/nested-loop step
+    join, no range shuffle. The only unpartitioned window runs on the
+    3-row conversion summary."""
+    plan = _plan(spark, "ev12_funnel")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ev13_retention_cohort_sizes_broadcast(spark):
+    """Retention matrix: the activity join is user_id-keyed and the
+    calendar-bounded cohort-size relation is the broadcast side; the
+    distinct collapses with map-side partials (no range shuffle)."""
+    plan = _plan(spark, "ev13_retention_cohorts")
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_pipe08_curriculum_window_partitioned(spark):
+    """Curriculum quartiles: the ntile window must be PARTITIONED BY the
+    source stratum (never a global-order window) and the per-phase
+    aggregate must collapse map-side — one scan, at most 2 exchanges."""
+    plan = _plan(spark, "pipe08_curriculum_phases")
+    assert "hashpartitioning(source" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final

@@ -973,3 +973,68 @@ def ev13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar grid."""
     register_views(spark, sf_dir)
     return spark.sql(_EV13_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# mg04 — small-file compaction planner (bin-pack chunks into target files)
+# ---------------------------------------------------------------------------
+# The lakehouse maintenance staple (the reference's VACUUM/maintenance
+# family at table level — dbccore runs server-side VACUUM; a Spark lake
+# compacts files instead): given per-chunk row/byte stats, assign source
+# chunks to target output files so each file lands near the target size.
+# Assignment = floor(running-bytes-before / target) per table partition —
+# the standard prefix-sum bin-pack (a straddling chunk can push one file
+# to <2× target, the accepted trade for a one-pass plan; exact packing is
+# NP-hard and unnecessary here).
+#
+# Scale shape: the corpus-scale job is ONE aggregate building the chunk
+# stats (map-side combined, chunk keys are uniform); the planning window
+# runs on the METADATA-scale chunk table (≈ rows/chunk_size entries),
+# PARTITIONED BY the month partition key — compaction plans are per-
+# partition in any real lake layout, so no global window even at 100 TB.
+
+
+def _mg04(fmt: str, idiv: str) -> str:
+    # idiv: integer division (Spark DIV / DuckDB //) — double `/` + BIGINT
+    # cast is not portable (truncate vs round).
+    return f"""
+WITH chunk_stats AS (
+  SELECT {fmt}                     AS part_month,
+         l_orderkey {idiv} 1000    AS chunk_id,
+         CAST(COUNT(*) AS BIGINT)  AS n_rows,
+         CAST(SUM(16 + length(l_returnflag) + length(l_linestatus)
+                  + 80) AS BIGINT) AS est_bytes
+  FROM lineitem
+  GROUP BY {fmt}, l_orderkey {idiv} 1000
+), planned AS (
+  SELECT part_month, chunk_id, n_rows, est_bytes,
+    COALESCE(SUM(est_bytes) OVER (PARTITION BY part_month ORDER BY chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS bytes_before
+  FROM chunk_stats
+)
+SELECT part_month,
+  CAST(chunk_id AS BIGINT)                           AS chunk_id,
+  n_rows,
+  est_bytes,
+  CAST(bytes_before {idiv} 262144 AS BIGINT)         AS target_file_id,
+  CAST(bytes_before - (bytes_before {idiv} 262144) * 262144 AS BIGINT)
+                                                     AS file_offset_bytes
+FROM planned
+"""
+
+
+_MG04_SPARK = _mg04("date_format(l_shipdate, 'yyyy-MM')", "DIV")
+_MG04_DUCK = _mg04("strftime(l_shipdate, '%Y-%m')", "//")
+
+
+@query("mg04_compaction_plan", oracle=_MG04_DUCK, tags=("migration", "maintenance", "compaction"))
+def mg04_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: per-chunk row/byte stats (one corpus
+    aggregate) bin-packed into ~256 KiB target files via a prefix-sum
+    window PARTITIONED BY the month partition key — the metadata-scale
+    planning pass a lakehouse maintenance job (the Spark-side analog of
+    the reference's VACUUM family, dbccore/dbccore.py VACUUM handling)
+    executes before rewriting files."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MG04_SPARK)

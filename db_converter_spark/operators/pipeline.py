@@ -626,3 +626,59 @@ def pipe08_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordering/weighting input a curriculum or quality-annealing
     training schedule consumes. One scan + one stratum-key window."""
     return _sql(spark, sf_dir, _PIPE08_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe09 — leakage-safe train/valid/test split (cluster-aware assignment)
+# ---------------------------------------------------------------------------
+# Splitting by a per-document coin leaks data: two near-identical documents
+# can land in train and test. The standard fix (public practice in every
+# serious corpus build, e.g. the C4/Pile dedup-then-split discussions) is
+# to assign the split to the DEDUP CLUSTER, not the document — here the
+# dd02 normalization fingerprint — so every member of a duplicate cluster
+# lands in the same split by construction.
+#
+# The coin is the fingerprint's own hex prefix (engine-identical integer
+# via conv/'0x' cast), so assignment is deterministic, reproducible, and
+# needs NO join against a split table. Scale shape: the split decision is
+# map-side (hash of a hash); the only shuffle is the cluster-size window
+# keyed by the uniform 128-bit fingerprint. 90/5/5 by construction of the
+# 1000-bucket coin.
+
+
+def _pipe09(re_g: str, hex_i: str) -> str:
+    coin = hex_i.format(expr="substr(fp, 1, 8)")
+    return f"""
+WITH normed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''{re_g}), ' +', ' '{re_g})))
+           AS fp
+  FROM documents
+), assigned AS (
+  SELECT doc_id, source, fp,
+    CASE WHEN {coin} % 1000 < 900 THEN 'train'
+         WHEN {coin} % 1000 < 950 THEN 'valid'
+         ELSE 'test' END AS split,
+    COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+  FROM normed
+)
+SELECT doc_id, source, split,
+  CAST(cluster_size AS BIGINT) AS cluster_size
+FROM assigned
+"""
+
+
+_PIPE09_SPARK = _pipe09(
+    "", "CAST(conv({expr}, 16, 10) AS BIGINT)"
+).replace("substr(fp", "substring(fp")
+_PIPE09_DUCK = _pipe09(", 'g'", "(('0x' || {expr})::BIGINT)")
+
+
+@query("pipe09_leakage_safe_split", oracle=_PIPE09_DUCK, tags=("pipeline", "split", "dedup"))
+def pipe09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the 90/5/5 coin is hashed from
+    the dd02 normalization FINGERPRINT, so every exact/trivial near-dup
+    cluster lands in one split by construction (no train→test leakage).
+    Map-side assignment — the only shuffle is the cluster-size window on
+    uniform 128-bit keys."""
+    return _sql(spark, sf_dir, _PIPE09_SPARK)

@@ -1,0 +1,194 @@
+"""Data-quality operators — the audit layer a 100 TB ingest runs before
+training-data builds or migrations: declarative constraint checking
+(completeness / uniqueness / domain / referential integrity, the public
+Deequ model: Schelter et al. 2018, "Automating Large-Scale Data Quality
+Verification", VLDB) and statistical anomaly detection on event rates.
+
+Reference parity: the reference's alert packets (e.g.
+/root/reference/packets/alert_stuck_queries, alert_bloat) are exactly
+this shape — periodic SQL health checks that emit violation rows; this
+module re-expresses the pattern as first-class, oracle-checked operators
+over the analytic tables instead of pg_catalog.
+
+Scale shape: every constraint family collapses in ONE aggregate pass per
+table (map-side partials — the metric tuple is a handful of counters), the
+uniqueness checks are uniform-key COUNT(DISTINCT) shuffles, and the
+referential-integrity probe is a keyed anti-join that co-partitions with
+the FK. Nothing here is per-row Python; the audit of a 100 TB table costs
+one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_converter_spark.catalog import register_views
+from db_converter_spark.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(stmt)
+
+
+# ---------------------------------------------------------------------------
+# dq01 — declarative constraint audit (Deequ-style, long-format metrics)
+# ---------------------------------------------------------------------------
+# One aggregate pass per audited table computes every per-row check as a
+# conditional counter; uniqueness adds a COUNT(DISTINCT) (uniform keys);
+# referential integrity is a left-anti count. The output is the long-format
+# metric table a verification suite asserts on: one row per constraint with
+# checked/violation counts and the pass verdict — integer-exact on both
+# engines.
+
+# The three stat relations (one-row each) and the long-format emission are
+# kept separate so the Spark builder can MATERIALIZE each table aggregate
+# once: Spark inlines a multiply-referenced CTE, and the 10-branch UNION
+# would re-run the orders aggregate 5× and the lineitem aggregate 5× (the
+# inlined form planned 26 exchanges, measured at sf0.001). The DuckDB
+# oracle keeps the single-text CTE form — recompute doesn't affect
+# correctness there.
+
+_DQ01_O = """
+  SELECT
+    COUNT(*)                                                      AS n_rows,
+    COUNT(*) - COUNT(o_custkey)                                   AS null_custkey,
+    COUNT(*) - COUNT(o_orderdate)                                 AS null_orderdate,
+    COUNT(*) - COUNT(DISTINCT o_orderkey)                         AS dup_orderkey,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS bad_status,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)             AS bad_price
+  FROM orders
+"""
+
+_DQ01_L = """
+  SELECT
+    COUNT(*)                                                      AS n_rows,
+    COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber)    AS dup_linekey,
+    SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS bad_qty,
+    SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1 THEN 0 ELSE 1 END)  AS bad_discount,
+    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)           AS null_shipdate
+  FROM lineitem
+"""
+
+_DQ01_RI = """
+  SELECT COUNT(*) AS n_orphans
+  FROM lineitem li
+  WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = li.l_orderkey)
+"""
+
+_DQ01_LONG = """
+WITH metrics AS (
+  SELECT 'orders'   AS table_name, 'o_custkey'    AS column_name, 'completeness' AS constraint_type, n_rows AS n_checked, null_custkey   AS n_violations FROM o
+  UNION ALL
+  SELECT 'orders',   'o_orderdate',  'completeness', n_rows, null_orderdate FROM o
+  UNION ALL
+  SELECT 'orders',   'o_orderkey',   'uniqueness',   n_rows, dup_orderkey   FROM o
+  UNION ALL
+  SELECT 'orders',   'o_orderstatus','domain',       n_rows, bad_status     FROM o
+  UNION ALL
+  SELECT 'orders',   'o_totalprice', 'range',        n_rows, bad_price      FROM o
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey+l_linenumber', 'uniqueness', n_rows, dup_linekey FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity',   'range',        n_rows, bad_qty        FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_discount',   'range',        n_rows, bad_discount   FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_shipdate',   'completeness', n_rows, null_shipdate  FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey',   'referential_integrity',
+         (SELECT n_rows FROM l), n_orphans FROM ri
+)
+SELECT table_name, column_name, constraint_type,
+  CAST(n_checked AS BIGINT)    AS n_checked,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  (n_violations = 0)           AS passed
+FROM metrics
+"""
+
+_DQ01_DUCK = (
+    f"WITH o AS ({_DQ01_O}), l AS ({_DQ01_L}), ri AS ({_DQ01_RI})"
+    + _DQ01_LONG.replace("WITH metrics AS (", ", metrics AS (")
+)
+
+
+@query("dq01_constraint_audit", oracle=_DQ01_DUCK, tags=("quality", "audit"))
+def dq01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative constraint audit (completeness, uniqueness,
+    domain, range, referential integrity) over orders/lineitem — ONE
+    aggregate pass per table plus a keyed anti-join (each one-row stat
+    relation materialized once; the long-format emission reads the
+    checkpoints), emitted as the metric table a data-quality gate asserts
+    on. The pattern generalizes the reference's alert packets (SQL health
+    checks emitting violation rows) to analytic tables."""
+    register_views(spark, sf_dir)
+    for view, stmt in (("o", _DQ01_O), ("l", _DQ01_L), ("ri", _DQ01_RI)):
+        spark.sql(stmt).localCheckpoint(eager=True).createOrReplaceTempView(
+            f"dq01_{view}"
+        )
+    long_sql = _DQ01_LONG
+    for view in ("o", "l", "ri"):
+        long_sql = long_sql.replace(f"FROM {view}", f"FROM dq01_{view}")
+    return spark.sql(long_sql)
+
+
+# ---------------------------------------------------------------------------
+# dq02 — event-rate anomaly detection (integer-exact z-score gate)
+# ---------------------------------------------------------------------------
+# Daily event counts per type, each day tested against its trailing 7-day
+# baseline. The z-score comparison is kept EXACT-INTEGER by clearing
+# denominators: with k baseline days, S = Σv, SS = Σv², population variance
+# is (k·SS − S²)/k² and mean is S/k, so
+#     |x − mean| > z·σ  ⟺  (k·x − S)² > z²·(k·SS − S²)
+# — no float sqrt/division anywhere, so Spark and DuckDB agree bit-for-bit.
+# Products are computed in DECIMAL(38,0): at 1e9 events/day the squared
+# terms exceed BIGINT range (~9.2e18) but stay far inside 38 digits.
+#
+# Scale shape: the corpus-scale job is the daily-count aggregate (calendar-
+# bounded keys, map-side combine); the trailing window runs on the daily
+# matrix — |types|·|days| rows, metadata-scale at any corpus size — and is
+# PARTITIONED BY event_type.
+
+_DQ02 = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+), base AS (
+  SELECT event_type, d, n,
+    COUNT(n) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k,
+    SUM(n)   OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s,
+    SUM(n * n) OVER (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS ss
+  FROM daily
+), tested AS (
+  SELECT event_type, d, n, k, s,
+    CAST(k * n - s AS DECIMAL(38,0))       AS dev,
+    CAST(k AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+      - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) AS kvar
+  FROM base
+)
+SELECT event_type,
+  {fmt}                       AS event_date,
+  n                           AS n_events,
+  CAST(k AS BIGINT)           AS n_baseline_days,
+  CAST(s AS BIGINT)           AS baseline_total,
+  (k >= 4 AND (CASE WHEN kvar = 0 THEN dev <> 0
+                    ELSE dev * dev > 9 * kvar END)) AS is_anomaly
+FROM tested
+"""
+
+_DQ02_SPARK = _DQ02.format(fmt="date_format(d, 'yyyy-MM-dd')")
+_DQ02_DUCK = _DQ02.format(fmt="strftime(d, '%Y-%m-%d')")
+
+
+@query("dq02_rate_anomaly", oracle=_DQ02_DUCK, tags=("quality", "anomaly", "events"))
+def dq02_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate anomaly gate: each (type, day) count tested against
+    its trailing 7-day baseline with an exact-integer |x−μ|>3σ comparison
+    (denominators cleared, DECIMAL(38,0) products — bit-identical across
+    engines). Corpus-scale work is one calendar-bounded aggregate; the
+    window runs on the metadata-scale daily matrix."""
+    return _sql(spark, sf_dir, _DQ02_SPARK)

@@ -700,3 +700,85 @@ def ta09_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ta09_apply_spark(f"ta09_s{i-1}", f"SELECT * FROM ta09_b{i}")
             ).localCheckpoint(eager=True).createOrReplaceTempView(f"ta09_s{i}")
     return spark.sql(" UNION ALL ".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# ta10 — vocabulary growth curve (Heaps' law over corpus deciles)
+# ---------------------------------------------------------------------------
+# The corpus-statistics pass that answers "how fast is the vocabulary
+# still growing?" — the empirical Heaps curve (Heaps 1978; standard in
+# corpus linguistics) tokenizer and dedup budgets consult: new type counts
+# per corpus decile and the cumulative type/token trajectory. A type's
+# decile of FIRST APPEARANCE is just MIN(decile) per word — one uniform-
+# key aggregate, no ordering pass over the corpus; the running sums then
+# act on 10 rows.
+#
+# Scale shape: explode → per-word MIN/COUNT aggregate (map-side combined,
+# uniform keys) → 10-row decile aggregate → 10-row window. The decile is
+# derived from doc_id against a broadcast 1-row MAX — no global sort, no
+# ntile over the corpus. Integer-exact output (ratios ×1000 from integer
+# counts).
+
+
+def _ta10_dw(unnest: str, idiv: str) -> str:
+    # idiv: INTEGER division (Spark DIV, DuckDB //) — a double `/` plus a
+    # BIGINT cast is NOT portable (Spark truncates, DuckDB rounds).
+    # The ONLY corpus-scale job: explode → (decile, word) count, map-side
+    # combined on uniform keys. Everything downstream acts on vocab×10 rows.
+    return f"""
+SELECT CAST((10 * d.doc_id) {idiv} b.n_docs AS BIGINT) AS decile, d.w,
+       COUNT(*) AS c
+FROM (SELECT doc_id, {unnest} AS w FROM documents) d
+CROSS JOIN (SELECT MAX(doc_id) + 1 AS n_docs FROM documents) b
+WHERE d.w <> ''
+GROUP BY CAST((10 * d.doc_id) {idiv} b.n_docs AS BIGINT), d.w
+"""
+
+
+# the vocab-scale tail: both branches (tokens per decile, first-appearance
+# types per decile) read the SAME (decile, word) aggregate — the Spark
+# builder materializes it once (an inlined twice-referenced CTE would run
+# the corpus explode twice; measured 13 exchanges at sf0.001 before).
+_TA10_TAIL = """
+WITH per_decile_tokens AS (
+  SELECT decile, SUM(c) AS n_tokens FROM {dw} GROUP BY decile
+), types AS (
+  SELECT w, MIN(decile) AS first_decile FROM {dw} GROUP BY w
+), per_decile_types AS (
+  SELECT first_decile AS decile, COUNT(*) AS n_new_types
+  FROM types GROUP BY first_decile
+), merged AS (
+  SELECT t.decile, t.n_tokens, COALESCE(y.n_new_types, 0) AS n_new_types
+  FROM per_decile_tokens t
+  LEFT JOIN per_decile_types y ON t.decile = y.decile
+)
+SELECT decile,
+  CAST(n_tokens AS BIGINT)     AS n_tokens,
+  CAST(n_new_types AS BIGINT)  AS n_new_types,
+  CAST(SUM(n_tokens)    OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+  CAST(SUM(n_new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types,
+  CAST(ROUND(1000.0 * SUM(n_new_types) OVER (ORDER BY decile)
+             / SUM(n_tokens) OVER (ORDER BY decile)) AS BIGINT) AS type_token_x1000
+FROM merged
+"""
+
+
+_TA10_DW_SPARK = _ta10_dw("explode(split(text, ' '))", "DIV")
+_TA10_DUCK = _TA10_TAIL.format(
+    dw="(" + _ta10_dw("unnest(string_split(text, ' '))", "//") + ")"
+)
+
+
+@query("ta10_vocab_growth", oracle=_TA10_DUCK, tags=("text", "vocab", "corpus-stats"))
+def ta10_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: new-type and token counts per
+    corpus decile with cumulative type/token trajectory — the statistic
+    that says whether a corpus slice still adds vocabulary (tokenizer
+    coverage, crawl-budget decisions). ONE corpus pass builds the
+    (decile, word) aggregate (materialized once); first-appearance is a
+    vocab-scale MIN, and the windows run on 10 rows."""
+    register_views(spark, sf_dir)
+    spark.sql(_TA10_DW_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta10_dw"
+    )
+    return spark.sql(_TA10_TAIL.format(dw="ta10_dw"))

@@ -147,6 +147,15 @@ _CHECK_TAIL = (
     "q09_window_top2_orders",
     "q10_window_running_sum",
     "q11_set_ops",
+    # --- parked r5 (fourth tranche) to fund head slots for dq01_constraint_audit,
+    # dq02_rate_anomaly, pipe09_leakage_safe_split, mg04_compaction_plan and
+    # ta10_vocab_growth: green + unchanged in CORRECTNESS_r04.json, untouched
+    # in r5 — fingerprint-verified by the freshness guard ---
+    "q12_cte_chain",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "ss01_cosine_topk",
+    "ta01_langid",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail
@@ -238,6 +247,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         events,
         pipeline,
+        quality,
     )
 
     head = {n: s for n, s in QUERIES.items() if n not in _CHECK_TAIL}

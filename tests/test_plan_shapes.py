@@ -312,3 +312,63 @@ def test_pipe08_curriculum_window_partitioned(spark):
     assert "rangepartitioning" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_dq01_stats_materialized_once(spark):
+    """Constraint audit: the 10-branch long-format emission must read the
+    checkpointed one-row stat relations — zero parquet scans and zero
+    aggregates in its plan (an inlined CTE form re-ran the orders
+    aggregate 5x and the lineitem aggregate 5x: 26 exchanges, measured)."""
+    plan = _plan(spark, "dq01_constraint_audit")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("HashAggregate") == 0, plan
+
+
+def test_dq02_anomaly_window_partitioned(spark):
+    """Rate anomaly: the trailing-baseline window must be PARTITIONED BY
+    event_type (the daily matrix is metadata-scale but a global-order
+    window is still the wrong shape) and the corpus-scale daily count must
+    collapse with map-side partials."""
+    plan = _plan(spark, "dq02_rate_anomaly")
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pipe09_split_is_map_side(spark):
+    """Leakage-safe split: the split decision is a hash of a hash — no
+    join anywhere; the only shuffle is the cluster-size window keyed by
+    the uniform md5 fingerprint."""
+    plan = _plan(spark, "pipe09_leakage_safe_split")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "hashpartitioning(fp" in plan, plan
+
+
+def test_ta10_single_corpus_pass(spark):
+    """Vocab growth: the corpus explode happens ONCE (in the materialized
+    (decile, word) aggregate); the tail must read the checkpoint, never
+    parquet, and both derived branches aggregate vocab-scale input."""
+    from db_converter_spark.catalog import register_views
+    from db_converter_spark.operators.textops import _TA10_DW_SPARK, _TA10_TAIL
+
+    register_views(spark, SF)
+    spark.sql(_TA10_DW_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta10_dw_test"
+    )
+    tail = spark.sql(_TA10_TAIL.format(dw="ta10_dw_test"))
+    plan = tail._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    dw_plan = spark.sql(_TA10_DW_SPARK)._jdf.queryExecution().executedPlan().toString()
+    assert dw_plan.count("Scan parquet") <= 2, dw_plan  # corpus + 1-row MAX
+    assert "Generate explode" in dw_plan, dw_plan
+
+
+def test_mg04_plan_window_partition_scoped(spark):
+    """Compaction planner: chunk stats collapse map-side (partial+final
+    aggregate) and the prefix-sum window is PARTITIONED BY the month
+    partition key — no global window, no range shuffle."""
+    plan = _plan(spark, "mg04_compaction_plan")
+    assert "hashpartitioning(part_month" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

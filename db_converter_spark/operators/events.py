@@ -1038,3 +1038,150 @@ def mg04_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes before rewriting files."""
     register_views(spark, sf_dir)
     return spark.sql(_MG04_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev11 — inter-arrival latency histogram + histogram-exact percentiles
+# ---------------------------------------------------------------------------
+# The latency-profile staple (the reference's lock-observer polls on 5 s
+# intervals — db_converter.py:58-60 — exactly because inter-event timing
+# IS the health signal): per-(user, type) inter-arrival gaps, bucketed
+# into power-of-two latency bands, with p50/p95 read off the cumulative
+# histogram. This is the HDR-histogram production shape: an exact global
+# percentile needs a per-type total sort (5 types = 5 giant partitions, a
+# scale killer), while the histogram is ONE bounded-key aggregate and the
+# percentile extraction runs on |types|·~27 bucket rows.
+#
+# The bucket index is floor(log2(gap_s)) computed INTEGERLY as
+# length(bin(gap_s)) — both engines render exact binary, so there is no
+# float-log boundary risk at powers of two. Gaps are keyed (user_id,
+# event_type): the window shuffle is on uniform entity keys, never on the
+# 5-value type column.
+
+_EV11 = """
+WITH gaps AS (
+  SELECT event_type,
+    {gap_s} AS gap_s
+  FROM (
+    SELECT event_type, ts,
+      lag(ts) OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  ) g
+  WHERE prev_ts IS NOT NULL
+), hist AS (
+  SELECT event_type,
+    CAST(length(bin(gap_s)) AS BIGINT) AS bucket,
+    COUNT(*)    AS n,
+    SUM(gap_s)  AS gap_total
+  FROM gaps
+  WHERE gap_s >= 1
+  GROUP BY event_type, length(bin(gap_s))
+), cum AS (
+  SELECT event_type, bucket, n, gap_total,
+    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+    SUM(n) OVER (PARTITION BY event_type)                 AS total_n
+  FROM hist
+)
+SELECT event_type,
+  CAST(MAX(total_n) AS BIGINT)                                   AS n_gaps,
+  CAST(ROUND(1000.0 * SUM(gap_total) / MAX(total_n)) AS BIGINT)  AS mean_gap_ms,
+  CAST(MIN(CASE WHEN 2 * cum_n >= total_n THEN bucket END) AS BIGINT)
+                                                                 AS p50_bucket,
+  CAST(MIN(CASE WHEN 20 * cum_n >= 19 * total_n THEN bucket END) AS BIGINT)
+                                                                 AS p95_bucket
+FROM cum
+GROUP BY event_type
+"""
+
+_EV11_SPARK = _EV11.format(
+    gap_s="CAST(unix_timestamp(ts) - unix_timestamp(prev_ts) AS BIGINT)"
+)
+_EV11_DUCK = _EV11.format(gap_s="CAST(date_diff('second', prev_ts, ts) AS BIGINT)")
+
+
+@query("ev11_interarrival_hist", oracle=_EV11_DUCK, tags=("events", "latency", "histogram"))
+def ev11_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival latency profile: per-(user, type) gaps in a
+    power-of-two histogram (bucket = bit-length of the gap seconds —
+    integer-exact, no float log) with p50/p95 extracted from the cumulative
+    histogram. The HDR-histogram shape: entity-keyed window, ONE bounded-
+    key aggregate, percentile math on |types|x~27 rows — never a per-type
+    total sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV11_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# mg05 — chunked order-independent table checksum (migration validation)
+# ---------------------------------------------------------------------------
+# The verification step every chunked migration needs (the reference
+# validates int4→int8 swaps by row counts — tests/test_packets.py's
+# fetch-and-compare; at 100 TB you cannot sort-and-diff): a per-chunk
+# checksum that is ORDER-INDEPENDENT (commutative XOR + a modular sum of
+# per-row hashes), so source and target can be compared chunk-by-chunk
+# without any global ordering, and only mismatched chunks are re-copied.
+#
+# Two complementary reductions per chunk — bit_xor (catches any single
+# row diff, but an even number of identical flips cancels) and a modular
+# sum (catches duplicated/dropped row pairs) — both over a 60-bit prefix
+# of the row md5 (15 hex digits keeps the value inside signed BIGINT in
+# both engines). Doubles are canonicalized to integer cents and the
+# timestamp to a formatted string BEFORE hashing, so renderings agree.
+#
+# Scale shape: one scan, map-side partial aggregation on the uniform
+# chunk key; output is metadata-scale (rows/1000 chunks). The per-row
+# md5 dominates the cost (measured ~7.6x at 10x data — linear); md5 is
+# used here because it is the only hash both engines share for the
+# oracle compare — a deployment swaps in Spark's built-in xxhash64
+# (~5-10x faster, already 64-bit) with zero plan-shape change.
+
+_MG05 = """
+WITH hashed AS (
+  SELECT l_orderkey {idiv} 1000 AS chunk_id,
+    {h60} AS h60
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+      md5(concat_ws('|',
+        CAST(l_orderkey AS {str_t}), CAST(l_partkey AS {str_t}),
+        CAST(l_suppkey AS {str_t}), CAST(l_linenumber AS {str_t}),
+        CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS {str_t}),
+        CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS {str_t}),
+        CAST(CAST(ROUND(l_discount * 100) AS BIGINT) AS {str_t}),
+        CAST(CAST(ROUND(l_tax * 100) AS BIGINT) AS {str_t}),
+        l_returnflag, l_linestatus, {ship_fmt})) AS row_md5
+    FROM lineitem
+  ) rows_c
+)
+SELECT CAST(chunk_id AS BIGINT)      AS chunk_id,
+  CAST(COUNT(*) AS BIGINT)           AS n_rows,
+  CAST(bit_xor(h60) AS BIGINT)       AS xor_checksum,
+  CAST(SUM(h60 % 1000003) AS BIGINT) AS sum_checksum
+FROM hashed
+GROUP BY chunk_id
+"""
+
+_MG05_SPARK = _MG05.format(
+    idiv="DIV",
+    str_t="STRING",
+    h60="CAST(conv(substring(row_md5, 1, 15), 16, 10) AS BIGINT)",
+    ship_fmt="date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss')",
+)
+_MG05_DUCK = _MG05.format(
+    idiv="//",
+    str_t="VARCHAR",
+    h60="(('0x' || substr(row_md5, 1, 15))::BIGINT)",
+    ship_fmt="strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')",
+)
+
+
+@query("mg05_table_checksum", oracle=_MG05_DUCK, tags=("migration", "validation", "checksum"))
+def mg05_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked order-independent table checksum for migration validation:
+    per-chunk XOR + modular-sum reductions over 60-bit row-hash prefixes
+    (canonicalized rendering, engine-identical). Source/target compare
+    chunk-by-chunk with no ordering requirement; only mismatched chunks
+    re-copy — the scale-safe generalization of the reference's
+    count-and-compare migration checks (tests/test_packets.py:500-544)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MG05_SPARK)

@@ -682,3 +682,92 @@ def pipe09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side assignment — the only shuffle is the cluster-size window on
     uniform 128-bit keys."""
     return _sql(spark, sf_dir, _PIPE09_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe10 — per-source dataset card (the datasheet aggregate)
+# ---------------------------------------------------------------------------
+# The summary table a corpus release ships ("Datasheets for Datasets",
+# Gebru et al. 2018): per source — volume, token mass, exact-duplicate
+# rate, language spread and the dominant language's share. This is the
+# one-page answer to "what is in this source?" that mixing/curriculum
+# decisions (pipe03/pipe08) consume.
+#
+# Scale shape: the giant text column is read and hashed ONCE — the Spark
+# builder materializes the narrow (source, lang, fp, n_tokens) projection
+# and both aggregates read the checkpoint (the inlined CTE form scanned
+# documents and re-computed md5 twice, measured in the plan); both
+# aggregates are map-side combined — the COUNT(DISTINCT fp) shuffles on
+# the uniform md5 fingerprint, (source, lang) keys are bounded; the
+# dominant-language window and the final join act on the |sources|x|langs|
+# metadata-scale matrix. No explode — token counts are size(split()).
+
+_PIPE10_PER_DOC = """
+SELECT source, lang,
+  md5(text)                       AS fp,
+  {ntok}                          AS n_tokens
+FROM documents
+"""
+
+_PIPE10 = """
+WITH src_stats AS (
+  SELECT source,
+    COUNT(*)           AS n_docs,
+    SUM(n_tokens)      AS total_tokens,
+    COUNT(DISTINCT fp) AS n_unique
+  FROM {per_doc} GROUP BY source
+), lang_counts AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM {per_doc} GROUP BY source, lang
+), lang_top AS (
+  -- n_langs must be windowed BEFORE the rn=1 filter (a same-SELECT
+  -- window would see only the surviving row and always return 1)
+  SELECT source, lang AS top_lang, n AS top_lang_docs, n_langs
+  FROM (
+    SELECT source, lang, n,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn,
+      COUNT(*)    OVER (PARTITION BY source) AS n_langs
+    FROM lang_counts
+  ) r
+  WHERE rn = 1
+)
+SELECT s.source,
+  CAST(s.n_docs AS BIGINT)                                    AS n_docs,
+  CAST(s.total_tokens AS BIGINT)                              AS n_tokens,
+  CAST(ROUND(10.0 * s.total_tokens / s.n_docs) AS BIGINT)     AS mean_tokens_x10,
+  CAST(s.n_docs - s.n_unique AS BIGINT)                       AS n_exact_dups,
+  CAST(ROUND(1000.0 * (s.n_docs - s.n_unique) / s.n_docs) AS BIGINT)
+                                                              AS dup_frac_x1000,
+  CAST(t.n_langs AS BIGINT)                                   AS n_langs,
+  t.top_lang,
+  CAST(ROUND(1000.0 * t.top_lang_docs / s.n_docs) AS BIGINT)  AS top_lang_x1000
+FROM src_stats s JOIN lang_top t ON s.source = t.source
+"""
+
+_PIPE10_PD_SPARK = _PIPE10_PER_DOC.format(
+    ntok="size(filter(split(text, ' '), w -> w <> ''))"
+)
+_PIPE10_DUCK = _PIPE10.format(
+    per_doc="("
+    + _PIPE10_PER_DOC.format(
+        ntok="len(list_filter(string_split(text, ' '), w -> w <> ''))"
+    )
+    + ")"
+)
+
+
+@query("pipe10_dataset_card", oracle=_PIPE10_DUCK, tags=("pipeline", "datasheet", "stats"))
+def pipe10_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, token mass, exact-dup rate
+    (fingerprint-distinct), language spread and dominant-language share —
+    the datasheet a corpus release ships and mixing decisions consume.
+    The text column is read and hashed ONCE (narrow per-doc projection
+    materialized); both aggregates are map-side combined; the ranking
+    window and join run on the metadata-scale (source, lang) matrix."""
+    from db_converter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(_PIPE10_PD_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "pipe10_per_doc"
+    )
+    return spark.sql(_PIPE10.format(per_doc="pipe10_per_doc"))

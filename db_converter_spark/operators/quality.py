@@ -192,3 +192,180 @@ def dq02_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). Corpus-scale work is one calendar-bounded aggregate; the
     window runs on the metadata-scale daily matrix."""
     return _sql(spark, sf_dir, _DQ02_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dq03 — per-column statistical profile (Deequ/ANALYZE-style, long format)
+# ---------------------------------------------------------------------------
+# The profiling companion to dq01's constraint audit — the reference runs
+# server-side ANALYZE for exactly this (dbccore routes `vacuum analyze`,
+# BASELINE table: maintenance interleave); pg_stats' per-column
+# null_frac / n_distinct / extremes re-expressed as a first-class
+# oracle-checked operator. Numeric extremes are canonicalized to integer
+# cents and dates to epoch-days so the long format is one BIGINT column
+# across heterogeneous source types (no engine-specific float/date
+# rendering in the compared output).
+#
+# Scale shape: ONE aggregate pass per table computes every counter;
+# the multiple COUNT(DISTINCT)s expand map-side (Spark plans one Expand —
+# rows × #distinct-columns — then a single shuffle on uniform keys;
+# at 100 TB you'd swap in approx_count_distinct with zero shape change).
+# Each one-row stat relation is materialized once; the long-format
+# emission reads the checkpoints (the dq01 lesson).
+
+_DQ03_O = """
+  SELECT
+    COUNT(*)                        AS n_rows,
+    COUNT(o_custkey)                AS nn_custkey,
+    COUNT(DISTINCT o_custkey)       AS nd_custkey,
+    CAST(MIN(o_custkey) AS BIGINT)  AS min_custkey,
+    CAST(MAX(o_custkey) AS BIGINT)  AS max_custkey,
+    COUNT(o_totalprice)             AS nn_price,
+    COUNT(DISTINCT o_totalprice)    AS nd_price,
+    CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS min_price_x100,
+    CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS max_price_x100,
+    COUNT(o_orderdate)              AS nn_odate,
+    COUNT(DISTINCT o_orderdate)     AS nd_odate,
+    CAST({d2e_min} AS BIGINT)       AS min_odate_days,
+    CAST({d2e_max} AS BIGINT)       AS max_odate_days
+  FROM orders
+"""
+
+_DQ03_L = """
+  SELECT
+    COUNT(*)                        AS n_rows,
+    COUNT(l_quantity)               AS nn_qty,
+    COUNT(DISTINCT l_quantity)      AS nd_qty,
+    CAST(ROUND(MIN(l_quantity) * 100) AS BIGINT) AS min_qty_x100,
+    CAST(ROUND(MAX(l_quantity) * 100) AS BIGINT) AS max_qty_x100,
+    COUNT(l_discount)               AS nn_disc,
+    COUNT(DISTINCT l_discount)      AS nd_disc,
+    CAST(ROUND(MIN(l_discount) * 100) AS BIGINT) AS min_disc_x100,
+    CAST(ROUND(MAX(l_discount) * 100) AS BIGINT) AS max_disc_x100,
+    COUNT(l_returnflag)             AS nn_rflag,
+    COUNT(DISTINCT l_returnflag)    AS nd_rflag
+  FROM lineitem
+"""
+
+_DQ03_LONG = """
+WITH profile AS (
+  SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+         n_rows, n_rows - nn_custkey AS n_null, nd_custkey AS n_distinct,
+         min_custkey AS min_canon, max_custkey AS max_canon FROM o
+  UNION ALL
+  SELECT 'orders', 'o_totalprice', n_rows, n_rows - nn_price, nd_price,
+         min_price_x100, max_price_x100 FROM o
+  UNION ALL
+  SELECT 'orders', 'o_orderdate', n_rows, n_rows - nn_odate, nd_odate,
+         min_odate_days, max_odate_days FROM o
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity', n_rows, n_rows - nn_qty, nd_qty,
+         min_qty_x100, max_qty_x100 FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_discount', n_rows, n_rows - nn_disc, nd_disc,
+         min_disc_x100, max_disc_x100 FROM l
+  UNION ALL
+  SELECT 'lineitem', 'l_returnflag', n_rows, n_rows - nn_rflag, nd_rflag,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM l
+)
+SELECT table_name, column_name,
+  CAST(n_rows AS BIGINT)     AS n_rows,
+  CAST(n_null AS BIGINT)     AS n_null,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  min_canon, max_canon,
+  CAST(ROUND(1000.0 * n_distinct / n_rows) AS BIGINT) AS distinct_x1000
+FROM profile
+"""
+
+_DQ03_O_SPARK = _DQ03_O.format(
+    d2e_min="datediff(MIN(o_orderdate), DATE'1970-01-01')",
+    d2e_max="datediff(MAX(o_orderdate), DATE'1970-01-01')",
+)
+_DQ03_O_DUCK = _DQ03_O.format(
+    d2e_min="date_diff('day', DATE'1970-01-01', CAST(MIN(o_orderdate) AS DATE))",
+    d2e_max="date_diff('day', DATE'1970-01-01', CAST(MAX(o_orderdate) AS DATE))",
+)
+
+_DQ03_DUCK = (
+    f"WITH o AS ({_DQ03_O_DUCK}), l AS ({_DQ03_L})"
+    + _DQ03_LONG.replace("WITH profile AS (", ", profile AS (")
+)
+
+
+@query("dq03_column_profile", oracle=_DQ03_DUCK, tags=("quality", "profile"))
+def dq03_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column statistical profile (row/null/distinct counts, canonical
+    integer extremes, distinct ratio) in long format — the pg_stats/ANALYZE
+    surface the reference delegates to PostgreSQL, as a first-class
+    operator. ONE aggregate pass per table (COUNT(DISTINCT)s expand
+    map-side); each one-row stat relation materialized once."""
+    register_views(spark, sf_dir)
+    for view, stmt in (("o", _DQ03_O_SPARK), ("l", _DQ03_L)):
+        spark.sql(stmt).localCheckpoint(eager=True).createOrReplaceTempView(
+            f"dq03_{view}"
+        )
+    long_sql = _DQ03_LONG.replace("FROM o", "FROM dq03_o").replace(
+        "FROM l", "FROM dq03_l"
+    )
+    return spark.sql(long_sql)
+
+
+# ---------------------------------------------------------------------------
+# dq04 — cross-table reconciliation audit (header vs detail totals)
+# ---------------------------------------------------------------------------
+# The classic financial-grade consistency check dq01's single-table
+# constraints can't see: does every order header's o_totalprice agree
+# with the total computed from its line items? The output is the
+# discrepancy-band histogram (exact / <1% / >=1% / missing detail) a
+# reconciliation gate alerts on — the cross-table twin of the
+# reference's alert packets.
+#
+# All money math is integer cents: each line's extended value rounds to
+# cents once (a single double product is IEEE-identical across engines),
+# then sums as BIGINT. Scale shape: the detail aggregate is keyed on the
+# uniform l_orderkey and the header join co-partitions on the same key
+# (one shuffle each side, AQE may broadcast the smaller); the band
+# histogram is a bounded-key aggregate.
+
+_DQ04 = """
+WITH line_totals AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+             AS BIGINT)) AS computed_cents
+  FROM lineitem
+  GROUP BY l_orderkey
+), joined AS (
+  SELECT o.o_orderkey,
+    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+    lt.computed_cents
+  FROM orders o LEFT JOIN line_totals lt ON o.o_orderkey = lt.l_orderkey
+), banded AS (
+  SELECT
+    CASE
+      WHEN computed_cents IS NULL               THEN 'missing_detail'
+      WHEN computed_cents = header_cents        THEN 'exact'
+      WHEN ABS(computed_cents - header_cents) * 100 < header_cents
+                                                THEN 'within_1pct'
+      ELSE 'over_1pct'
+    END AS band,
+    header_cents,
+    COALESCE(ABS(computed_cents - header_cents), header_cents) AS abs_diff_cents
+  FROM joined
+)
+SELECT band,
+  CAST(COUNT(*) AS BIGINT)            AS n_orders,
+  CAST(SUM(abs_diff_cents) AS BIGINT) AS total_abs_diff_cents,
+  CAST(MAX(abs_diff_cents) AS BIGINT) AS max_abs_diff_cents
+FROM banded
+GROUP BY band
+"""
+
+
+@query("dq04_reconciliation", oracle=_DQ04, tags=("quality", "reconciliation", "audit"))
+def dq04_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: every order header total vs the total
+    recomputed from its line items (integer cents end-to-end), emitted as
+    the discrepancy-band histogram (exact / <1% / >=1% / missing detail)
+    a reconciliation gate alerts on. Detail aggregate and header join
+    share the uniform orderkey partitioning; the histogram is bounded."""
+    return _sql(spark, sf_dir, _DQ04)

@@ -1143,3 +1143,53 @@ def q36_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd08 oracle); this is the same construct executed natively by Spark."""
     register_views(spark, sf_dir)
     return spark.sql(_q36("c.c_custkey div 2"))
+
+
+# ---------------------------------------------------------------------------
+# q37 — PIVOT (wide-format conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_Q37_SPARK = """
+SELECT o_orderstatus,
+  COALESCE(y1995, 0) AS y1995, COALESCE(y1996, 0) AS y1996,
+  COALESCE(y1997, 0) AS y1997, COALESCE(y1998, 0) AS y1998,
+  COALESCE(y1999, 0) AS y1999, COALESCE(y2000, 0) AS y2000
+FROM (
+  SELECT o_orderstatus, year(o_orderdate) AS y,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+PIVOT (
+  SUM(cents) FOR y IN (1995 AS y1995, 1996 AS y1996, 1997 AS y1997,
+                       1998 AS y1998, 1999 AS y1999, 2000 AS y2000)
+)
+"""
+
+# the oracle spells the same relation as conditional aggregation — PIVOT
+# is syntactic sugar over exactly this, which is also what Spark plans
+# (one HashAggregate, no Expand needed for a single agg function)
+_Q37_DUCK = """
+SELECT o_orderstatus,
+  CAST(COALESCE(SUM(cents) FILTER (y = 1995), 0) AS BIGINT) AS y1995,
+  CAST(COALESCE(SUM(cents) FILTER (y = 1996), 0) AS BIGINT) AS y1996,
+  CAST(COALESCE(SUM(cents) FILTER (y = 1997), 0) AS BIGINT) AS y1997,
+  CAST(COALESCE(SUM(cents) FILTER (y = 1998), 0) AS BIGINT) AS y1998,
+  CAST(COALESCE(SUM(cents) FILTER (y = 1999), 0) AS BIGINT) AS y1999,
+  CAST(COALESCE(SUM(cents) FILTER (y = 2000), 0) AS BIGINT) AS y2000
+FROM (
+  SELECT o_orderstatus, year(o_orderdate) AS y,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+) t
+GROUP BY o_orderstatus
+"""
+
+
+@query("q37_pivot", oracle=_Q37_DUCK, tags=("sql", "pivot", "agg"))
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT: order value (integer cents) by status × year in wide
+    format — the construct probe for Spark's PIVOT clause, which plans as
+    ONE conditional-aggregation pass (no per-column scans); the oracle
+    spells the identical relation with FILTERed aggregates."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q37_SPARK)

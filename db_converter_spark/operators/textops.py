@@ -782,3 +782,78 @@ def ta10_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta10_dw"
     )
     return spark.sql(_TA10_TAIL.format(dw="ta10_dw"))
+
+
+# ---------------------------------------------------------------------------
+# ta11 — TF-IDF model build + per-document top terms
+# ---------------------------------------------------------------------------
+# The classic distributed text-mining kernel (Spärck Jones 1972; the
+# MapReduce-era canonical example): build the document-frequency table,
+# score every (doc, term) by tf·idf, keep each document's top-5 terms.
+# This is the keyword-extraction / near-duplicate-explanation pass corpus
+# tooling runs after dedup — and the shape matches Spark's own ML
+# HashingTF/IDF pipeline, expressed relationally so it is oracle-checkable.
+#
+# Idf is kept integer-stable: idf_x1000 = ROUND(1000·ln(N/df)) — ln is a
+# single libm call on a small rational in both engines (error ~1 ulp,
+# ~1e-13 away from any .5 rounding boundary), and every downstream value
+# (score = tf · idf_x1000, ranks) is integer arithmetic.
+#
+# Scale shape: ONE corpus explode builds the (doc, word) tf aggregate
+# (uniform keys, map-side combined), MATERIALIZED once — df and the score
+# join both read it (an inlined CTE would re-run the corpus explode
+# twice). df is a vocab-scale aggregate; N broadcasts as a 1-row cross
+# join; the score join is keyed on the word (vocab-scale build side);
+# top-5 is a per-doc window on uniform doc keys.
+
+_TA11_TF = """
+SELECT doc_id, w, COUNT(*) AS tf
+FROM (SELECT doc_id, {unnest} AS w FROM documents) t
+WHERE w <> ''
+GROUP BY doc_id, w
+"""
+
+_TA11_TAIL = """
+WITH df AS (
+  SELECT w, COUNT(*) AS df FROM {tf} GROUP BY w
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM {tf}
+), scored AS (
+  SELECT t.doc_id, t.w, t.tf,
+    CAST(ROUND(1000.0 * ln(1.0 * n.n_docs / df.df)) AS BIGINT) AS idf_x1000
+  FROM {tf} t
+  JOIN df ON t.w = df.w
+  CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, w, tf, idf_x1000, tf * idf_x1000 AS score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tf * idf_x1000 DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, w AS term,
+  CAST(tf AS BIGINT)        AS tf,
+  idf_x1000,
+  CAST(score AS BIGINT)     AS tfidf_x1000,
+  CAST(rnk AS BIGINT)       AS rnk
+FROM ranked
+WHERE rnk <= 5
+"""
+
+_TA11_TF_SPARK = _TA11_TF.format(unnest="explode(split(text, ' '))")
+_TA11_DUCK = _TA11_TAIL.format(
+    tf="(" + _TA11_TF.format(unnest="unnest(string_split(text, ' '))") + ")"
+)
+
+
+@query("ta11_tfidf_topterms", oracle=_TA11_DUCK, tags=("text", "tfidf", "keywords"))
+def ta11_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: document-frequency table + per-document
+    top-5 terms by tf x round(1000 ln(N/df)) — integer arithmetic
+    everywhere after one ln call per distinct df. The (doc, word) tf
+    aggregate is built from ONE corpus explode and materialized once;
+    df/N/scoring all read the checkpoint; top-k is a doc-keyed window."""
+    register_views(spark, sf_dir)
+    spark.sql(_TA11_TF_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta11_tf"
+    )
+    return spark.sql(_TA11_TAIL.format(tf="ta11_tf"))

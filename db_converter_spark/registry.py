@@ -156,6 +156,19 @@ _CHECK_TAIL = (
     "dd03_minhash_signatures",
     "ss01_cosine_topk",
     "ta01_langid",
+    # --- parked r5 (fifth tranche) to fund head slots for
+    # ev11_interarrival_hist, mg05_table_checksum, ta11_tfidf_topterms,
+    # dq03_column_profile and pipe10_dataset_card: green + unchanged since
+    # their newest official row — fingerprint-verified by the freshness
+    # guard ---
+    "ta02_quality_score",
+    "ta03_token_stats",
+    "ss02_lsh_buckets",
+    "dd09_span_dedup",
+    "pipe03_weighted_sample",
+    # parked to fund q37_pivot's and dq04_reconciliation's head slots
+    "ss03_ivf_assign",
+    "ss04_ivf_topk",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

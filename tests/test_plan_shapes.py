@@ -372,3 +372,76 @@ def test_mg04_plan_window_partition_scoped(spark):
     assert "hashpartitioning(part_month" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ev11_entity_keyed_window(spark):
+    """Inter-arrival histogram: the gap window shuffles on the uniform
+    (user, type) entity key — never a per-type global sort; the histogram
+    collapses with map-side partials on bounded (type, bucket) keys."""
+    plan = _plan(spark, "ev11_interarrival_hist")
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mg05_single_scan_no_join(spark):
+    """Table checksum: ONE scan, one map-side-combined aggregate on the
+    uniform chunk key — no join, no window, no sort anywhere."""
+    plan = _plan(spark, "mg05_table_checksum")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_ta11_single_corpus_explode(spark):
+    """TF-IDF: the corpus explode happens once (the materialized tf
+    aggregate); the scoring tail reads the checkpoint, never parquet, and
+    the 1-row N relation joins as a broadcast nested loop (bounded)."""
+    plan = _plan(spark, "ta11_tfidf_topterms")
+    assert "Scan parquet" not in plan, plan
+    from db_converter_spark.operators.textops import _TA11_TF_SPARK
+
+    tf_plan = spark.sql(_TA11_TF_SPARK)._jdf.queryExecution().executedPlan().toString()
+    assert tf_plan.count("Scan parquet") == 1, tf_plan
+    assert "Generate explode" in tf_plan, tf_plan
+
+
+def test_dq03_stats_materialized_once(spark):
+    """Column profile: the long-format emission reads the checkpointed
+    one-row stat relations — zero parquet scans, zero aggregates (the
+    dq01 lesson: an inlined CTE re-runs each table aggregate 6x)."""
+    plan = _plan(spark, "dq03_column_profile")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("HashAggregate") == 0, plan
+
+
+def test_pipe10_text_hashed_once(spark):
+    """Dataset card: the giant text column is read and md5-hashed ONCE
+    (materialized narrow projection); both aggregates read the checkpoint
+    and the final join broadcasts the metadata-scale source stats."""
+    plan = _plan(spark, "pipe10_dataset_card")
+    assert "Scan parquet" not in plan, plan
+    assert "md5" not in plan, plan  # hashing happened in the checkpoint
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q37_pivot_single_aggregate(spark):
+    """PIVOT must plan as ONE conditional-aggregation pass — no Expand,
+    no join, no per-column re-scan."""
+    plan = _plan(spark, "q37_pivot")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_dq04_keyed_join_no_cartesian(spark):
+    """Reconciliation: the detail aggregate is keyed on l_orderkey and the
+    header join is a keyed equi-join (broadcast at tiny SF, SMJ at scale —
+    either is fine); never a nested-loop/cartesian, never a global sort."""
+    plan = _plan(spark, "dq04_reconciliation")
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

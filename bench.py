@@ -89,6 +89,8 @@ def main() -> int:
         "ta09_bpe_train",
         "dd14_semdedup",
         "dc03_bloom_decontaminate",
+        "dd15_containment",
+        "ss09_lsh_recall",
     }
     since_gc = 0
     for name in sorted(queries):

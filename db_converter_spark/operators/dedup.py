@@ -1582,3 +1582,109 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
     assign.createOrReplaceTempView("dd14_assign")
     return spark.sql(_DD14_SPARK_MAIN)
+
+
+# ---------------------------------------------------------------------------
+# dd15 — containment scoring (doc-in-doc / near-superset detection)
+# ---------------------------------------------------------------------------
+# Symmetric Jaccard misses the asymmetric duplication LLM corpora are full
+# of: a short document embedded verbatim inside a longer one (quote pages,
+# aggregator wrappers, boilerplate-framed reposts) has LOW Jaccard (the
+# union is dominated by the long doc) but HIGH containment
+# |A∩B| / |A| for the short side. dd15 re-scores dd10's gated LSH
+# candidate pairs with directional containment and emits the
+# containee→container pairs at containment >= 0.5 — the purge signal for
+# subset duplication that dd10's j >= 0.8 gate never fires on.
+#
+# Scale shape: identical to dd10 (the three expensive intermediates are
+# shared — signatures, gated candidates, candidate-doc shingles, each
+# materialized once); the containment tail is the same O(candidates)
+# shingle-intersection join, just normalized by the smaller set instead
+# of the union. Honest caveat, documented: candidates come from
+# SYMMETRIC MinHash banding, which under-recalls extreme containment at
+# very large size ratios (J -> 0 collapses band-collision probability);
+# the production fix is banding on the containee's partial signatures,
+# which changes candidate generation only — the scoring below is ratio-
+# independent.
+
+
+def _dd15_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
+    h_common = "/*+ BROADCAST(c) */ " if hints else ""
+    h_out = "/*+ BROADCAST(m, sa, sb) */ " if hints else ""
+    return f"""
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM {doc_sh} GROUP BY doc_id
+), common AS (
+  SELECT {h_common}c.da, c.db, COUNT(*) AS common
+  FROM {cand} c
+  JOIN {doc_sh} x ON x.doc_id = c.da
+  JOIN {doc_sh} y ON y.doc_id = c.db AND y.sh = x.sh
+  GROUP BY c.da, c.db
+), scored AS (
+  SELECT {h_out}
+    CASE WHEN sa.sz <= sb.sz THEN c.da ELSE c.db END AS containee,
+    CASE WHEN sa.sz <= sb.sz THEN c.db ELSE c.da END AS container,
+    CASE WHEN sa.sz <= sb.sz THEN sa.sz ELSE sb.sz END AS sz_containee,
+    CASE WHEN sa.sz <= sb.sz THEN sb.sz ELSE sa.sz END AS sz_container,
+    COALESCE(m.common, 0) AS n_common,
+    sa.sz + sb.sz - COALESCE(m.common, 0) AS sz_union
+  FROM {cand} c
+  LEFT JOIN common m ON m.da = c.da AND m.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da
+  JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT containee, container,
+  CAST(sz_containee AS BIGINT) AS sz_containee,
+  CAST(sz_container AS BIGINT) AS sz_container,
+  CAST(n_common AS BIGINT)     AS n_common,
+  CAST(ROUND(1000.0 * n_common / sz_containee) AS BIGINT) AS containment_x1000,
+  CAST(ROUND(1000.0 * n_common / sz_union) AS BIGINT)     AS jaccard_x1000
+FROM scored
+WHERE 2 * n_common >= sz_containee
+"""
+
+
+_DD15_TAIL_SPARK = "WITH " + _dd15_tail("dd10_cand", "dd10_doc_sh", hints=True)
+
+
+def _dd15_duck() -> str:
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band,"
+        " md5(concat("
+        + ", ',', ".join(f"CAST(h{4*b+i} AS VARCHAR)" for i in range(4))
+        + ")) AS bkey FROM sig"
+        for b in range(2)
+    )
+    sig = _DD10_SIG_DUCK.replace("FROM documents", "FROM reps")
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sig AS ({sig}),
+bands AS (
+  {branches}
+),{_dd10_band_ctes("sig")},
+cdocs AS (
+  SELECT da AS doc_id FROM cand UNION SELECT db FROM cand
+), doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT d.doc_id, unnest({_DD10_WORDSH_W_DUCK}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+    JOIN cdocs c ON c.doc_id = d.doc_id
+  ) t
+),{_dd15_tail("cand", "doc_sh")}
+"""
+
+
+@query("dd15_containment", oracle=_dd15_duck(), tags=("dedup", "containment", "lsh"))
+def dd15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment scoring over dd10's gated LSH candidates:
+    |A∩B| / |smaller set| per pair, emitting containee→container pairs at
+    containment >= 0.5 — the doc-in-doc / near-superset signal symmetric
+    Jaccard misses (a short doc inside a long one has low J but high
+    containment). Shares dd10's materialized signatures/candidates/
+    shingles; the tail is the same O(candidates) intersection join
+    normalized by the smaller set."""
+    _dd10_prepare(spark, sf_dir)
+    return spark.sql(_DD15_TAIL_SPARK)

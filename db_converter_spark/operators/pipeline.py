@@ -771,3 +771,63 @@ def pipe10_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipe10_per_doc"
     )
     return spark.sql(_PIPE10.format(per_doc="pipe10_per_doc"))
+
+
+# ---------------------------------------------------------------------------
+# pipe11 — context-length fit report (truncation / splitting / padding cost)
+# ---------------------------------------------------------------------------
+# The table a pretraining run reads before choosing max_seq_len: for each
+# candidate context length L, what fraction of tokens is lost if every
+# document is truncated at L, how many sequences does split-at-L produce,
+# and how much padding does one-doc-per-sequence cost. pipe02 packs at a
+# FIXED length; this operator is how that length gets picked.
+#
+# All ratios are x1000 BIGINTs. Ceil-division is spelled (n + L - 1) / L
+# in INTEGER arithmetic (dialect DIV vs //); candidate lengths are powers
+# of two so no float division appears anywhere.
+#
+# Scale shape: per-doc token counts come from ONE documents scan (no
+# explode — size(split())); the 4-row candidate-length relation fans out
+# via a broadcast nested-loop join (bounded 4x multiplier, the Expand
+# shape); the report is a bounded-key (L) aggregate, map-side combined.
+
+_PIPE11 = """
+WITH doc_tokens AS (
+  SELECT {ntok} AS n FROM documents
+), fit AS (
+  SELECT L, n,
+    CASE WHEN n > L THEN n - L ELSE 0 END AS truncated,
+    (n + L - 1) {idiv} L                  AS n_seqs
+  FROM doc_tokens
+  CROSS JOIN (VALUES (64), (128), (256), (512)) lens(L)
+)
+SELECT CAST(L AS BIGINT) AS context_len,
+  CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+  CAST(SUM(CASE WHEN n > L THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over,
+  CAST(SUM(n) AS BIGINT)                         AS n_tokens,
+  CAST(SUM(truncated) AS BIGINT)                 AS n_tokens_truncated,
+  CAST(ROUND(1000.0 * SUM(truncated) / SUM(n)) AS BIGINT)
+                                                 AS trunc_loss_x1000,
+  CAST(SUM(n_seqs) AS BIGINT)                    AS n_seqs_split,
+  CAST(ROUND(1000.0 * (SUM(n_seqs) * L - SUM(n)) / (SUM(n_seqs) * L))
+       AS BIGINT)                                AS pad_frac_split_x1000
+FROM fit
+GROUP BY L
+"""
+
+_PIPE11_SPARK = _PIPE11.format(
+    ntok="size(filter(split(text, ' '), w -> w <> ''))", idiv="DIV"
+)
+_PIPE11_DUCK = _PIPE11.format(
+    ntok="len(list_filter(string_split(text, ' '), w -> w <> ''))", idiv="//"
+)
+
+
+@query("pipe11_context_fit", oracle=_PIPE11_DUCK, tags=("pipeline", "packing", "report"))
+def pipe11_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length fit report: per candidate max_seq_len (64..512),
+    token loss under truncate-at-L, sequence count under split-at-L, and
+    the split padding cost — the table that picks the length pipe02 packs
+    at. ONE documents scan (no explode), a bounded 4-row length fan-out,
+    one bounded-key aggregate."""
+    return _sql(spark, sf_dir, _PIPE11_SPARK)

@@ -369,3 +369,63 @@ def dq04_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a reconciliation gate alerts on. Detail aggregate and header join
     share the uniform orderkey partitioning; the histogram is bounded."""
     return _sql(spark, sf_dir, _DQ04)
+
+
+# ---------------------------------------------------------------------------
+# dq05 — referential-integrity audit (FK orphan matrix over every edge)
+# ---------------------------------------------------------------------------
+# The cross-table companion to dq01's single-table constraints and dq04's
+# value reconciliation: for every foreign-key edge in the schema, count
+# child rows/keys whose parent is missing. The reference's alert packets
+# poll pg_catalog for exactly this class of drift (dead tuples, broken
+# dependencies); on a lake with no enforced constraints this audit IS the
+# integrity guarantee, run before every release.
+#
+# Scale shape, per edge: the child side collapses to (fk, cnt) with ONE
+# map-side-combined aggregate on the uniform key; the parent side is a
+# key-only projection (DISTINCT pk). The join is keyed — dimension
+# parents broadcast, the one fact-fact edge (lineitem->orders) SMJ/AQE
+# co-partitions on the shared key. Output is |edges| rows. NULL FKs are
+# counted separately, never conflated with orphans.
+
+_DQ05_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _dq05_edge_sql(edge: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{edge}' AS edge,
+  CAST(SUM(cnt) AS BIGINT)                                      AS n_child_rows,
+  CAST(SUM(CASE WHEN fk IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null_rows,
+  CAST(SUM(CASE WHEN fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_fk_keys,
+  CAST(SUM(CASE WHEN orphan THEN cnt ELSE 0 END) AS BIGINT)     AS n_orphan_rows,
+  CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)       AS n_orphan_keys
+FROM (
+  SELECT k.fk, k.cnt, (k.fk IS NOT NULL AND p.pk IS NULL) AS orphan
+  FROM (SELECT {fk} AS fk, COUNT(*) AS cnt FROM {child} GROUP BY {fk}) k
+  LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON p.pk = k.fk
+) t
+"""
+
+
+_DQ05 = "\nUNION ALL\n".join(_dq05_edge_sql(*e) for e in _DQ05_EDGES)
+
+
+@query("dq05_fk_orphans", oracle=_DQ05, tags=("quality", "integrity", "audit"))
+def dq05_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge in the schema:
+    per-edge child-row/key counts, NULL-FK counts, and orphan rows/keys
+    (child keys with no parent). Each edge is one uniform-key aggregate
+    plus one key-only join (dimension parents broadcast; the fact-fact
+    lineitem->orders edge co-partitions); output is |edges| rows — the
+    release gate a lake without enforced constraints runs instead of
+    the reference's server-side constraint checks."""
+    return _sql(spark, sf_dir, _DQ05)

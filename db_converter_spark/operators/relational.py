@@ -1193,3 +1193,54 @@ def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells the identical relation with FILTERed aggregates."""
     register_views(spark, sf_dir)
     return spark.sql(_Q37_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# q38 — UNPIVOT (wide-format back to long; the inverse construct of q37)
+# ---------------------------------------------------------------------------
+
+_Q38_WIDE = """
+  SELECT o_orderpriority,
+    SUM(CASE WHEN o_orderstatus = 'O' THEN cents END) AS st_open,
+    SUM(CASE WHEN o_orderstatus = 'F' THEN cents END) AS st_filled,
+    SUM(CASE WHEN o_orderstatus = 'P' THEN cents END) AS st_partial
+  FROM (
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+  ) t
+  GROUP BY o_orderpriority
+"""
+
+_Q38_SPARK = f"""
+WITH wide AS ({_Q38_WIDE})
+SELECT o_orderpriority, status, CAST(cents AS BIGINT) AS cents
+FROM wide
+UNPIVOT (cents FOR status IN (st_open AS `O`, st_filled AS `F`,
+                              st_partial AS `P`))
+"""
+
+# the oracle spells UNPIVOT's exact semantics — one branch per unpivoted
+# column, NULL cells dropped (Spark UNPIVOT's default EXCLUDE NULLS)
+_Q38_DUCK = f"""
+WITH wide AS ({_Q38_WIDE})
+SELECT o_orderpriority, status, CAST(cents AS BIGINT) AS cents FROM (
+  SELECT o_orderpriority, 'O' AS status, st_open AS cents FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'F' AS status, st_filled AS cents FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'P' AS status, st_partial AS cents FROM wide
+) u
+WHERE cents IS NOT NULL
+"""
+
+
+@query("q38_unpivot", oracle=_Q38_DUCK, tags=("sql", "unpivot"))
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native UNPIVOT (wide order-value matrix back to long): the inverse
+    construct probe of q37 — Spark plans it as ONE Expand pass over the
+    aggregated wide relation (3 rows emitted per input row, NULL cells
+    dropped), never a per-column re-scan or self-join; the oracle spells
+    the identical relation as a three-branch UNION ALL."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q38_SPARK)

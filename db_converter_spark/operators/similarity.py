@@ -719,3 +719,138 @@ def ss06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table plus the code column, never the raw vectors. Distances are
     per-cell rounded so the cross-engine compare is exact."""
     return _sql(spark, sf_dir, _SS06_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ss09 — ANN recall evaluation (LSH bucket search vs exact ground truth)
+# ---------------------------------------------------------------------------
+# The eval harness every ANN deployment runs before trusting its index
+# ("measure, don't guess"): for a FIXED query set, compute the exact
+# cosine top-10 (ground truth) and the top-10 restricted to each query's
+# ss02 LSH bucket, and report per-query recall@10 plus the candidate-set
+# size (the recall/cost trade LSH tuning navigates).
+#
+# Scale shape: the 10-query set broadcasts; ONE corpus pass computes
+# every (query, vector) similarity — this all-pairs-vs-queries pass is
+# the labeled eval cost (bounded: 10 x corpus, the ss05 shape) and is
+# REUSED for both ground truth and bucket candidates (the bucket filter
+# is a predicate on the same relation, not a second scan); top-10s are
+# per-query windows on the 10-key qid; the final report is 10 rows.
+
+_SS09_NQ = 10  # fixed query-set size at any corpus scale
+
+
+def _ss09_sims(bucket: str, cos: str, hint: str) -> str:
+    """The one expensive pass: every (query, vector) exact similarity plus
+    both bucket ids — feeds ground truth AND bucket candidates."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {{idx}} AS idx FROM embeddings
+), b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM v
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id < {_SS09_NQ}
+)
+SELECT {hint}q.qid, b.vec_id, b.bucket, q.qbucket, {cos} AS sim
+FROM b JOIN q ON b.vec_id <> q.qid
+"""
+
+
+def _ss09_tail(sims: str, hint_out: str, hint_hits: str = "") -> str:
+    """Recall report over a materialized ``sims`` relation (the Spark
+    builder checkpoints it — referenced 3x below; DuckDB materializes the
+    CTE natively)."""
+    return f"""truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+    FROM {sims}) t
+  WHERE rn <= 10
+), cand AS (
+  SELECT qid, vec_id, sim FROM {sims} WHERE bucket = qbucket
+), approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+    FROM cand) t
+  WHERE rn <= 10
+), qd AS (
+  SELECT DISTINCT qid, qbucket FROM {sims}
+), tcnt AS (
+  SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY qid
+), ccnt AS (
+  SELECT qid, COUNT(*) AS n_bucket FROM cand GROUP BY qid
+), hcnt AS (
+  SELECT {hint_hits}t.qid, COUNT(*) AS n_hits
+  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT {hint_out}qd.qid,
+  CAST(qd.qbucket AS BIGINT)            AS bucket,
+  CAST(COALESCE(tc.n_truth, 0) AS BIGINT)  AS n_truth,
+  CAST(COALESCE(cc.n_bucket, 0) AS BIGINT) AS n_bucket_cands,
+  CAST(COALESCE(hc.n_hits, 0) AS BIGINT)   AS n_hits,
+  CAST(CASE WHEN COALESCE(tc.n_truth, 0) = 0 THEN 0
+       ELSE ROUND(1000.0 * COALESCE(hc.n_hits, 0) / tc.n_truth) END AS BIGINT)
+                                        AS recall_x1000
+FROM qd
+LEFT JOIN tcnt tc ON tc.qid = qd.qid
+LEFT JOIN ccnt cc ON cc.qid = qd.qid
+LEFT JOIN hcnt hc ON hc.qid = qd.qid
+"""
+
+
+_SS09_COS_SPARK = (
+    "aggregate(zip_with(b.embedding, q.qv,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+    " (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(b.embedding, 0.0D,"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    " * sqrt(aggregate(q.qv, 0.0D,"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+_SS09_COS_DUCK = (
+    "list_sum(list_transform("
+    "[CAST(g AS INT) for g in generate_series(1, len(b.embedding))],"
+    " i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(b.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(q.qv,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+_SS09_SIMS_SPARK = _ss09_sims(
+    _ss02_spark_bucket_expr(), _SS09_COS_SPARK, "/*+ BROADCAST(q) */ "
+).format(idx="sequence(1, size(embedding))")
+# the materialized sims relation is TINY (10 x corpus rows, narrow) but a
+# checkpointed RDD carries no stats — broadcast hints keep the 10-row
+# report joins off the SortMergeJoin path (the dd10 lesson)
+_SS09_TAIL_SPARK = "WITH " + _ss09_tail(
+    "ss09_sims", "/*+ BROADCAST(qd, tc, cc, hc) */ ", "/*+ BROADCAST(a) */ "
+)
+_SS09_DUCK = (
+    "WITH sims AS ("
+    + _ss09_sims(_ss02_duck_bucket_expr(), _SS09_COS_DUCK, "").format(
+        idx="[CAST(g AS INT) for g in generate_series(1, len(embedding))]"
+    )
+    + "), "
+    + _ss09_tail("sims", "")
+)
+
+
+@query("ss09_lsh_recall", oracle=_SS09_DUCK, tags=("similarity", "ann", "eval", "recall"))
+def ss09_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 evaluation: exact cosine top-10 vs ss02's LSH-bucket
+    top-10 for a fixed 10-query set, with bucket candidate counts — the
+    recall/cost report an LSH deployment tunes plane count against. The
+    one expensive pass (10-query broadcast x corpus: every similarity +
+    both bucket ids) is materialized ONCE and feeds BOTH rankings (the
+    bucket filter is a predicate on the checkpoint, not a second scan);
+    windows key on the 10-value qid; the report is 10 rows."""
+    register_views(spark, sf_dir)
+    spark.sql(_SS09_SIMS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ss09_sims"
+    )
+    return spark.sql(_SS09_TAIL_SPARK)

@@ -169,6 +169,16 @@ _CHECK_TAIL = (
     # parked to fund q37_pivot's and dq04_reconciliation's head slots
     "ss03_ivf_assign",
     "ss04_ivf_topk",
+    # --- parked r5 (sixth tranche) to fund head slots for dd15_containment,
+    # pipe11_context_fit, dq05_fk_orphans, q38_unpivot and ss09_lsh_recall:
+    # green in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified
+    # by the freshness guard; every family keeps fresh head coverage
+    # (ss07/ss08/ss09, dc02/dc03, dd10..dd15, ta09/ta10/ta11) ---
+    "ss05_knn_join",
+    "ss06_pq_adc_topk",
+    "dc01_decontaminate",
+    "dd11_dedup_keep_best",
+    "ta08_vocab_topk",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -445,3 +445,58 @@ def test_dq04_keyed_join_no_cartesian(spark):
     assert "hashpartitioning(l_orderkey" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_q38_unpivot_single_expand(spark):
+    """UNPIVOT must plan as ONE Expand over the aggregated wide relation —
+    one scan, no join, never a per-column re-scan."""
+    plan = _plan(spark, "q38_unpivot")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Expand") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dq05_keyed_joins_only(spark):
+    """FK orphan audit: every edge is a keyed join (dimension parents
+    broadcast at this SF) over pre-aggregated key relations — never a
+    nested-loop/cartesian, never a global sort."""
+    plan = _plan(spark, "dq05_fk_orphans")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 7, plan
+
+
+def test_pipe11_single_scan_bounded_fanout(spark):
+    """Context-fit report: ONE documents scan, the 4-row length relation
+    fans out via broadcast nested loop (bounded multiplier), one
+    bounded-key aggregate — no SMJ, no window."""
+    plan = _plan(spark, "pipe11_context_fit")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+def test_ss09_sims_materialized_once(spark):
+    """Recall eval: the report tail reads the checkpointed sims relation —
+    zero parquet scans, zero similarity folds, no SortMergeJoin (report
+    relations are 10-row, hinted broadcast)."""
+    plan = _plan(spark, "ss09_lsh_recall")
+    assert "Scan parquet" not in plan, plan
+    assert "zip_with" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    from db_converter_spark.operators.similarity import _SS09_SIMS_SPARK
+
+    sims_plan = (
+        spark.sql(_SS09_SIMS_SPARK)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sims_plan.count("zip_with") == 1, sims_plan
+
+
+def test_dd15_same_accepted_shape_as_dd10(spark):
+    """Containment shares dd10's staged shape: broadcast-hinted tail with
+    at most the ONE big-big shingle SortMergeJoin; tail reads checkpoints
+    (zero parquet scans)."""
+    plan = _plan(spark, "dd15_containment")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan

@@ -1185,3 +1185,116 @@ def mg05_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-and-compare migration checks (tests/test_packets.py:500-544)."""
     register_views(spark, sf_dir)
     return spark.sql(_MG05_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# mg06 — CDC apply (last-writer-wins SCD1 snapshot from a change feed)
+# ---------------------------------------------------------------------------
+# The MERGE/upsert half of the migration family: mg02 diffs two snapshots
+# and mg03 builds the SCD2 history; mg06 APPLIES a change feed to produce
+# the current-state (SCD1) table — the lakehouse spelling of the
+# reference's routed DML (its v1->v2 trigger-style replication keeps a
+# target table in sync row-by-row; a Spark lake replays the feed with
+# last-writer-wins instead). Feed = events interpreted as CDC records:
+# signup -> INSERT, error -> DELETE, everything else -> UPDATE.
+#
+# Scale shape: ONE scan, ONE shuffle on the uniform user_id entity key;
+# the per-key change counters are window aggregates over the SAME
+# partitioning as the LWW row_number (no second aggregate pass, no
+# self-join), then a filter to rn = 1. Output is |entities| rows.
+# Deletes remain as tombstone rows (alive = 0) so the consumer can
+# anti-join them away — dropping them here would hide delete laundering.
+
+_MG06 = """
+WITH feed AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'signup' THEN 'I'
+         WHEN event_type = 'error'  THEN 'D'
+         ELSE 'U' END AS op,
+    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), ranked AS (
+  SELECT user_id, ts, op, value_cents,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*)  OVER (PARTITION BY user_id) AS n_changes,
+    SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_inserts,
+    SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_updates,
+    SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS n_deletes
+  FROM feed
+)
+SELECT CAST(user_id AS BIGINT)   AS user_id,
+  CAST(n_changes AS BIGINT)      AS n_changes,
+  CAST(n_inserts AS BIGINT)      AS n_inserts,
+  CAST(n_updates AS BIGINT)      AS n_updates,
+  CAST(n_deletes AS BIGINT)      AS n_deletes,
+  op                             AS last_op,
+  CAST({epoch_us} AS BIGINT)     AS last_ts_us,
+  CAST(CASE WHEN op = 'D' THEN 0 ELSE 1 END AS BIGINT) AS alive,
+  CASE WHEN op = 'D' THEN NULL ELSE value_cents END    AS value_cents
+FROM ranked
+WHERE rn = 1
+"""
+
+# ts reads as TIMESTAMP_NTZ (us-unit parquet); the session tz is pinned
+# UTC so the NTZ->TIMESTAMP cast is the identity wall-clock mapping and
+# unix_micros matches DuckDB's epoch_us on the naive value
+_MG06_SPARK = _MG06.format(epoch_us="unix_micros(CAST(ts AS TIMESTAMP))")
+_MG06_DUCK = _MG06.format(epoch_us="epoch_us(ts)")
+
+
+@query("mg06_cdc_apply", oracle=_MG06_DUCK, tags=("migration", "cdc", "merge"))
+def mg06_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: replay a change feed (events as INSERT/UPDATE/DELETE
+    records) into the last-writer-wins current-state table, with per-key
+    change counters and delete tombstones — the SCD1 complement to mg03's
+    SCD2 history and the lakehouse spelling of the reference's routed DML
+    replication. ONE scan, ONE entity-key shuffle: the LWW row_number and
+    every counter are windows over the same user_id partitioning."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MG06_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev14 — event-type transition matrix (first-order Markov user journeys)
+# ---------------------------------------------------------------------------
+# The per-user journey statistic ev12's fixed funnel doesn't capture: for
+# every ordered (from, to) event-type pair, how often does a user's next
+# event follow, and with what probability — the first-order Markov
+# transition matrix product analytics builds for journey mining and that
+# a training pipeline uses to synthesize realistic session traces.
+#
+# Scale shape: ONE scan; successor extraction is a LEAD window on the
+# uniform (user_id) entity key — never a global order; the pair count is
+# a map-side-combined aggregate on a BOUNDED key space (|types|^2 = 25
+# rows) and row-normalization is a window over that bounded relation —
+# a totals CTE + self-join would re-derive the whole scan chain (Spark
+# inlines CTEs: 2 scans measured) where the window costs one 25-row
+# exchange. Dialect-neutral: the same SQL text runs on both engines.
+
+_EV14 = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+  CAST(n AS BIGINT) AS n_transitions,
+  CAST(ROUND(1000.0 * n / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT)
+                    AS p_x1000
+FROM counts
+"""
+
+
+@query("ev14_transition_matrix", oracle=_EV14, tags=("events", "markov", "journey"))
+def ev14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    (from, to) successor counts via an entity-keyed LEAD window plus
+    row-normalized probabilities — the journey statistic ev12's fixed
+    funnel can't express. One scan, one entity-key shuffle; the
+    normalization window runs on the bounded |types|^2 aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV14)

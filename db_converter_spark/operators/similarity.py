@@ -854,3 +854,109 @@ def ss09_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ss09_sims"
     )
     return spark.sql(_SS09_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ss10 — IVF index balance / quantization-quality report
+# ---------------------------------------------------------------------------
+# The index-health table an IVF deployment reads before shipping: per
+# cell, its size relative to the ideal uniform load (list skew is THE
+# IVF failure mode at scale — one hot cell serializes every probe that
+# hits it), the mean similarity of members to their own centroid
+# (quantization tightness), and the mean margin between best and
+# second-best centroid (assignment confidence — low margin means cell
+# boundaries cut through dense regions and nprobe must grow). ss03
+# assigns; ss09 measures recall; ss10 is the capacity-planning view.
+#
+# Scale shape: identical to ss03 — the <=64-row centroid codebook
+# broadcasts, the one corpus pass computes every (vector, centroid)
+# similarity, the top-2 window keys on the uniform vec_id; per-row
+# x1000 integerization BEFORE aggregation keeps every mean an exact
+# integer-sum division (no float-accumulation order risk cross-engine).
+# The uniform-load denominators (n_vecs = SUM(cell_size), n_cells =
+# occupied-cell count) come from OVER () windows on the |cells|-row
+# aggregate — scalar-subquery denominators measured 2 extra corpus
+# scans + 2 BroadcastNestedLoopJoins. Empty cells emit no row (the
+# report covers occupied cells; a production variant left-joins the
+# codebook to surface empties).
+
+_SS10 = """
+WITH vecs AS (
+  SELECT vec_id, embedding, {idx_col}
+    sqrt({sq_norm}) AS nrm
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cid, embedding AS cv, {cidx_col} nrm AS cnrm
+  FROM vecs WHERE vec_id % 16 = 0 AND vec_id < 1024
+), sims AS (
+  SELECT {h_cent}v.vec_id, c.cid,
+    CAST(ROUND(1000 * ROUND({dot} / (v.nrm * c.cnrm), 6)) AS BIGINT) AS simx
+  FROM vecs v CROSS JOIN centroids c
+), ranked AS (
+  SELECT vec_id, cid, simx,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY simx DESC, cid) AS rn
+  FROM sims
+), best AS (
+  SELECT vec_id,
+    MAX(CASE WHEN rn = 1 THEN cid END)  AS cid,
+    MAX(CASE WHEN rn = 1 THEN simx END) AS sim1x,
+    MAX(CASE WHEN rn = 2 THEN simx END) AS sim2x
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+), agg AS (
+  SELECT cid, COUNT(*) AS cell_size,
+    SUM(sim1x)         AS s_own,
+    SUM(sim1x - sim2x) AS s_margin
+  FROM best GROUP BY cid
+)
+SELECT cid,
+  CAST(cell_size AS BIGINT) AS cell_size,
+  CAST(ROUND(1000.0 * cell_size * COUNT(*) OVER () / SUM(cell_size) OVER ())
+       AS BIGINT)           AS load_vs_uniform_x1000,
+  CAST(ROUND(1.0 * s_own / cell_size) AS BIGINT)    AS mean_own_sim_x1000,
+  CAST(ROUND(1.0 * s_margin / cell_size) AS BIGINT) AS mean_margin_x1000
+FROM agg
+"""
+
+_SS10_DOT_SPARK = (
+    "aggregate(zip_with(v.embedding, c.cv,"
+    " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+    " (acc, x) -> acc + x)"
+)
+_SS10_SQNORM_SPARK = (
+    "aggregate(embedding, 0.0D,"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+)
+_SS10_DOT_DUCK = (
+    "list_sum(list_transform(v.idx,"
+    " i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))"
+)
+_SS10_SQNORM_DUCK = (
+    "list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_SS10_SPARK = _SS10.format(
+    idx_col="",
+    cidx_col="",
+    sq_norm=_SS10_SQNORM_SPARK,
+    dot=_SS10_DOT_SPARK,
+    h_cent="/*+ BROADCAST(c) */ ",
+)
+_SS10_DUCK = _SS10.format(
+    idx_col="[CAST(g AS INT) for g in generate_series(1, len(embedding))] AS idx,",
+    cidx_col="",
+    sq_norm=_SS10_SQNORM_DUCK,
+    dot=_SS10_DOT_DUCK,
+    h_cent="",
+)
+
+
+@query("ss10_ivf_balance", oracle=_SS10_DUCK, tags=("similarity", "ivf", "eval", "balance"))
+def ss10_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance / quantization-quality report over ss03's
+    codebook: per cell, size vs ideal uniform load (list-skew alarm),
+    mean member-to-centroid similarity (quantization tightness) and mean
+    best-vs-second-best margin (assignment confidence). One broadcast
+    corpus pass + a vec_id-keyed top-2 window; per-row integerization
+    before every mean keeps the compare exact; output is |cells| rows."""
+    return _sql(spark, sf_dir, _SS10_SPARK)

@@ -179,6 +179,14 @@ _CHECK_TAIL = (
     "dc01_decontaminate",
     "dd11_dedup_keep_best",
     "ta08_vocab_topk",
+    # --- parked r5 (seventh tranche) to fund head slots for mg06_cdc_apply,
+    # ev14_transition_matrix and ss10_ivf_balance: green in
+    # CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
+    # freshness guard; streaming stays fully in the head (rows-only checks
+    # are the weaker gate, so they re-run every round) ---
+    "pipe02_sequence_pack",
+    "pipe04_shard_assign",
+    "mm05_phash_neardup",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

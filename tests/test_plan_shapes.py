@@ -500,3 +500,37 @@ def test_dd15_same_accepted_shape_as_dd10(spark):
     assert "Scan parquet" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_mg06_single_scan_single_shuffle(spark):
+    """CDC apply: the LWW row_number and every per-key counter are windows
+    over the SAME user_id partitioning — one scan, one hash exchange, no
+    join, no extra aggregate pass, no global sort."""
+    plan = _plan(spark, "mg06_cdc_apply")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ev14_one_scan_window_normalized(spark):
+    """Transition matrix: ONE scan (a totals CTE + self-join would
+    re-derive the whole chain — Spark inlines CTEs); normalization is a
+    window over the bounded pair aggregate, no join anywhere."""
+    plan = _plan(spark, "ev14_transition_matrix")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ss10_broadcast_corpus_pass(spark):
+    """IVF balance: the codebook side broadcasts (hinted nested-loop cross
+    join — the ss03 shape); the corpus is scanned once plus the
+    pushed-down centroid-subset scan; no SortMergeJoin; denominators are
+    windows, not scalar-subquery scans (that variant measured 4 scans)."""
+    plan = _plan(spark, "ss10_ivf_balance")
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # centroid-subset filter reaches its scan
+    assert "vec_id" in plan.split("Scan parquet")[2][:400], plan

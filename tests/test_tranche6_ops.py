@@ -165,3 +165,87 @@ def test_ss09_report_internal_consistency(spark):
         assert r["n_truth"] == 10, r
         assert 0 <= r["n_hits"] <= min(r["n_truth"], max(r["n_bucket_cands"], 0), 10), r
         assert r["recall_x1000"] == round(1000.0 * r["n_hits"] / r["n_truth"]), r
+
+
+def test_mg06_lww_tombstones_and_tiebreak(spark):
+    """Known change feed: delete wins as a tombstone (alive=0, value
+    NULL), updates apply last-writer-wins, and an exact-ts tie breaks on
+    event_id (the feed's total order)."""
+    from db_converter_spark.operators.events import _MG06_SPARK
+
+    spark.sql(
+        """
+        SELECT CAST(e AS BIGINT) AS event_id,
+          timestamp(from_unixtime(1700000000 + s)) AS ts,
+          CAST(u AS BIGINT) AS user_id, t AS event_type,
+          CAST(v AS DOUBLE) AS value, '' AS props
+        FROM VALUES
+          (1, 0, 1, 'signup', 10.0), (2, 60, 1, 'click', 20.0),
+          (3, 120, 1, 'error', 30.0),
+          (4, 0, 2, 'signup', 5.0), (5, 60, 2, 'purchase', 7.5),
+          (6, 0, 3, 'signup', 1.0), (7, 0, 3, 'view', 2.0)
+          AS t(e, s, u, t, v)
+        """
+    ).createOrReplaceTempView("events")
+    rows = {r["user_id"]: r for r in spark.sql(_MG06_SPARK).collect()}
+    assert len(rows) == 3
+    r1 = rows[1]
+    assert (r1["n_changes"], r1["n_inserts"], r1["n_updates"], r1["n_deletes"]) == (3, 1, 1, 1)
+    assert (r1["last_op"], r1["alive"], r1["value_cents"]) == ("D", 0, None)
+    assert r1["last_ts_us"] == (1700000000 + 120) * 1_000_000
+    r2 = rows[2]
+    assert (r2["last_op"], r2["alive"], r2["value_cents"]) == ("U", 1, 750)
+    # same-ts tie: higher event_id (7, view) is the last writer
+    r3 = rows[3]
+    assert (r3["last_op"], r3["value_cents"]) == ("U", 200)
+
+
+def test_ev14_known_journeys(spark):
+    """Two hand-built journeys: counts and row-normalized probabilities
+    are exact; transitions never cross users."""
+    from db_converter_spark.operators.events import _EV14
+
+    spark.sql(
+        """
+        SELECT CAST(e AS BIGINT) AS event_id,
+          timestamp(from_unixtime(1700000000 + s)) AS ts,
+          CAST(u AS BIGINT) AS user_id, t AS event_type,
+          1.0 AS value, '' AS props
+        FROM VALUES
+          (1, 0, 1, 'view'), (2, 1, 1, 'click'), (3, 2, 1, 'view'), (4, 3, 1, 'click'),
+          (5, 0, 2, 'click'), (6, 1, 2, 'purchase')
+          AS t(e, s, u, t)
+        """
+    ).createOrReplaceTempView("events")
+    got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["p_x1000"])
+           for r in spark.sql(_EV14).collect()}
+    # user 2's click->purchase joins user 1's click->view in the click row
+    assert got == {
+        ("view", "click"): (2, 1000),
+        ("click", "view"): (1, 500),
+        ("click", "purchase"): (1, 500),
+    }
+
+
+def test_ss10_known_geometry(spark):
+    """Hand-built 2-D codebook (cells 0 and 16): exact sims (1.0 members,
+    one 45-degree tie broken to the lower cid), exact load ratios and
+    integer means."""
+    from db_converter_spark.operators.similarity import _SS10_SPARK
+
+    vecs = [
+        (0, [1.0, 0.0]),   # centroid of cell 0
+        (16, [0.0, 1.0]),  # centroid of cell 16
+        (1, [2.0, 0.0]),   # sim 1.0 to cell 0
+        (2, [0.0, 3.0]),   # sim 1.0 to cell 16
+        (3, [1.0, 1.0]),   # 45 degrees: sim .707107 to both -> tie -> cid 0
+    ]
+    spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>").createOrReplaceTempView(
+        "embeddings"
+    )
+    got = {r["cid"]: tuple(r)[1:] for r in spark.sql(_SS10_SPARK).collect()}
+    # cell 0: sizes 3 of 5 vectors, 2 cells -> load 1200; mean own sim
+    # round((1000+1000+707)/3)=902; margin round((1000+1000+0)/3)=667
+    assert got[0] == (3, 1200, 902, 667)
+    # cell 16: 2 of 5 -> load 800; perfect sims, full margin
+    assert got[16] == (2, 800, 1000, 1000)

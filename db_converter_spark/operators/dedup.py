@@ -1688,3 +1688,85 @@ def dd15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized by the smaller set."""
     _dd10_prepare(spark, sf_dir)
     return spark.sql(_DD15_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dc04 — benchmark-side contamination report (which EVAL items are burned)
+# ---------------------------------------------------------------------------
+# dc01/dc03 flag TRAINING docs for removal; the eval team needs the other
+# direction: for each BENCHMARK item, how much of it appears in the
+# training corpus and from how many distinct training documents — the
+# per-item contamination table published in model-card appendices (GPT-3
+# App. C reports exactly this: % of each benchmark's items clean vs
+# dirty). Items the filter missed stay in the report with zeros, so the
+# table is the complete benchmark census, not just the dirty rows.
+#
+# Scale shape: attribution-flipped dc01 — the benchmark gram set (with
+# item ids) is the SMALL side and broadcasts; the corpus-scale training
+# explode streams through the join un-shuffled; the only shuffles are
+# the post-join per-item aggregate (hit rows only) and the bounded
+# bench-census aggregate. Both COUNT(DISTINCT)s key on the bench item.
+
+_DC04_GRAMS = """
+  SELECT doc_id, {explode} AS h
+  FROM (SELECT doc_id, {split}(text, ' ') AS w FROM documents
+        WHERE doc_id % 97 {op} 0) d
+  WHERE {size}(w) >= 5
+"""
+
+
+def _dc04(explode_b: str, explode_g: str, split: str, size: str,
+          h_bench: str, h_final: str = "") -> str:
+    bench = _DC04_GRAMS.format(explode=explode_b, split=split, size=size, op="=")
+    train = _DC04_GRAMS.format(explode=explode_g, split=split, size=size, op="<>")
+    return f"""
+WITH bq AS (
+  SELECT DISTINCT doc_id, h FROM ({bench}) b0
+), g AS (
+{train}
+), hits AS (
+  SELECT {h_bench}b.doc_id AS bench_id, b.h AS h, g.doc_id AS train_id
+  FROM g JOIN bq b ON g.h = b.h
+), per AS (
+  SELECT bench_id, COUNT(DISTINCT h) AS n_hit,
+         COUNT(DISTINCT train_id)    AS n_train_docs
+  FROM hits GROUP BY bench_id
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM bq GROUP BY doc_id
+)
+SELECT {h_final}sz.doc_id                         AS bench_id,
+  CAST(sz.n_grams AS BIGINT)                      AS n_grams,
+  CAST(COALESCE(p.n_hit, 0) AS BIGINT)            AS n_grams_hit,
+  CAST(ROUND(1000.0 * COALESCE(p.n_hit, 0) / sz.n_grams) AS BIGINT)
+                                                  AS hit_frac_x1000,
+  CAST(COALESCE(p.n_train_docs, 0) AS BIGINT)     AS n_train_docs
+FROM sz LEFT JOIN per p ON p.bench_id = sz.doc_id
+"""
+
+
+_DC04_EXPL_SPARK = (
+    "explode(transform(sequence(0, size(w) - 5),"
+    " i -> md5(array_join(slice(w, i + 1, 5), ' '))))"
+)
+_DC04_EXPL_DUCK = (
+    "unnest(list_transform(range(0, len(w) - 4),"
+    " i -> md5(array_to_string(w[i + 1 : i + 5], ' '))))"
+)
+
+_DC04_SPARK = _dc04(
+    _DC04_EXPL_SPARK, _DC04_EXPL_SPARK, "split", "size", "/*+ BROADCAST(bq) */ ",
+    h_final="/*+ BROADCAST(p) */ ",
+)
+_DC04_DUCK = _dc04(_DC04_EXPL_DUCK, _DC04_EXPL_DUCK, "string_split", "len", "")
+
+
+@query("dc04_benchmark_burn", oracle=_DC04_DUCK, tags=("decontamination", "eval", "report"))
+def dc04_benchmark_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-side contamination census: per benchmark item (the
+    doc_id % 97 slice), the fraction of its distinct 5-grams present in
+    the training corpus and the number of distinct training docs carrying
+    them — the per-item dirty/clean table eval teams publish, complete
+    with zero rows for clean items. Attribution-flipped dc01: the bench
+    gram set broadcasts with item ids, the corpus explode streams through
+    the join un-shuffled; aggregates key on the bench item."""
+    return _sql(spark, sf_dir, _DC04_SPARK)

@@ -831,3 +831,71 @@ def pipe11_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at. ONE documents scan (no explode), a bounded 4-row length fan-out,
     one bounded-key aggregate."""
     return _sql(spark, sf_dir, _PIPE11_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe12 — data-constrained epoch plan (repeat budgeting per source)
+# ---------------------------------------------------------------------------
+# The data-constrained scaling table (Muennighoff et al. 2023): given a
+# token budget of 4x the corpus and the pipe03 mixture weights, how many
+# epochs of each source does its target share require, how many target
+# tokens are actually achievable under the ~4-epoch usefulness ceiling
+# the paper measures (value of repeated data decays to ~0 past ~4
+# epochs), and what shortfall remains — the table that says which
+# sources need MORE DATA rather than more repeats.
+#
+# All arithmetic is 64-bit integer (targets via integer DIV, ceil as
+# (n + d - 1) DIV d); the only ratio is the final x1000 shortfall.
+#
+# Scale shape: ONE documents scan -> per-source token aggregate
+# (bounded keys, map-side combined); the weight table is an inline
+# VALUES broadcast; totals are OVER () windows on the |sources|-row
+# relation — nothing after the first aggregate touches corpus-scale
+# data.
+
+_PIPE12 = """
+WITH src AS (
+  SELECT source, SUM(ntok) AS toks
+  FROM (SELECT source, {ntok} AS ntok FROM documents) d
+  GROUP BY source
+), planned AS (
+  SELECT s.source, s.toks, w.keep_x1000 AS w_x1000,
+    SUM(s.toks) OVER ()       AS total_toks,
+    SUM(w.keep_x1000) OVER () AS sum_w
+  FROM src s JOIN {values_table} ON s.source = w.wsource
+), t AS (
+  SELECT source, toks,
+    (4 * total_toks * w_x1000) {idiv} sum_w AS tgt
+  FROM planned
+)
+SELECT source,
+  CAST(toks AS BIGINT)                          AS n_tokens,
+  CAST(tgt AS BIGINT)                           AS target_tokens,
+  CAST((tgt + toks - 1) {idiv} toks AS BIGINT)  AS epochs_needed,
+  CAST(LEAST(tgt, 4 * toks) AS BIGINT)          AS effective_tokens,
+  CAST(ROUND(1000.0 * (tgt - LEAST(tgt, 4 * toks)) / tgt) AS BIGINT)
+                                                AS shortfall_x1000
+FROM t
+"""
+
+_PIPE12_SPARK = _PIPE12.format(
+    ntok="size(filter(split(text, ' '), x -> x <> ''))",
+    values_table=f"(VALUES {_weight_values()}) AS w(wsource, keep_x1000)",
+    idiv="DIV",
+)
+_PIPE12_DUCK = _PIPE12.format(
+    ntok="len(list_filter(string_split(text, ' '), x -> x <> ''))",
+    values_table=f"(VALUES {_weight_values()}) w(wsource, keep_x1000)",
+    idiv="//",
+)
+
+
+@query("pipe12_epoch_plan", oracle=_PIPE12_DUCK, tags=("pipeline", "mixing", "report"))
+def pipe12_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan: per source, the tokens its mixture
+    share of a 4x-corpus budget demands, the epochs that requires, the
+    achievable tokens under the ~4-epoch usefulness ceiling (Muennighoff
+    et al. 2023) and the remaining shortfall — the repeat-vs-acquire
+    table for mixture planning. ONE scan, one bounded-key aggregate;
+    everything downstream is |sources|-row metadata."""
+    return _sql(spark, sf_dir, _PIPE12_SPARK)

@@ -187,6 +187,14 @@ _CHECK_TAIL = (
     "pipe02_sequence_pack",
     "pipe04_shard_assign",
     "mm05_phash_neardup",
+    # --- parked r5 (eighth tranche) to fund head slots for
+    # dc04_benchmark_burn and pipe12_epoch_plan: green in
+    # CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
+    # freshness guard (q36 stays locally oracle-verified every run by
+    # test_oracle_parity; ev09 is the simplest streaming entry and stays
+    # engine-tested by tests/test_streaming.py) ---
+    "q36_recursive_cte",
+    "ev09_stream_static_join",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

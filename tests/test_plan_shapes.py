@@ -534,3 +534,26 @@ def test_ss10_broadcast_corpus_pass(spark):
     assert "SortMergeJoin" not in plan, plan
     # centroid-subset filter reaches its scan
     assert "vec_id" in plan.split("Scan parquet")[2][:400], plan
+
+
+def test_dc04_train_side_streams_unshuffled(spark):
+    """Benchmark-burn census: the bench gram set (with item ids)
+    broadcasts into the training explode — the corpus side must reach the
+    join with NO exchange below it; the report joins broadcast too (no
+    SortMergeJoin anywhere)."""
+    plan = _plan(spark, "dc04_benchmark_burn")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    # both legs push their bench-slice filter into the scan
+    assert plan.count("% 97)") >= 2, plan
+
+
+def test_pipe12_single_scan_bounded_tail(spark):
+    """Epoch plan: ONE corpus scan into the bounded per-source aggregate;
+    the weight VALUES join broadcasts; totals are windows on the
+    |sources|-row relation — no SMJ, no range partitioning."""
+    plan = _plan(spark, "pipe12_epoch_plan")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -249,3 +249,52 @@ def test_ss10_known_geometry(spark):
     assert got[0] == (3, 1200, 902, 667)
     # cell 16: 2 of 5 -> load 800; perfect sims, full margin
     assert got[16] == (2, 800, 1000, 1000)
+
+
+def test_dc04_injected_contamination(spark):
+    """Synthetic corpus where bench item 0 shares 5-grams with two
+    training docs and item 97 shares none: hit counts, distinct-source
+    counts and the zero row are all exact."""
+    from db_converter_spark.operators.dedup import _DC04_SPARK
+
+    bench0 = " ".join(f"b{i}" for i in range(10))       # 6 distinct 5-grams
+    bench97 = " ".join(f"x{i}" for i in range(10))      # clean
+    # train 1 contains bench0's first 5 words (1 shared gram), train 2
+    # contains words 0..6 (3 shared grams); train 3 unrelated
+    t1 = " ".join(f"b{i}" for i in range(5)) + " " + " ".join(f"u{i}" for i in range(5))
+    t2 = " ".join(f"b{i}" for i in range(7)) + " " + " ".join(f"v{i}" for i in range(5))
+    t3 = " ".join(f"w{i}" for i in range(10))
+    rows = [(0, bench0), (97, bench97), (1, t1), (2, t2), (3, t3)]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).createOrReplaceTempView("documents")
+    got = {r["bench_id"]: tuple(r)[1:] for r in spark.sql(_DC04_SPARK).collect()}
+    assert set(got) == {0, 97}
+    # item 0: 6 grams, hits = grams 'b0..b4' (from t1,t2), 'b1..b5','b2..b6'
+    # (t2 only) -> 3 distinct grams hit, 2 distinct training docs
+    assert got[0] == (6, 3, 500, 2)
+    assert got[97] == (6, 0, 0, 0)
+
+
+def test_pipe12_known_budget_arithmetic(spark):
+    """Two sources with hand-set token counts and known weights: targets,
+    ceil-division epochs, the 4-epoch ceiling and the shortfall are all
+    exact integers."""
+    from db_converter_spark.operators.pipeline import _MIX_WEIGHTS, _PIPE12_SPARK
+
+    # src0 weight 100, src1 weight 197 (the generator's i*97 pattern)
+    assert _MIX_WEIGHTS["src0"] == 100 and _MIX_WEIGHTS["src1"] == 197
+    docs = [(1, " ".join(["a"] * 10), "src0"), (2, " ".join(["b"] * 90), "src1")]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: tuple(r)[1:] for r in spark.sql(_PIPE12_SPARK).collect()}
+    # budget = 4*100 = 400; sum_w = 297
+    # src0: target = 400*100 DIV 297 = 134; epochs ceil(134/10)=14;
+    #   effective = min(134, 40) = 40; shortfall = round(1000*94/134) = 701
+    assert got["src0"] == (10, 134, 14, 40, 701)
+    # src1: target = 400*197 DIV 297 = 265; epochs ceil(265/90)=3;
+    #   effective = min(265, 360) = 265; shortfall 0
+    assert got["src1"] == (90, 265, 3, 265, 0)

@@ -1298,3 +1298,55 @@ def ev14_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization window runs on the bounded |types|^2 aggregate."""
     register_views(spark, sf_dir)
     return spark.sql(_EV14)
+
+
+# ---------------------------------------------------------------------------
+# ev15 — weekly load profile (day-of-week x hour heatmap)
+# ---------------------------------------------------------------------------
+# The capacity-planning table behind the reference's scheduling knobs
+# (its packets run under statement_timeout/lock windows the operator
+# picks by knowing when load peaks): event volume, active users and
+# per-user intensity for each of the 168 week cells, plus each cell's
+# share of its day. Also the batch twin of ev03's streaming window — a
+# full-history profile rather than a sliding aggregate.
+#
+# Scale shape: ONE scan → map-side-combined aggregate onto the BOUNDED
+# 168-key space; COUNT(DISTINCT user_id) expands inside the same
+# shuffle; the day-share normalization is a window over the 168-row
+# relation. Nothing after the first aggregate is corpus-scale.
+#
+# dow spelling: Spark dayofweek() is 1..7 Sunday-first; DuckDB's is
+# 0..6 Sunday-first — the Spark side subtracts 1 so both emit 0..6.
+
+_EV15 = """
+WITH cells AS (
+  SELECT {dow} AS dow, {hour} AS hr,
+    COUNT(*)                AS n_events,
+    COUNT(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY {dow}, {hour}
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+  CAST(n_events AS BIGINT) AS n_events,
+  CAST(n_users AS BIGINT)  AS n_users,
+  CAST(ROUND(1000.0 * n_events / n_users) AS BIGINT)
+                           AS events_per_user_x1000,
+  CAST(ROUND(1000.0 * n_events / SUM(n_events) OVER (PARTITION BY dow))
+       AS BIGINT)          AS day_share_x1000
+FROM cells
+"""
+
+_EV15_SPARK = _EV15.format(dow="dayofweek(ts) - 1", hour="hour(ts)")
+_EV15_DUCK = _EV15.format(dow="dayofweek(ts)", hour="hour(ts)")
+
+
+@query("ev15_load_profile", oracle=_EV15_DUCK, tags=("events", "capacity", "heatmap"))
+def ev15_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly load-profile heatmap: events, active users, per-user
+    intensity and within-day share for each (day-of-week, hour) cell —
+    the capacity table that picks maintenance/migration windows (the
+    reference schedules its packets around exactly this knowledge). ONE
+    scan onto a bounded 168-key aggregate; the share normalization is a
+    window over the 168-row relation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV15_SPARK)

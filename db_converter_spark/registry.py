@@ -195,6 +195,10 @@ _CHECK_TAIL = (
     # engine-tested by tests/test_streaming.py) ---
     "q36_recursive_cte",
     "ev09_stream_static_join",
+    # --- parked r5 (ninth tranche) to fund ev15_load_profile's head slot:
+    # green in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified;
+    # ev03 stays engine-tested every run by tests/test_streaming.py ---
+    "ev03_streaming_window",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -557,3 +557,13 @@ def test_pipe12_single_scan_bounded_tail(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_ev15_bounded_aggregate_no_join(spark):
+    """Load profile: ONE scan onto the bounded 168-key aggregate; the
+    day-share normalization is a window over the 168-row relation — no
+    join, no global sort."""
+    plan = _plan(spark, "ev15_load_profile")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -298,3 +298,30 @@ def test_pipe12_known_budget_arithmetic(spark):
     # src1: target = 400*197 DIV 297 = 265; epochs ceil(265/90)=3;
     #   effective = min(265, 360) = 265; shortfall 0
     assert got["src1"] == (90, 265, 3, 265, 0)
+
+
+def test_ev15_known_heatmap_cells(spark):
+    """Hand-built week: dow mapping is 0=Sunday on BOTH engines (Spark
+    dayofweek()-1), counts/distinct-users/shares are exact.
+    2024-01-07 is a Sunday."""
+    from db_converter_spark.operators.events import _EV15_SPARK
+
+    spark.sql(
+        """
+        SELECT CAST(e AS BIGINT) AS event_id, timestamp(t) AS ts,
+          CAST(u AS BIGINT) AS user_id, 'c' AS event_type, 1.0 AS value,
+          '' AS props
+        FROM VALUES
+          (1, '2024-01-07 09:10:00', 1), (2, '2024-01-07 09:20:00', 1),
+          (3, '2024-01-07 09:30:00', 2), (4, '2024-01-07 18:00:00', 1),
+          (5, '2024-01-08 09:00:00', 3)
+          AS t(e, t, u)
+        """
+    ).createOrReplaceTempView("events")
+    got = {(r["dow"], r["hr"]): tuple(r)[2:] for r in spark.sql(_EV15_SPARK).collect()}
+    # Sunday 09h: 3 events, 2 users, 1500 per-user, 750 of Sunday's 4
+    assert got[(0, 9)] == (3, 2, 1500, 750)
+    assert got[(0, 18)] == (1, 1, 1000, 250)
+    # Monday 09h: the whole day
+    assert got[(1, 9)] == (1, 1, 1000, 1000)
+    assert len(got) == 3

@@ -91,6 +91,7 @@ def main() -> int:
         "dc03_bloom_decontaminate",
         "dd15_containment",
         "ss09_lsh_recall",
+        "ss11_pq_train",
     }
     since_gc = 0
     for name in sorted(queries):

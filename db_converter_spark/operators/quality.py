@@ -429,3 +429,140 @@ def dq05_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     release gate a lake without enforced constraints runs instead of
     the reference's server-side constraint checks."""
     return _sql(spark, sf_dir, _DQ05)
+
+
+# ---------------------------------------------------------------------------
+# dq06 — value-distribution drift gate (total-variation, integer-exact)
+# ---------------------------------------------------------------------------
+# The third leg of the quality suite: dq01 checks constraints, dq02 flags
+# rate anomalies, dq06 flags when the SHAPE of a metric's distribution
+# moves — the training-data freshness gate (dataset v2 vs v1) and the
+# production canary (this week's events vs last week's). The corpus is
+# split at its time midpoint into reference/current halves; each type's
+# `value` distribution is binned into 10 fixed-width bins whose edges
+# come from the REFERENCE half (the PSI convention), and the halves are
+# compared by total-variation distance.
+#
+# Exactness discipline: values quantize to integer cents (the dq03
+# canonicalization); bin edges are integer; the bin index is integer
+# division AFTER clamping into the reference range, so the numerator is
+# never negative (Spark `div` truncates toward zero, DuckDB `//` floors
+# — they only agree on non-negative operands). TV's numerator
+# |n_cur·N_ref − n_ref·N_cur| stays in DECIMAL(38,0) (the dq02 lesson:
+# squared/bilinear counts overflow BIGINT at 1e9-row days); ONE float
+# division at the very end produces the ×1e6 verdict.
+#
+# Scale shape: three scans of events, each pruned to 2-3 columns — a
+# one-row time-span aggregate, a |types|-row reference-edge aggregate,
+# and the main pass onto the BOUNDED (type, half, bin) key space (all
+# map-side combined). The tiny relations are localCheckpointed once
+# (Spark inlines CTEs — the span would otherwise be recomputed per
+# reference) and re-enter as broadcasts. The TV fold runs on the
+# |types|×10 matrix — metadata-scale at any corpus.
+#
+# Contract: drift is measured for types observed in the reference half
+# (bin edges need a reference distribution); brand-new types are dq02's
+# job. A type that vanishes from the current half scores 1e6 (fully
+# drifted).
+
+_DQ06_VQ = "CAST(ROUND(value * 100) AS BIGINT)"
+
+_DQ06_SPAN = """
+SELECT MIN({us}) AS mn_us, MAX({us}) AS mx_us
+FROM events WHERE value IS NOT NULL
+"""
+
+_DQ06_REF = """
+SELECT event_type, MIN({vq}) AS mn_vq, MAX({vq}) AS mx_vq
+FROM events CROSS JOIN {span} s
+WHERE value IS NOT NULL AND {us} * 2 < s.mn_us + s.mx_us
+GROUP BY event_type
+"""
+
+_DQ06_MAIN = """
+WITH binned AS (
+  SELECT {h_ref}e.event_type,
+    CASE WHEN {us} * 2 < s.mn_us + s.mx_us THEN 0 ELSE 1 END AS half,
+    ((LEAST(r.mx_vq, GREATEST(r.mn_vq, {vq})) - r.mn_vq) * 10)
+      {intdiv} (r.mx_vq - r.mn_vq + 1) AS bin,
+    COUNT(*) AS n
+  FROM events e
+  JOIN {ref} r ON r.event_type = e.event_type
+  CROSS JOIN {span} s
+  WHERE e.value IS NOT NULL
+  GROUP BY 1, 2, 3
+), pv AS (
+  SELECT event_type, bin,
+    SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS n_cur
+  FROM binned GROUP BY event_type, bin
+), w AS (
+  SELECT event_type, n_ref, n_cur,
+    SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+    SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur
+  FROM pv
+), tv AS (
+  SELECT event_type,
+    CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+    CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+    CAST(CASE WHEN MAX(t_cur) = 0 THEN 1000000 ELSE ROUND(
+      1000000.0 * CAST(SUM(ABS(
+        CAST(n_cur AS DECIMAL(38,0)) * CAST(t_ref AS DECIMAL(38,0))
+        - CAST(n_ref AS DECIMAL(38,0)) * CAST(t_cur AS DECIMAL(38,0))
+      )) AS DOUBLE)
+      / (2.0 * CAST(MAX(t_ref) AS DOUBLE) * CAST(MAX(t_cur) AS DOUBLE))
+    ) END AS BIGINT) AS tv_x1e6
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_ref, n_cur, tv_x1e6, (tv_x1e6 > 100000) AS drifted
+FROM tv
+"""
+
+
+def _dq06(us: str, intdiv: str, span: str, ref: str, h_ref: str) -> str:
+    return _DQ06_MAIN.format(
+        us=us, vq=_DQ06_VQ, intdiv=intdiv, span=span, ref=ref, h_ref=h_ref
+    )
+
+
+_DQ06_US_SPARK = "unix_micros(CAST(e.ts AS TIMESTAMP))"
+_DQ06_US_DUCK = "epoch_us(e.ts)"
+
+_DQ06_SPAN_SPARK = _DQ06_SPAN.format(us="unix_micros(CAST(ts AS TIMESTAMP))")
+_DQ06_REF_SPARK = _DQ06_REF.format(
+    vq=_DQ06_VQ, span="dq06_span", us="unix_micros(CAST(ts AS TIMESTAMP))"
+)
+_DQ06_SPARK = _dq06(
+    _DQ06_US_SPARK, "div", "dq06_span", "dq06_ref", "/*+ BROADCAST(r, s) */ "
+)
+_DQ06_DUCK = (
+    "WITH dspan AS ("
+    + _DQ06_SPAN.format(us="epoch_us(ts)")
+    + "), dref AS ("
+    + _DQ06_REF.format(vq=_DQ06_VQ, span="dspan", us="epoch_us(ts)")
+    + "), main AS ("
+    + _dq06(_DQ06_US_DUCK, "//", "dspan", "dref", "")
+    + ") SELECT * FROM main"
+)
+
+
+@query("dq06_distribution_drift", oracle=_DQ06_DUCK, tags=("quality", "drift", "events"))
+def dq06_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate: per event type, total-variation distance
+    (×1e6) between the reference (first time half) and current (second
+    half) `value` distributions over 10 reference-edged bins — the
+    PSI-style canary a training-data pipeline runs between dataset
+    versions. Integer-exact until one final division (see module
+    comment); types absent from the reference window are out of
+    contract (new-type detection is dq02's job).
+
+    Plan: one-row span and |types|-row reference-edge relations are
+    checkpointed once and broadcast; the main pass is ONE pruned scan
+    onto the bounded (type, half, bin) key space; the TV fold runs on
+    the |types|×10 matrix."""
+    register_views(spark, sf_dir)
+    span = spark.sql(_DQ06_SPAN_SPARK).localCheckpoint(eager=True)
+    span.createOrReplaceTempView("dq06_span")
+    ref = spark.sql(_DQ06_REF_SPARK).localCheckpoint(eager=True)
+    ref.createOrReplaceTempView("dq06_ref")
+    return spark.sql(_DQ06_SPARK)

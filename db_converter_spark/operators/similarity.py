@@ -960,3 +960,122 @@ def ss10_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass + a vec_id-keyed top-2 window; per-row integerization
     before every mean keeps the compare exact; output is |cells| rows."""
     return _sql(spark, sf_dir, _SS10_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ss11 — per-subspace PQ codebook training (M parallel Lloyd's k-means)
+# ---------------------------------------------------------------------------
+# Closes the loop ss06 leaves open the same way ss07 closed it for the
+# coarse IVF codebook: ss06's ADC scan quantizes against FIXTURE-SLICE
+# per-subspace codewords; a real PQ deployment (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search") TRAINS one k-means
+# codebook per subspace. This operator runs all M=4 trainings as ONE
+# declarative plan: the subspace id `m` rides every join/group key, so
+# the M k-means problems share each shuffle instead of running M
+# sequential jobs.
+#
+# Arithmetic is the exact-integer ss07 machinery (quantize to BIGINT
+# ×1000, integer distances, FLOOR((2s+n)/2n) centroid update — see
+# ``_ss07_stages`` for why both engines agree bit-for-bit). Output per
+# (subspace, codeword): final cell size + integer checksums, fully
+# sensitive to drift in any dimension of any codeword.
+#
+# Scale shape: pqflat (vec_id, m, sd, x) is the ss07 vflat re-keyed by
+# subspace — n·d rows total, NOT n·d·M (each dim belongs to exactly one
+# subspace). Per iteration: one broadcast join against the ≤512-row
+# codeword table partial-aggregated map-side to n·M·K rows before the
+# (vec_id, m)-keyed argmin shuffle, then one shuffle join back for the
+# (m, cid, sd)-keyed update aggregate (bounded: M·K·subdim = 512 rows).
+# At 100 TB you'd train on a sampled slice (k-means is
+# sample-efficient); the per-iteration shape is unchanged.
+
+_PQT_K = 8   # codewords trained per subspace (bounded broadcast side)
+_PQT_T = 2   # fixed Lloyd iterations — determinism + oracle parity
+
+
+def _ss11_main(pqflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+    stages = ([prelude] if prelude else []) + [
+        f"""cent0 AS (
+  SELECT CAST(vec_id {intdiv} 16 AS BIGINT) AS cid, m, sd, x AS val
+  FROM {pqflat} WHERE vec_id % 16 = 0 AND vec_id < {_PQT_K * 16}
+)"""
+    ]
+    for t in range(_PQT_T):
+        stages.append(
+            f"""dist{t} AS (
+  SELECT {hint_c}v.vec_id, v.m, c.cid, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+  FROM {pqflat} v JOIN cent{t} c ON c.m = v.m AND c.sd = v.sd
+  GROUP BY v.vec_id, v.m, c.cid
+), asg{t} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, cid) AS rn
+    FROM dist{t}) r WHERE rn = 1
+), upd{t} AS (
+  SELECT a.m, a.cid, v.sd, SUM(v.x) AS s, COUNT(*) AS n
+  FROM asg{t} a JOIN {pqflat} v ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY a.m, a.cid, v.sd
+), cent{t + 1} AS (
+  SELECT {hint_u}c.cid, c.m, c.sd,
+         CAST(COALESCE(FLOOR((2.0 * u.s + u.n) / (2.0 * u.n)),
+                       CAST(c.val AS DOUBLE)) AS BIGINT) AS val
+  FROM cent{t} c LEFT JOIN upd{t} u
+    ON u.m = c.m AND u.cid = c.cid AND u.sd = c.sd
+)"""
+        )
+    last = _PQT_T
+    return f"""
+WITH {", ".join(stages)}
+SELECT {hint_u.replace("u)", "sz)")}c.m, c.cid,
+  CAST(COALESCE(MAX(sz.n), 0) AS BIGINT)       AS cell_size,
+  CAST(SUM((c.sd + 1) * c.val) AS BIGINT)      AS c_checksum,
+  CAST(SUM(c.val * c.val) AS BIGINT)           AS c_norm_sq
+FROM cent{last} c
+LEFT JOIN (SELECT m, cid, COUNT(*) AS n FROM asg{last - 1} GROUP BY m, cid) sz
+  ON sz.m = c.m AND sz.cid = c.cid
+GROUP BY c.m, c.cid
+"""
+
+
+def _ss11_pqflat(vflat_sql: str, intdiv: str) -> str:
+    """Re-key the ss07 exploded quantized-vector table by subspace:
+    m = (d-1) div subdim, sd = (d-1) mod subdim — same n·d total rows."""
+    return f"""
+SELECT vec_id,
+  CAST((d - 1) {intdiv} {_PQ_SUBDIM} AS BIGINT) AS m,
+  CAST((d - 1) % {_PQ_SUBDIM} AS BIGINT)        AS sd,
+  x
+FROM ({vflat_sql})
+"""
+
+
+_SS11_PQFLAT_SPARK = _ss11_pqflat(_SS07_VFLAT_SPARK, "div")
+_SS11_SPARK = _ss11_main(
+    "ss11_pqflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
+)
+_SS11_DUCK = _ss11_main(
+    "pqflat", "//", "", "",
+    prelude=f"pqflat AS ({_ss11_pqflat(_SS07_VFLAT_DUCK, '//')})",
+)
+
+
+@query("ss11_pq_train", oracle=_SS11_DUCK, tags=("similarity", "pq", "ann", "train"))
+def ss11_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: M=4 per-subspace Lloyd's
+    k-means (8 codewords × 16 dims each, 2 fixed iterations,
+    deterministic spread init) run as ONE declarative plan — the
+    subspace id rides every join/group key so the M trainings share
+    each shuffle. Exact-integer arithmetic end-to-end (the ss07
+    machinery), so the DuckDB oracle matches bit-for-bit. Output per
+    (m, cid): final cell size + integer codeword checksums — the
+    trained counterpart of ss06's fixture codebooks.
+
+    Plan: pqflat materialized ONCE (localCheckpoint — referenced
+    2×/iteration); ≤512-row codeword tables broadcast into every
+    distance/update join; per-iteration corpus work is one map-side
+    partial-aggregated argmin shuffle keyed (vec_id, m) plus one
+    keyed update join — no driver-side state."""
+    register_views(spark, sf_dir)
+    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
+    pqflat.createOrReplaceTempView("ss11_pqflat")
+    return spark.sql(_SS11_SPARK)

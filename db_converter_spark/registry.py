@@ -199,6 +199,13 @@ _CHECK_TAIL = (
     # green in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified;
     # ev03 stays engine-tested every run by tests/test_streaming.py ---
     "ev03_streaming_window",
+    # --- parked r5 (tenth tranche) to fund head slots for ss11_pq_train
+    # and dq06_distribution_drift: green in CORRECTNESS_r04.json, untouched
+    # in r5 — fingerprint-verified; both are rows-only streaming checks
+    # whose real gate (state bounds, watermark semantics, checkpoint
+    # restart) runs every session in tests/test_streaming.py ---
+    "ev07_stream_dedup",
+    "ev08_stream_stream_join",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -567,3 +567,28 @@ def test_ev15_bounded_aggregate_no_join(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_ss11_broadcast_codebooks_no_smj(spark):
+    """PQ training: the corpus flows only through the checkpointed
+    pqflat (no re-scan of the parquet), every codeword-table join is a
+    broadcast, and nothing range-partitions."""
+    plan = _plan(spark, "ss11_pq_train")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_dq06_single_main_scan_broadcast_stats(spark):
+    """Drift gate: ONE pruned parquet scan in the main pass; the span
+    (1 row) and reference-edge (|types| rows) relations enter as
+    broadcasts (the 1-row span join is the only nested-loop); bounded
+    aggregate, no global sort."""
+    plan = _plan(spark, "dq06_distribution_drift")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "rangepartitioning" not in plan, plan

@@ -325,3 +325,82 @@ def test_ev15_known_heatmap_cells(spark):
     # Monday 09h: the whole day
     assert got[(1, 9)] == (1, 1, 1000, 1000)
     assert len(got) == 3
+
+
+def test_ss11_known_two_cluster_codebooks(spark):
+    """Two exactly-repeated vectors A (ids 0-15) and B (ids 16-127):
+    every subspace's k-means must put the A slices in codeword 0 and
+    collapse all B vectors onto codeword 1 (distance ties break to the
+    lowest cid), leaving codewords 2-7 at their (B-valued) init. Cell
+    sizes and integer checksums are hand-computed."""
+    from db_converter_spark.operators.similarity import (
+        _SS11_PQFLAT_SPARK,
+        _SS11_SPARK,
+    )
+
+    def emb(off):
+        return [0.001 * (d + off) for d in range(1, 65)]
+
+    rows = [(i, emb(0), 0) for i in range(16)] + [
+        (i, emb(100), 1) for i in range(16, 128)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ss11_pqflat"
+    )
+    got = {(r["m"], r["cid"]): tuple(r)[2:] for r in spark.sql(_SS11_SPARK).collect()}
+
+    def stats(m, off):
+        vals = [m * 16 + sd + 1 + off for sd in range(16)]
+        ck = sum((sd + 1) * v for sd, v in enumerate(vals))
+        return ck, sum(v * v for v in vals)
+
+    assert len(got) == 32
+    for m in range(4):
+        a_ck, a_nsq = stats(m, 0)
+        b_ck, b_nsq = stats(m, 100)
+        assert got[(m, 0)] == (16, a_ck, a_nsq), (m, got[(m, 0)])
+        assert got[(m, 1)] == (112, b_ck, b_nsq), (m, got[(m, 1)])
+        for cid in range(2, 8):  # untouched init codewords keep B values
+            assert got[(m, cid)] == (0, b_ck, b_nsq), (m, cid, got[(m, cid)])
+
+
+def test_dq06_known_drift_and_stability(spark):
+    """Hand-built corpus: type 'a' moves all mass from the reference
+    bins to the top bin (TV = 0.5 -> 500000, drifted); type 'b' repeats
+    its reference distribution exactly (TV = 0). Bin edges come from the
+    REFERENCE half; current values clamp into them."""
+    from db_converter_spark.operators.quality import (
+        _DQ06_REF_SPARK,
+        _DQ06_SPAN_SPARK,
+        _DQ06_SPARK,
+    )
+
+    rows = []
+    eid = 0
+    for etype, t, vals in [
+        ("a", "2024-01-01 00:00:00", [1.0, 1.0, 2.0, 2.0]),
+        ("a", "2024-01-01 04:00:00", [5.0, 5.0, 5.0, 5.0]),
+        ("b", "2024-01-01 00:00:00", [1.0, 1.0, 2.0, 2.0]),
+        ("b", "2024-01-01 04:00:00", [1.0, 1.0, 2.0, 2.0]),
+    ]:
+        for v in vals:
+            eid += 1
+            rows.append(f"({eid}, '{t}', 1, '{etype}', CAST({v} AS DOUBLE))")
+    spark.sql(
+        "SELECT CAST(e AS BIGINT) AS event_id, timestamp(t) AS ts, "
+        "CAST(u AS BIGINT) AS user_id, y AS event_type, v AS value, '' AS props "
+        f"FROM VALUES {', '.join(rows)} AS t(e, t, u, y, v)"
+    ).createOrReplaceTempView("events")
+    spark.sql(_DQ06_SPAN_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq06_span"
+    )
+    spark.sql(_DQ06_REF_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq06_ref"
+    )
+    got = {r["event_type"]: tuple(r)[1:] for r in spark.sql(_DQ06_SPARK).collect()}
+    # a: ref {bin0: 2, bin9: 2}, cur {bin9: 4} -> TV = (|0-8|+|16-8|)/(2*16)
+    assert got["a"] == (4, 4, 500000, True)
+    assert got["b"] == (4, 4, 0, False)

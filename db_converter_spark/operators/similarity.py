@@ -624,11 +624,6 @@ _SS07_VFLAT_SPARK = _ss07_vflat(
     f"(SELECT explode(sequence(1, {_KM_D})) AS d)",
     "element_at(v.xq, dims.d)",
 )
-# cent{t}/upd{t} are <= 512 rows behind join/agg chains with no stats —
-# without the hints the per-dim joins plan as SortMergeJoin
-_SS07_MAIN_SPARK = _ss07_main(
-    "ss07_vflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
-)
 _SS07_VFLAT_DUCK = _ss07_vflat(
     f"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT))",
     f"(SELECT CAST(g AS INT) AS d FROM generate_series(1, {_KM_D}) t(g))",
@@ -637,34 +632,177 @@ _SS07_VFLAT_DUCK = _ss07_vflat(
 _SS07_DUCK = _ss07_main(
     "vflat", "//", "", "", prelude=f"vflat AS ({_SS07_VFLAT_DUCK})"
 )
-_SS08_SPARK = _ss08_main(
-    "ss07_vflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
-)
 _SS08_DUCK = _ss08_main(
     "vflat", "//", "", "", prelude=f"vflat AS ({_SS07_VFLAT_DUCK})"
 )
 
 
+# --- materialized Lloyd's loop (Spark execution side) ----------------------
+# The DuckDB oracles above keep the single unrolled WITH — fine for an
+# oracle. EXECUTING that chain in Spark is not fine at scale: Spark inlines
+# CTEs per reference, and the centroid recurrence references each stage
+# twice (cent{t} feeds both dist{t} and cent{t+1}), so the corpus-scale
+# joins re-execute O(2^T) times — measured 15 ExistingRDD scans of the
+# exploded table for T=2 before this loop existed. The deployment shape —
+# what MLlib's KMeans does — materializes the BOUNDED centroid table
+# (k·d ≤ 512 rows) and the narrow (vec_id[, m], cid) assignment each
+# iteration: O(T) corpus passes, byte-identical arithmetic, no exponential
+# plan. The `extra` parameter threads the ss11 subspace id through every
+# join/group key so M parallel trainings share each pass.
+
+def _km_sqls(extra: str = "") -> dict[str, str]:
+    """Per-stage Spark SQL for the materialized Lloyd's loop, with
+    {vflat}/{cent}/{asg}/{k16} view-name slots. `extra` (e.g. "m") is an
+    additional partition key carried from the exploded table — empty for
+    ss07/ss08's single coarse codebook, "m" for ss11's per-subspace
+    codebooks."""
+    ek = f"{extra}, " if extra else ""
+    ekv = f"v.{extra}, " if extra else ""
+    ekc = f"c.{extra}, " if extra else ""
+    eka = f"a.{extra}, " if extra else ""
+    pk = f", {extra}" if extra else ""
+    jvc = f" AND c.{extra} = v.{extra}" if extra else ""
+    jav = f" AND v.{extra} = a.{extra}" if extra else ""
+    juc = f" AND u.{extra} = c.{extra}" if extra else ""
+    return {
+        # deterministic spread init: one donor vector per codeword
+        "cent0": f"""
+SELECT CAST(vec_id div 16 AS BIGINT) AS cid, {ek}d, x AS val
+FROM {{vflat}} WHERE vec_id % 16 = 0 AND vec_id < {{k16}}""",
+        # assignment: per-dim distance terms against the broadcast codeword
+        # table, partial-aggregated map-side before the single argmin
+        # shuffle keyed (vec_id[, m])
+        "asg": f"""
+SELECT vec_id, {ek}cid FROM (
+  SELECT vec_id, {ek}cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id{pk} ORDER BY dd ASC, cid) AS rn
+  FROM (
+    SELECT /*+ BROADCAST(c) */ v.vec_id, {ekv}c.cid,
+           SUM((v.x - c.val) * (v.x - c.val)) AS dd
+    FROM {{vflat}} v JOIN {{cent}} c ON c.d = v.d{jvc}
+    GROUP BY v.vec_id, {ekv}c.cid
+  ) dists
+) ranked WHERE rn = 1""",
+        # update: one keyed join of the assignment back to the exploded
+        # vectors, aggregated onto the bounded codeword space; FLOOR-based
+        # half-up rounding (see ``_ss07_stages`` for the exactness proof)
+        "cent_next": f"""
+SELECT /*+ BROADCAST(u) */ c.cid, {ekc}c.d,
+       CAST(COALESCE(FLOOR((2.0 * u.s + u.n) / (2.0 * u.n)),
+                     CAST(c.val AS DOUBLE)) AS BIGINT) AS val
+FROM {{cent}} c LEFT JOIN (
+  SELECT a.cid, {eka}v.d, SUM(v.x) AS s, COUNT(*) AS n
+  FROM {{asg}} a JOIN {{vflat}} v ON v.vec_id = a.vec_id{jav}
+  GROUP BY a.cid, {eka}v.d
+) u ON u.cid = c.cid AND u.d = c.d{juc}""",
+    }
+
+
+def _km_train(
+    spark: SparkSession,
+    vflat_view: str,
+    prefix: str,
+    n_iter: int,
+    k16: int,
+    extra: str = "",
+) -> tuple[str, str]:
+    """Run the materialized Lloyd's loop over an exploded-vector view.
+    Returns (final_centroid_view, last_assignment_view). Each iteration
+    executes the corpus-scale work exactly once; only the ≤512-row
+    centroid table and the narrow assignment relation are checkpointed."""
+    sqls = _km_sqls(extra)
+    cent = spark.sql(
+        sqls["cent0"].format(vflat=vflat_view, k16=k16)
+    ).localCheckpoint(eager=True)
+    asg_view = ""
+    for t in range(n_iter):
+        cent_view = f"{prefix}_cent{t}"
+        cent.createOrReplaceTempView(cent_view)
+        asg_view = f"{prefix}_asg{t}"
+        spark.sql(
+            sqls["asg"].format(vflat=vflat_view, cent=cent_view)
+        ).localCheckpoint(eager=True).createOrReplaceTempView(asg_view)
+        cent = spark.sql(
+            sqls["cent_next"].format(
+                vflat=vflat_view, cent=cent_view, asg=asg_view
+            )
+        ).localCheckpoint(eager=True)
+    final_view = f"{prefix}_cent{n_iter}"
+    cent.createOrReplaceTempView(final_view)
+    return final_view, asg_view
+
+
+_KM_FINAL_SS07 = """
+SELECT /*+ BROADCAST(sz) */ c.cid,
+  CAST(COALESCE(MAX(sz.n), 0) AS BIGINT) AS cell_size,
+  CAST(SUM(c.d * c.val) AS BIGINT)       AS c_checksum,
+  CAST(SUM(c.val * c.val) AS BIGINT)     AS c_norm_sq
+FROM {cent} c
+LEFT JOIN (SELECT cid, COUNT(*) AS n FROM {asg} GROUP BY cid) sz
+  ON sz.cid = c.cid
+GROUP BY c.cid
+"""
+
+# the trained-IVF query tail over the materialized codebook: probe the
+# query's nearest cells, exact-rerank only the vectors assigned there
+_SS08_TAIL = f"""
+WITH qv AS (SELECT d, x FROM {{vflat}} WHERE vec_id = 0),
+cdist AS (
+  SELECT /*+ BROADCAST(c) */ c.cid, SUM((q.x - c.val) * (q.x - c.val)) AS dd
+  FROM {{cent}} c JOIN qv q ON q.d = c.d
+  GROUP BY c.cid
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY dd ASC, cid) AS rn FROM cdist
+  ) t WHERE rn <= {_SS08_NPROBE}
+), vdist AS (
+  SELECT /*+ BROADCAST(c) */ v.vec_id, c.cid,
+         SUM((v.x - c.val) * (v.x - c.val)) AS dd
+  FROM {{vflat}} v JOIN {{cent}} c ON c.d = v.d
+  GROUP BY v.vec_id, c.cid
+), vassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid) AS rn
+    FROM vdist) t WHERE rn = 1
+), survivors AS (
+  SELECT /*+ BROADCAST(p) */ a.vec_id, a.cid
+  FROM vassign a JOIN probe p ON p.cid = a.cid
+  WHERE a.vec_id <> 0
+), qdist AS (
+  SELECT v.vec_id, s.cid, SUM((v.x - q.x) * (v.x - q.x)) AS dd
+  FROM {{vflat}} v JOIN survivors s ON s.vec_id = v.vec_id
+  JOIN qv q ON q.d = v.d
+  GROUP BY v.vec_id, s.cid
+)
+SELECT vec_id, cid, CAST(dd AS BIGINT) AS l2sq_q
+FROM qdist
+ORDER BY l2sq_q ASC, vec_id
+LIMIT 10
+"""
+
+
 @query("ss08_ivf_trained_topk", oracle=_SS08_DUCK, tags=("similarity", "ivf", "ann", "knn", "train"))
 def ss08_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL train→index→query ANN path: ss07's k-means stages produce
-    the trained codebook, every vector is assigned to its trained cell,
-    the query (vec_id=0) probes its nearest 2 cells, and the exact
-    distance is computed ONLY for vectors assigned there — top-10 by
-    quantized-integer L2 (exact cross-engine, see ``_ss07_stages``).
-    Closes the loop the fixture-codebook operators (ss03/ss04) leave
-    open: the index a real deployment queries is the one training
-    produced.
+    """The FULL train→index→query ANN path: the materialized k-means loop
+    produces the trained codebook, every vector is assigned to its
+    trained cell, the query (vec_id=0) probes its nearest 2 cells, and
+    the exact distance is computed ONLY for vectors assigned there —
+    top-10 by quantized-integer L2 (exact cross-engine, see
+    ``_ss07_stages``). Closes the loop the fixture-codebook operators
+    (ss03/ss04) leave open: the index a real deployment queries is the
+    one training produced.
 
-    Plan: identical k-means shape as ss07 (broadcast centroid joins, one
-    argmin shuffle per stage), then the probe set (≤2 rows) and query
-    vector broadcast; the rerank join keeps the IVF contract — a query
-    touches nprobe/k of the corpus, and the top-10 compiles to
+    Plan: ss07's materialized training loop (O(T) corpus passes, see
+    ``_km_train``), then the probe set (≤2 rows) broadcast into the
+    assignment; the rerank join keeps the IVF contract — a query touches
+    nprobe/k of the corpus, and the top-10 compiles to
     TakeOrderedAndProject, never a global sort."""
     register_views(spark, sf_dir)
     vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
-    vflat.createOrReplaceTempView("ss07_vflat")
-    return spark.sql(_SS08_SPARK)
+    vflat.createOrReplaceTempView("ss08_vflat")
+    cent_view, _ = _km_train(spark, "ss08_vflat", "ss08", _KM_T, _KM_K * 16)
+    return spark.sql(_SS08_TAIL.format(vflat="ss08_vflat", cent=cent_view))
 
 
 @query("ss07_kmeans_train", oracle=_SS07_DUCK, tags=("similarity", "ann", "train"))
@@ -677,27 +815,28 @@ def ss07_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid checksums (position-weighted sum + squared norm), fully
     sensitive to any drift in any dimension.
 
-    DataFrame-only Lloyd's, unrolled: per iteration, (1) assignment = the
-    ss03 argmin shape — per-dim distance terms against the ≤512-row
-    broadcast centroid table, partial-aggregated map-side to n×k rows
-    before the single argmin shuffle keyed vec_id; (2) update = one
-    shuffle join of the n-row assignment back to the exploded vectors +
-    a (k×d)-group aggregate (map-side combined). No driver-side state at
-    all — the centroid chain lives in the plan. At 100 TB you'd train on
-    a sampled slice (k-means is sample-efficient) and/or fuse
-    assign+update map-side as MLlib does; the shuffle-per-iteration here
-    is the honest declarative shape. Arithmetic is exact-integer
-    throughout (see ``_ss07``), so the DuckDB oracle matches
-    bit-for-bit; this codebook is exactly what ss03/ss04 consume as
-    their centroid set and ss06 generalizes per-subspace."""
+    Executed as the MATERIALIZED loop (``_km_train``): per iteration, (1)
+    assignment = per-dim distance terms against the ≤512-row broadcast
+    codeword table, partial-aggregated map-side before the single argmin
+    shuffle keyed vec_id; (2) update = one keyed join of the narrow
+    assignment back to the exploded vectors onto the bounded (k×d)
+    aggregate. The bounded centroid table and the assignment checkpoint
+    each round, so the corpus-scale work runs O(T) times — NOT the
+    O(2^T) re-execution the single inlined CTE chain would cost (Spark
+    inlines CTEs per reference). At 100 TB you'd additionally train on a
+    sampled slice — k-means is sample-efficient. Arithmetic is
+    exact-integer throughout (see ``_ss07_stages``), so the DuckDB
+    oracle (which keeps the unrolled WITH — an oracle doesn't care about
+    re-execution) matches bit-for-bit; this codebook is exactly what
+    ss03/ss04 consume as their centroid set and ss11 generalizes
+    per-subspace."""
     register_views(spark, sf_dir)
-    # materialize the exploded quantized-vector table ONCE: the unrolled
-    # plan references it ~7 times (cent0 + 2×/iteration), and recomputing
-    # scan+quantize+explode per reference dominated the runtime (15 s →
-    # ~3 s at sf0.1). Narrow schema: (vec_id, d, x) ≈ 24 B/row.
+    # materialize the exploded quantized-vector table ONCE. Narrow
+    # schema: (vec_id, d, x) ≈ 24 B/row.
     vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
     vflat.createOrReplaceTempView("ss07_vflat")
-    return spark.sql(_SS07_MAIN_SPARK)
+    cent_view, asg_view = _km_train(spark, "ss07_vflat", "ss07", _KM_T, _KM_K * 16)
+    return spark.sql(_KM_FINAL_SS07.format(cent=cent_view, asg=asg_view))
 
 
 @query("ss06_pq_adc_topk", oracle=_SS06_DUCK, tags=("similarity", "pq", "ann", "knn"))
@@ -969,10 +1108,10 @@ def ss10_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse IVF codebook: ss06's ADC scan quantizes against FIXTURE-SLICE
 # per-subspace codewords; a real PQ deployment (Jégou et al. 2011,
 # "Product Quantization for Nearest Neighbor Search") TRAINS one k-means
-# codebook per subspace. This operator runs all M=4 trainings as ONE
-# declarative plan: the subspace id `m` rides every join/group key, so
-# the M k-means problems share each shuffle instead of running M
-# sequential jobs.
+# codebook per subspace. This operator runs all M=4 trainings through
+# ONE materialized loop (``_km_train``): the subspace id `m` rides every
+# join/group key, so the M k-means problems share each corpus pass
+# instead of running M sequential jobs.
 #
 # Arithmetic is the exact-integer ss07 machinery (quantize to BIGINT
 # ×1000, integer distances, FLOOR((2s+n)/2n) centroid update — see
@@ -980,14 +1119,15 @@ def ss10_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (subspace, codeword): final cell size + integer checksums, fully
 # sensitive to drift in any dimension of any codeword.
 #
-# Scale shape: pqflat (vec_id, m, sd, x) is the ss07 vflat re-keyed by
-# subspace — n·d rows total, NOT n·d·M (each dim belongs to exactly one
-# subspace). Per iteration: one broadcast join against the ≤512-row
-# codeword table partial-aggregated map-side to n·M·K rows before the
-# (vec_id, m)-keyed argmin shuffle, then one shuffle join back for the
-# (m, cid, sd)-keyed update aggregate (bounded: M·K·subdim = 512 rows).
-# At 100 TB you'd train on a sampled slice (k-means is
-# sample-efficient); the per-iteration shape is unchanged.
+# Scale shape: pqflat is the ss07 vflat re-keyed by subspace — n·d rows
+# total, NOT n·d·M (each dim belongs to exactly one subspace). Per
+# iteration: one broadcast join against the ≤512-row codeword table
+# partial-aggregated map-side to n·M·K rows before the (vec_id, m)-keyed
+# argmin shuffle, then one keyed join back for the (m, cid, d)-keyed
+# update aggregate (bounded: M·K·subdim = 512 rows), both checkpointed
+# (see the ``_km_sqls`` block comment for why the single inlined CTE
+# chain is O(2^T)). At 100 TB you'd train on a sampled slice (k-means
+# is sample-efficient); the per-iteration shape is unchanged.
 
 _PQT_K = 8   # codewords trained per subspace (bounded broadcast side)
 _PQT_T = 2   # fixed Lloyd iterations — determinism + oracle parity
@@ -1049,33 +1189,62 @@ FROM ({vflat_sql})
 """
 
 
-_SS11_PQFLAT_SPARK = _ss11_pqflat(_SS07_VFLAT_SPARK, "div")
-_SS11_SPARK = _ss11_main(
-    "ss11_pqflat", "div", "/*+ BROADCAST(c) */ ", "/*+ BROADCAST(u) */ "
-)
+# Spark-side pqflat names the within-subspace dim `d` (0-based) so the
+# shared _km_sqls templates apply unchanged; the oracle keeps `sd`.
+_SS11_PQFLAT_SPARK = f"""
+SELECT vec_id,
+  CAST((d - 1) div {_PQ_SUBDIM} AS BIGINT) AS m,
+  CAST((d - 1) % {_PQ_SUBDIM} AS BIGINT)   AS d,
+  x
+FROM ({_SS07_VFLAT_SPARK})
+"""
 _SS11_DUCK = _ss11_main(
     "pqflat", "//", "", "",
     prelude=f"pqflat AS ({_ss11_pqflat(_SS07_VFLAT_DUCK, '//')})",
 )
+
+# checksum weight is (d + 1): the within-subspace dim is 0-based here
+_KM_FINAL_SS11 = """
+SELECT /*+ BROADCAST(sz) */ c.m, c.cid,
+  CAST(COALESCE(MAX(sz.n), 0) AS BIGINT)  AS cell_size,
+  CAST(SUM((c.d + 1) * c.val) AS BIGINT)  AS c_checksum,
+  CAST(SUM(c.val * c.val) AS BIGINT)      AS c_norm_sq
+FROM {cent} c
+LEFT JOIN (SELECT m, cid, COUNT(*) AS n FROM {asg} GROUP BY m, cid) sz
+  ON sz.m = c.m AND sz.cid = c.cid
+GROUP BY c.m, c.cid
+"""
+
+
+def _ss11_body(spark: SparkSession) -> DataFrame:
+    """ss11 over whatever `embeddings` view is registered — split out so
+    structural tests can inject synthetic corpora without the builder
+    re-registering the real tables."""
+    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
+    pqflat.createOrReplaceTempView("ss11_pqflat")
+    cent_view, asg_view = _km_train(
+        spark, "ss11_pqflat", "ss11", _PQT_T, _PQT_K * 16, extra="m"
+    )
+    return spark.sql(_KM_FINAL_SS11.format(cent=cent_view, asg=asg_view))
 
 
 @query("ss11_pq_train", oracle=_SS11_DUCK, tags=("similarity", "pq", "ann", "train"))
 def ss11_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook training: M=4 per-subspace Lloyd's
     k-means (8 codewords × 16 dims each, 2 fixed iterations,
-    deterministic spread init) run as ONE declarative plan — the
-    subspace id rides every join/group key so the M trainings share
-    each shuffle. Exact-integer arithmetic end-to-end (the ss07
-    machinery), so the DuckDB oracle matches bit-for-bit. Output per
-    (m, cid): final cell size + integer codeword checksums — the
-    trained counterpart of ss06's fixture codebooks.
+    deterministic spread init) — the subspace id rides every join/group
+    key of the materialized loop (``_km_train``) so the M trainings
+    share each corpus pass instead of running M sequential jobs.
+    Exact-integer arithmetic end-to-end (the ss07 machinery), so the
+    DuckDB oracle matches bit-for-bit. Output per (m, cid): final cell
+    size + integer codeword checksums — the trained counterpart of
+    ss06's fixture codebooks.
 
-    Plan: pqflat materialized ONCE (localCheckpoint — referenced
-    2×/iteration); ≤512-row codeword tables broadcast into every
-    distance/update join; per-iteration corpus work is one map-side
-    partial-aggregated argmin shuffle keyed (vec_id, m) plus one
-    keyed update join — no driver-side state."""
+    Plan: pqflat materialized ONCE (same n·d rows as ss07's vflat —
+    each dim belongs to exactly one subspace); per iteration ONE
+    broadcast-codeword argmin pass keyed (vec_id, m) and ONE keyed
+    update join onto the bounded M·K·subdim = 512-row codeword space,
+    both checkpointed — O(T) corpus passes, not the O(2^T) inlined-CTE
+    re-execution."""
     register_views(spark, sf_dir)
-    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
-    pqflat.createOrReplaceTempView("ss11_pqflat")
-    return spark.sql(_SS11_SPARK)
+    return _ss11_body(spark)

@@ -152,11 +152,37 @@ def test_ss07_joins_stay_broadcast(spark):
     """k-means' per-dim distance joins run against <=512-row centroid
     tables behind stat-less agg chains — the BROADCAST hints must hold
     (a SortMergeJoin here sorts the exploded vector stream per
-    iteration), and nothing may plan as a nested-loop."""
-    plan = _plan(spark, "ss07_kmeans_train")
+    iteration), and nothing may plan as a nested-loop. With the
+    materialized loop (_km_train) the final rollup is metadata-scale;
+    the per-iteration stage plans are what carry the corpus work, so
+    each stage is pinned on a FRESH DataFrame over the builder's own
+    views."""
+    from db_converter_spark.operators.similarity import _km_sqls
+
+    plan = _plan(spark, "ss07_kmeans_train")  # also registers the views
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 6, plan  # 2/iteration + final
+    assert "Scan parquet" not in plan, plan  # corpus flows via checkpoints
+    sqls = _km_sqls()
+    asg_plan = _fresh_plan(
+        spark, sqls["asg"].format(vflat="ss07_vflat", cent="ss07_cent0")
+    )
+    assert "SortMergeJoin" not in asg_plan, asg_plan
+    assert asg_plan.count("BroadcastHashJoin") == 1, asg_plan
+    upd_plan = _fresh_plan(
+        spark,
+        sqls["cent_next"].format(
+            vflat="ss07_vflat", cent="ss07_cent0", asg="ss07_asg0"
+        ),
+    )
+    # the corpus-side asg⋈vflat join keys vec_id (shuffle — correct at
+    # scale); the bounded update relation re-enters broadcast
+    assert "SortMergeJoin" not in upd_plan or "BroadcastHashJoin" in upd_plan, upd_plan
+    assert "BroadcastNestedLoopJoin" not in upd_plan, upd_plan
+
+
+def _fresh_plan(spark, sql):
+    return spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_dd12_no_nested_loop_and_partitioned_window(spark):
@@ -571,14 +597,21 @@ def test_ev15_bounded_aggregate_no_join(spark):
 
 def test_ss11_broadcast_codebooks_no_smj(spark):
     """PQ training: the corpus flows only through the checkpointed
-    pqflat (no re-scan of the parquet), every codeword-table join is a
-    broadcast, and nothing range-partitions."""
-    plan = _plan(spark, "ss11_pq_train")
+    pqflat (no re-scan of the parquet), the per-iteration codeword join
+    is a broadcast keyed (vec_id, m), and nothing range-partitions."""
+    from db_converter_spark.operators.similarity import _km_sqls
+
+    plan = _plan(spark, "ss11_pq_train")  # also registers the views
     assert plan.count("Scan parquet") == 0, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "rangepartitioning" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    asg_plan = _fresh_plan(
+        spark, _km_sqls("m")["asg"].format(vflat="ss11_pqflat", cent="ss11_cent0")
+    )
+    assert "SortMergeJoin" not in asg_plan, asg_plan
+    assert asg_plan.count("BroadcastHashJoin") == 1, asg_plan
+    assert "hashpartitioning(vec_id" in asg_plan, asg_plan
 
 
 def test_dq06_single_main_scan_broadcast_stats(spark):

@@ -333,10 +333,7 @@ def test_ss11_known_two_cluster_codebooks(spark):
     collapse all B vectors onto codeword 1 (distance ties break to the
     lowest cid), leaving codewords 2-7 at their (B-valued) init. Cell
     sizes and integer checksums are hand-computed."""
-    from db_converter_spark.operators.similarity import (
-        _SS11_PQFLAT_SPARK,
-        _SS11_SPARK,
-    )
+    from db_converter_spark.operators.similarity import _ss11_body
 
     def emb(off):
         return [0.001 * (d + off) for d in range(1, 65)]
@@ -347,10 +344,7 @@ def test_ss11_known_two_cluster_codebooks(spark):
     spark.createDataFrame(
         rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
     ).createOrReplaceTempView("embeddings")
-    spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "ss11_pqflat"
-    )
-    got = {(r["m"], r["cid"]): tuple(r)[2:] for r in spark.sql(_SS11_SPARK).collect()}
+    got = {(r["m"], r["cid"]): tuple(r)[2:] for r in _ss11_body(spark).collect()}
 
     def stats(m, off):
         vals = [m * 16 + sd + 1 + off for sd in range(16)]

@@ -398,3 +398,96 @@ def test_dq06_known_drift_and_stability(spark):
     # a: ref {bin0: 2, bin9: 2}, cur {bin9: 4} -> TV = (|0-8|+|16-8|)/(2*16)
     assert got["a"] == (4, 4, 500000, True)
     assert got["b"] == (4, 4, 0, False)
+
+
+def test_dq06_both_engines_on_synthetic_corpus(spark):
+    """The ADVICE-r4 pattern (pipe05 lesson): run the DuckDB oracle on
+    the SAME synthetic rows the Spark structural test uses — including a
+    zero-width reference range (type 'c': all ref values equal, so every
+    bin collapses to 0 and drift is invisible, the documented PSI-edge
+    limit) — and assert both engines emit identical rows."""
+    import duckdb
+
+    from db_converter_spark.operators.quality import (
+        _DQ06_DUCK,
+        _DQ06_REF_SPARK,
+        _DQ06_SPAN_SPARK,
+        _DQ06_SPARK,
+    )
+
+    rows = []
+    eid = 0
+    for etype, t, vals in [
+        ("a", "2024-01-01 00:00:00", [1.0, 1.0, 2.0, 2.0]),
+        ("a", "2024-01-01 04:00:00", [5.0, 5.0, 5.0, 5.0]),
+        ("b", "2024-01-01 00:00:00", [1.0, 1.0, 2.0, 2.0]),
+        ("b", "2024-01-01 04:00:00", [1.0, 1.0, 2.0, 2.0]),
+        ("c", "2024-01-01 00:00:00", [3.0, 3.0]),
+        ("c", "2024-01-01 04:00:00", [7.0, 7.0]),
+    ]:
+        for v in vals:
+            eid += 1
+            rows.append((eid, t, etype, v))
+    values = ", ".join(
+        f"({i}, '{t}', 1, '{y}', CAST({v} AS DOUBLE))" for i, t, y, v in rows
+    )
+    spark.sql(
+        "SELECT CAST(e AS BIGINT) AS event_id, timestamp(t) AS ts, "
+        "CAST(u AS BIGINT) AS user_id, y AS event_type, v AS value, '' AS props "
+        f"FROM VALUES {values} AS t(e, t, u, y, v)"
+    ).createOrReplaceTempView("events")
+    spark.sql(_DQ06_SPAN_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq06_span"
+    )
+    spark.sql(_DQ06_REF_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq06_ref"
+    )
+    got = sorted(tuple(r) for r in spark.sql(_DQ06_SPARK).collect())
+
+    con = duckdb.connect()
+    dvalues = ", ".join(
+        f"({i}, TIMESTAMP '{t}', 1, '{y}', CAST({v} AS DOUBLE), '')"
+        for i, t, y, v in rows
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + dvalues
+        + ") t(event_id, ts, user_id, event_type, value, props)"
+    )
+    orows = sorted(tuple(r) for r in con.execute(_DQ06_DUCK).fetchall())
+    assert got == orows, (got, orows)
+    as_map = {r[0]: r[1:] for r in got}
+    assert as_map["c"] == (2, 2, 0, False)  # zero-width ref range: blind
+
+
+def test_ss11_both_engines_on_synthetic_corpus(spark):
+    """ss11's DuckDB oracle on the same two-cluster synthetic corpus as
+    the structural test — pins that the float32 ingest, quantization and
+    FLOOR-update arithmetic agree across engines on injected data, not
+    just on the driver's parquet."""
+    import duckdb
+
+    from db_converter_spark.operators.similarity import _SS11_DUCK, _ss11_body
+
+    def emb(off):
+        return [0.001 * (d + off) for d in range(1, 65)]
+
+    rows = [(i, emb(0), 0) for i in range(16)] + [
+        (i, emb(100), 1) for i in range(16, 128)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = sorted(tuple(r) for r in _ss11_body(spark).collect())
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, CAST({list(e)} AS FLOAT[]), {l})" for i, e, l in rows
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + values
+        + ") t(vec_id, embedding, label)"
+    )
+    orows = sorted(tuple(r) for r in con.execute(_SS11_DUCK).fetchall())
+    assert got == orows, (got[:4], orows[:4])

@@ -92,6 +92,7 @@ def main() -> int:
         "dd15_containment",
         "ss09_lsh_recall",
         "ss11_pq_train",
+        "pipe13_importance_resample",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from db_converter_spark.catalog import register_views
 from db_converter_spark.operators.textops import LANG_PROFILES, _sql
 from db_converter_spark.registry import query
 
@@ -899,3 +900,106 @@ def pipe12_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table for mixture planning. ONE scan, one bounded-key aggregate;
     everything downstream is |sources|-row metadata."""
     return _sql(spark, sf_dir, _PIPE12_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe13 — DSIR-style importance resampling (hashed-feature selection)
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): fit hashed
+# n-gram bag models on a TARGET domain (here: the lang='en' slice stands in
+# for "looks like the high-quality target") and on the RAW corpus, weight
+# each document by how target-like its features are, select the top of the
+# weight distribution. Integer-exact fixed-point variant: each of the B=256
+# hashed-unigram buckets gets an add-1-smoothed LINEAR likelihood ratio
+#     w_b = ((ct_b + 1) << 20) DIV (cr_b + 1)        (target ⊆ raw ⇒ ≤ 2^20)
+# and a document scores the count-weighted mean of its buckets' ratios.
+# (DSIR proper sums LOG-ratios; the linear-domain fixed point keeps the
+# score bit-identical across engines — float log sums are partition-order
+# dependent — and is monotone per bucket. The constant (R+B)/(T+B)
+# normalization is dropped: it rescales every document identically, so
+# selection is unchanged.)
+#
+# Scale shape: ONE corpus pass builds the (doc, bucket) feature table
+# (explode → count, map-side combined, uniform md5 keys); it is
+# MATERIALIZED once because both the bucket-stats aggregate and the scoring
+# join read it (Spark inlines multiply-referenced CTEs — the ta07 lesson).
+# Bucket stats collapse to B=256 rows and re-join the feature table as a
+# BROADCAST; the only corpus-scale shuffles are the two uniform-key
+# aggregates. Top-N is TakeOrderedAndProject — no global sort. At 2^63
+# token scale the w_b product needs DECIMAL(38,0); BIGINT holds to ~8e12
+# target tokens (documented, asserted nowhere near here).
+
+_PIPE13_B = 256  # hashed-feature buckets
+_PIPE13_TOPN = 400
+
+
+def _pipe13_feat(unnest: str, bucket: str) -> str:
+    """(doc_id, lang, bucket) → count: one explode + one uniform-key agg."""
+    return f"""
+SELECT doc_id, lang, {bucket.format(expr="w")} AS b, CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT doc_id, lang, {unnest} AS w FROM documents) words
+GROUP BY doc_id, lang, {bucket.format(expr="w")}
+"""
+
+
+def _pipe13_main(feat: str, idiv: str, hint: str) -> str:
+    return f"""
+WITH stats AS (
+  SELECT b,
+    CAST(SUM(c) AS BIGINT) AS cr,
+    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct
+  FROM {feat}
+  GROUP BY b
+), w AS (
+  SELECT b, ((ct + 1) * {1 << 20}) {idiv} (cr + 1) AS w_x1m
+  FROM stats
+), scored AS (
+  SELECT {hint} f.doc_id, f.lang,
+    CAST(SUM(f.c) AS BIGINT) AS n_tokens,
+    CAST(SUM(f.c * w.w_x1m) AS BIGINT) AS raw_score
+  FROM {feat} f JOIN w ON f.b = w.b
+  GROUP BY f.doc_id, f.lang
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  n_tokens,
+  CAST(raw_score {idiv} n_tokens AS BIGINT) AS dsir_score_x1m
+FROM scored
+ORDER BY dsir_score_x1m DESC, doc_id
+LIMIT {_PIPE13_TOPN}
+"""
+
+
+_PIPE13_FEAT_SPARK = _pipe13_feat(
+    "explode(filter(split(text, ' '), x -> x <> ''))",
+    f"CAST(conv(substring(md5({{expr}}), 1, 8), 16, 10) AS BIGINT) % {_PIPE13_B}",
+)
+_PIPE13_FEAT_DUCK = _pipe13_feat(
+    "unnest(list_filter(string_split(text, ' '), x -> x <> ''))",
+    f"(('0x' || substr(md5({{expr}}), 1, 8))::BIGINT % {_PIPE13_B})",
+)
+_PIPE13_DUCK = (
+    f"WITH feat AS ({_PIPE13_FEAT_DUCK})"
+    + _pipe13_main("feat", "//", "").replace("WITH stats AS (", ", stats AS (")
+)
+
+
+@query(
+    "pipe13_importance_resample",
+    oracle=_PIPE13_DUCK,
+    tags=("pipeline", "selection", "dsir"),
+)
+def pipe13_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): hashed-unigram
+    bag models for the target domain (the 'en' slice) vs the raw corpus,
+    add-1-smoothed per-bucket likelihood ratios in fixed point, documents
+    ranked by count-weighted mean ratio, top-N selected. ONE corpus pass
+    builds the materialized (doc, bucket) feature table; bucket stats are
+    256 rows broadcast back over it; top-N is TakeOrderedAndProject. The
+    linear-domain fixed-point score keeps Spark and DuckDB bit-identical
+    (float log-ratio sums are partition-order dependent)."""
+    register_views(spark, sf_dir)
+    feat = spark.sql(_PIPE13_FEAT_SPARK).localCheckpoint(eager=True)
+    feat.createOrReplaceTempView("pipe13_feat")
+    return spark.sql(
+        _pipe13_main("pipe13_feat", "DIV", "/*+ BROADCAST(w) */")
+    )

@@ -206,6 +206,12 @@ _CHECK_TAIL = (
     # restart) runs every session in tests/test_streaming.py ---
     "ev07_stream_dedup",
     "ev08_stream_stream_join",
+    # --- parked r5 (eleventh tranche) to fund pipe13_importance_resample's
+    # head slot: q35 is the construct-family probe, official-green in r4 and
+    # fingerprint-unchanged since (the only remaining head entry whose
+    # newest official row predates r5); its construct families all keep
+    # fresh local verification via tests/test_oracle_parity.py ---
+    "q35_construct_probes",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

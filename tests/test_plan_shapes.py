@@ -625,3 +625,16 @@ def test_dq06_single_main_scan_broadcast_stats(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pipe13_broadcast_weights_topn_no_global_sort(spark):
+    """DSIR selection: the corpus never re-scans (both stats and scoring
+    read the checkpointed feature table), the 256-row weight relation
+    broadcasts into the scoring join, and top-N is
+    TakeOrderedAndProject — no SortMergeJoin, no range partitioning."""
+    plan = _plan(spark, "pipe13_importance_resample")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -200,3 +200,48 @@ def test_ta09_bpe_oracle_matches_reference_python_bpe(words):
         assert got.get(it) == (pa, pb, pc[(pa, pb)]), (it, got.get(it), (pa, pb))
         pat, rep = f"·{pa}··{pb}·", f"·{pa}{pb}·"
         spell = {w: ("·" + sp + "·").replace(pat, rep)[1:-1] for w, sp in spell.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.lists(
+                st.text(alphabet="abcdef", min_size=1, max_size=5),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pipe13_oracle_matches_python_twin(docs):
+    """pipe13's fixed-point DSIR arithmetic (md5 bucketing, add-1
+    smoothing, floor-division score) pinned against a plain-Python twin
+    on arbitrary corpora — including all-target, no-target and
+    bucket-collision cases the hand-built structural fixture can't
+    cover. Runs the DuckDB oracle; Spark parity rides
+    test_oracle_parity/test_tranche7_ops."""
+    import duckdb
+
+    from db_converter_spark.operators.pipeline import _PIPE13_DUCK
+    from tests.test_tranche7_ops import _expected_scores
+
+    rows = [(i + 1, lang, words) for i, (lang, words) in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?, 's', 1)",
+        [(i, " ".join(ws), lang) for i, lang, ws in rows],
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_PIPE13_DUCK).fetchall()
+    }
+    expected = _expected_scores(rows)
+    assert got == expected, (got, expected)

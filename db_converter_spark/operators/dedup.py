@@ -905,7 +905,13 @@ def dc02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bounds everything after to the source-level vocabulary; the
     pair join is a hash join on the 128-bit gram key (uniform, no skew)
     whose output collapses map-side to ≤ C(n_sources, 2) rows. No
-    all-pairs document work anywhere."""
+    all-pairs document work anywhere — but EXACT set intersection is
+    inherently linear in distinct grams (measured 108× at 100× data,
+    zero flips: SCALE_PROBE_R5L_100x.json). The 100 TB deployment runs
+    the mergeable-sketch variant for the recurring audit (per-source
+    MinHash/HLL over the same gram stream — the ta05 machinery — one
+    pass, unions instead of joins) and keeps this exact form for
+    slice-level audits where the counts must be exact."""
     return _sql(spark, sf_dir, _DC02_SPARK)
 
 

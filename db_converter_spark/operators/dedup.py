@@ -1453,15 +1453,37 @@ def dc03_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k ∝ n (SemDeDup runs k=50,000 for 600 M docs) cells stay ~constant-size,
 # so within-cell pairs are O(n·cell), not O(n²).
 #
-# Centroids here are the same deterministic fixed slice ss03 uses
-# (vec_id % 16 = 0 AND vec_id < 1024, ≤64 at any corpus — oracle-stable
-# where trained centroids would be float-unstable; ss07 shows training
-# in-engine). τ = 0.35 is calibrated to the synthetic corpus (random
-# embeddings have no true near-dups; real deployments use ~0.95+).
+# Centroids are a deterministic fixed-STRIDE slice (vec_id % 251 = 0 — no
+# upper bound), so k GROWS with the corpus and expected cell size stays
+# ~250 at any scale: this is the paper's k ∝ n choice, and it is what
+# keeps the pair stage linear overall. (The fixed-SLICE rule ss03 uses —
+# ≤64 centroids at any corpus — was dd14's first form; the 100× probe
+# measured its cell-size² term arriving at 105× wall-time / 862 s at
+# sf10. The stride rule + argmax-aggregate assignment re-measured
+# 29.8× / 361 s with zero flips, cells 8 → 80 → 798 across three decades
+# of scale: SCALE_PROBE_R5M_100x.json. Deterministic strides are
+# oracle-stable where trained centroids would be float-unstable; ss07
+# shows training in-engine.) τ = 0.35 is calibrated to the synthetic
+# corpus (random embeddings have no true near-dups; real deployments use
+# ~0.95+).
 #
 # Scale shape: centroid table broadcast; assignment = map-side cross join +
 # per-vec argmin (one shuffle keyed vec_id); the pair join shuffles on cid
 # once and is cell-bounded; per-cluster aggregate reuses that partitioning.
+# With k ∝ n the n·k assignment becomes the dominant term at extreme
+# scale — the standard IVF trade, mitigated in deployment by hierarchical
+# (coarse→fine) assignment; the declarative shape is unchanged by that
+# swap.
+
+# PRIME stride: with a composite stride (first attempt: 256), any id
+# layout whose block offsets share a factor with the stride collapses the
+# centroid set onto a few residue classes — measured on the probe's
+# replica corpus (offsets i·10⁶, gcd(10⁶, 256) = 64): only ~31 distinct
+# centroid VECTORS survived at any replica count, cells grew ∝ n again
+# and sf10 ran 1074 s. A prime stride is coprime to every structured
+# offset, so the centroid set keeps growing ∝ n no matter how ids are
+# blocked/sharded.
+_DD14_CENT_PRED = "vec_id % 251 = 0"
 
 _DD14_TAU = 0.35
 
@@ -1509,6 +1531,16 @@ LEFT JOIN purge_stats g ON g.cid = c.cid
 """
 
 
+# Assignment is an ARGMAX AGGREGATE, not a window: with k ∝ n the n·k
+# similarity stream is the big relation, and a ROW_NUMBER window must
+# shuffle ALL of it (measured at sf10: 156M wide rows through one
+# exchange), while max_by collapses map-side to one row per vec before
+# the exchange. The (cs, lowest-cid) tiebreak packs into one BIGINT key
+# cs_x1m·10¹² − cid (cs_x1m ∈ [−1e6, 1e6] ⇒ |key| < 1.1e18, safe while
+# centroid ids stay < ~8e18); cs rides as an exact x1e6 integer so the
+# keep-rule's >/= comparisons are float-free. Embeddings re-join AFTER
+# the argmax, so only n-scale narrow rows ever shuffle.
+
 _DD14_ASSIGN_SPARK = """
 WITH vecs AS (
   SELECT vec_id, embedding,
@@ -1517,23 +1549,22 @@ WITH vecs AS (
   FROM embeddings
 ), cents AS (
   SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-  FROM vecs WHERE vec_id % 16 = 0 AND vec_id < 1024
-)
-SELECT vec_id, cid, cs, embedding, nrm FROM (
-  SELECT v.vec_id, c.cid, v.embedding, v.nrm,
-    ROUND(aggregate(zip_with(v.embedding, c.cv,
-                             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                    0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm), 6) AS cs,
-    ROW_NUMBER() OVER (
-      PARTITION BY v.vec_id
-      ORDER BY ROUND(aggregate(zip_with(v.embedding, c.cv,
-                               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                      0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm), 6) DESC,
-               c.cid
-    ) AS rn
+  FROM vecs WHERE {cent_pred}
+), sims AS (
+  SELECT v.vec_id, c.cid,
+    CAST(ROUND(1000000.0 * aggregate(zip_with(v.embedding, c.cv,
+               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm)) AS BIGINT) AS cs_x1m
   FROM vecs v CROSS JOIN cents c
-) t WHERE rn = 1
-"""
+), pick AS (
+  SELECT vec_id,
+    max_by(cid, cs_x1m * 1000000000000 - cid) AS cid,
+    MAX(cs_x1m) AS cs
+  FROM sims GROUP BY vec_id
+)
+SELECT p.vec_id, p.cid, p.cs, v.embedding, v.nrm
+FROM pick p JOIN vecs v ON p.vec_id = v.vec_id
+""".format(cent_pred=_DD14_CENT_PRED)
 
 _DD14_SPARK_MAIN = _dd14_main(
     "aggregate(zip_with(a.embedding, b.embedding, "
@@ -1548,22 +1579,22 @@ _DD14_DUCK_ASSIGN = """
     FROM embeddings
   ), cents AS (
     SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-    FROM vecs WHERE vec_id % 16 = 0 AND vec_id < 1024
-  )
-  SELECT vec_id, cid, cs, embedding, nrm FROM (
-    SELECT v.vec_id, c.cid, v.embedding, v.nrm,
-      ROUND(list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
+    FROM vecs WHERE {cent_pred}
+  ), sims AS (
+    SELECT v.vec_id, c.cid,
+      CAST(ROUND(1000000.0 * list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
             i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
-            / (v.nrm * c.cnrm), 6) AS cs,
-      ROW_NUMBER() OVER (
-        PARTITION BY v.vec_id
-        ORDER BY ROUND(list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
-                 i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
-                 / (v.nrm * c.cnrm), 6) DESC, c.cid
-      ) AS rn
+            / (v.nrm * c.cnrm)) AS BIGINT) AS cs_x1m
     FROM vecs v CROSS JOIN cents c
-  ) t WHERE rn = 1
-"""
+  ), pick AS (
+    SELECT vec_id,
+      max_by(cid, cs_x1m * 1000000000000 - cid) AS cid,
+      MAX(cs_x1m) AS cs
+    FROM sims GROUP BY vec_id
+  )
+  SELECT p.vec_id, p.cid, p.cs, v.embedding, v.nrm
+  FROM pick p JOIN vecs v ON p.vec_id = v.vec_id
+""".format(cent_pred=_DD14_CENT_PRED)
 
 _DD14_DUCK = (
     f"WITH dd14_assign AS ({_DD14_DUCK_ASSIGN})\n"
@@ -1581,9 +1612,11 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings, pairwise cosine within clusters only, purge every
     duplicate-pair member that is MORE centroid-typical (keep the atypical
     exemplar) — per-cluster report of cell size, duplicate pairs, purged
-    count + id checksum, max similarity. Centroid slice and broadcast/argmin
-    shape shared with ss03; pair stage bounded by cell size (k ∝ n at
-    deployment scale)."""
+    count + id checksum, max similarity. Centroids are a fixed-STRIDE
+    deterministic slice (k ∝ n, cells ~250 at any scale — the paper's
+    scaling, measured: 105× → 29.8× at 100× data after the stride swap
+    and the argmax-aggregate assignment); centroid broadcast shared with
+    ss03's shape, argmax via map-side-combinable max_by."""
     register_views(spark, sf_dir)
     assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
     assign.createOrReplaceTempView("dd14_assign")

@@ -283,6 +283,20 @@ def test_dd14_pair_join_on_cluster_key(spark):
     assert "hashpartitioning(cid" in plan, plan
 
 
+def test_dd14_assignment_is_aggregate_not_window(spark):
+    """With k ∝ n the n·k similarity stream is the BIG relation: the
+    argmax must be a map-side-combinable aggregate (partial max_by before
+    the exchange), never a ROW_NUMBER window that shuffles the whole
+    stream (measured at sf10: 156M wide rows through one exchange)."""
+    from db_converter_spark.catalog import register_views
+    from db_converter_spark.operators.dedup import _DD14_ASSIGN_SPARK
+
+    register_views(spark, SF)
+    plan = _fresh_plan(spark, _DD14_ASSIGN_SPARK)
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+
+
 def test_ta09_iteration_plans_are_vocab_bounded(spark):
     """BPE training: the word-count pass is the only corpus-scale job — the
     per-iteration pair-count plan must read the checkpointed vocab table

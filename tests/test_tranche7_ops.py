@@ -137,3 +137,69 @@ def test_pipe13_enriches_target_on_real_corpus(spark):
     other = [r["dsir_score_x1m"] for r in rows if r["lang"] != "en"]
     assert en and other, "fixture should contain both target and non-target"
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
+    """dd14's packed argmax key (cs_x1m·10¹² − cid) under EXACT cosine
+    ties — the case duplicate embeddings create and the parquet fixtures
+    never pin: two identical centroid vectors at different cids must
+    both lose every tie to the lower cid (empty high-cid cell), and the
+    keep-rule must purge the more centroid-typical member. Runs the SAME
+    rows through the DuckDB oracle and asserts identical output."""
+    import duckdb
+
+    from db_converter_spark.operators.dedup import _DD14_DUCK
+
+    def unit(i, j):
+        v = [0.0] * 8
+        v[i], v[j] = 3.0, 4.0  # norm 5, direction set by (i, j)
+        return v
+
+    rows = [
+        # centroid cids under stride 251: vec_id 0, 251, 502
+        (0, unit(0, 1)),    # centroid A
+        (251, unit(0, 1)),  # centroid B — IDENTICAL vector to A: every
+                            # vec ties between cid 0 and 251 -> cid 0 wins
+        (502, unit(2, 3)),  # centroid C — distinct direction
+        # members: two dups near A's direction, one loner near C's
+        (10, unit(0, 1)),
+        (11, [x * 2 for x in unit(0, 1)]),  # same direction, scaled
+        (20, unit(2, 3)),
+    ]
+    spark.createDataFrame(
+        [(i, e, 0) for i, e in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    ).createOrReplaceTempView("embeddings")
+
+    from db_converter_spark.catalog import register_views  # noqa: F401
+    from db_converter_spark.operators.dedup import (
+        _DD14_ASSIGN_SPARK,
+        _DD14_SPARK_MAIN,
+    )
+
+    assign = spark.sql(_DD14_ASSIGN_SPARK)
+    acheck = {r["vec_id"]: r["cid"] for r in assign.collect()}
+    # every A-direction vec ties between the duplicate centroids 0/251
+    # and must land on the LOWER cid; nothing may occupy cell 251
+    assert acheck[0] == 0 and acheck[251] == 0 and acheck[10] == 0
+    assert acheck[11] == 0 and acheck[502] == 502 and acheck[20] == 502
+    assign.localCheckpoint(eager=True).createOrReplaceTempView("dd14_assign")
+    got = sorted(tuple(r) for r in spark.sql(_DD14_SPARK_MAIN).collect())
+    cells = {r[0]: r for r in got}
+    assert set(cells) == {0, 502}, cells
+    # cell 0 holds {0, 251, 10, 11}: all sim-1.0 pairs are dups; the
+    # keep-rule keeps ONE member, purging the other three
+    assert cells[0][1] == 4 and cells[0][2] == 6 and cells[0][3] == 3
+    assert cells[502][1] == 2 and cells[502][2] == 1 and cells[502][3] == 1
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({i}, CAST({e} AS FLOAT[]), 0)" for i, e in rows
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + values
+        + ") t(vec_id, embedding, label)"
+    )
+    orows = sorted(tuple(r) for r in con.execute(_DD14_DUCK).fetchall())
+    assert got == orows, (got, orows)

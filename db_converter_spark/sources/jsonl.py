@@ -1,6 +1,6 @@
 """JSONL corpus source/sink — the interchange format LLM training corpora
-actually ship in (one JSON object per line, usually gzip'd: the Pile,
-RedPajama, FineWeb dumps, OpenAI/Anthropic fine-tune files all use it).
+actually ship in (one JSON object per line, usually gzip'd: the common
+public web-corpus dumps and LLM fine-tune files all use it).
 
 The reference has no corpus ingestion at all (it operates on live PG
 tables); this is a north-star extension feeding the `documents`-shaped

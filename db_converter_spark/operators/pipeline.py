@@ -942,29 +942,34 @@ GROUP BY doc_id, lang, {bucket.format(expr="w")}
 """
 
 
-def _pipe13_main(feat: str, idiv: str, hint: str) -> str:
+def _pipe13_main(feat: str, idiv: str, hint: str, lead: str = "WITH") -> str:
+    # ``lead``: "WITH" for a standalone statement, "," when the caller has
+    # already opened a WITH chain (the DuckDB oracle prepends its feat CTE) —
+    # a parameter instead of post-hoc string surgery on the rendered SQL,
+    # which would silently malform the oracle if the spliced literal drifted.
+    # _q20 columns are fixed-point at 2^20 (a ratio of 1.0 scores 1048576).
     return f"""
-WITH stats AS (
+{lead} stats AS (
   SELECT b,
     CAST(SUM(c) AS BIGINT) AS cr,
     CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS ct
   FROM {feat}
   GROUP BY b
 ), w AS (
-  SELECT b, ((ct + 1) * {1 << 20}) {idiv} (cr + 1) AS w_x1m
+  SELECT b, ((ct + 1) * {1 << 20}) {idiv} (cr + 1) AS w_q20
   FROM stats
 ), scored AS (
   SELECT {hint} f.doc_id, f.lang,
     CAST(SUM(f.c) AS BIGINT) AS n_tokens,
-    CAST(SUM(f.c * w.w_x1m) AS BIGINT) AS raw_score
+    CAST(SUM(f.c * w.w_q20) AS BIGINT) AS raw_score
   FROM {feat} f JOIN w ON f.b = w.b
   GROUP BY f.doc_id, f.lang
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   n_tokens,
-  CAST(raw_score {idiv} n_tokens AS BIGINT) AS dsir_score_x1m
+  CAST(raw_score {idiv} n_tokens AS BIGINT) AS dsir_score_q20
 FROM scored
-ORDER BY dsir_score_x1m DESC, doc_id
+ORDER BY dsir_score_q20 DESC, doc_id
 LIMIT {_PIPE13_TOPN}
 """
 
@@ -977,9 +982,8 @@ _PIPE13_FEAT_DUCK = _pipe13_feat(
     "unnest(list_filter(string_split(text, ' '), x -> x <> ''))",
     f"(('0x' || substr(md5({{expr}}), 1, 8))::BIGINT % {_PIPE13_B})",
 )
-_PIPE13_DUCK = (
-    f"WITH feat AS ({_PIPE13_FEAT_DUCK})"
-    + _pipe13_main("feat", "//", "").replace("WITH stats AS (", ", stats AS (")
+_PIPE13_DUCK = f"WITH feat AS ({_PIPE13_FEAT_DUCK})" + _pipe13_main(
+    "feat", "//", "", lead=","
 )
 
 

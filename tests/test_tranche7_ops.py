@@ -84,7 +84,7 @@ def test_pipe13_known_fixed_point_arithmetic(spark):
     ).createOrReplaceTempView("documents")
     rows = _spark_pipe13(spark).collect()
     expected = _expected_scores(_DOCS)
-    got = {r["doc_id"]: (r["lang"], r["n_tokens"], r["dsir_score_x1m"]) for r in rows}
+    got = {r["doc_id"]: (r["lang"], r["n_tokens"], r["dsir_score_q20"]) for r in rows}
     assert got == expected, (got, expected)
     # the target-domain doc ranks first; order is score-desc
     assert [r["doc_id"] for r in rows] == sorted(
@@ -131,21 +131,25 @@ def test_pipe13_enriches_target_on_real_corpus(spark):
 
     rows = QUERIES["pipe13_importance_resample"].builder(spark, SF_DIR).collect()
     assert rows, "empty selection"
-    scores = [r["dsir_score_x1m"] for r in rows]
+    scores = [r["dsir_score_q20"] for r in rows]
     assert scores == sorted(scores, reverse=True)
-    en = [r["dsir_score_x1m"] for r in rows if r["lang"] == "en"]
-    other = [r["dsir_score_x1m"] for r in rows if r["lang"] != "en"]
+    en = [r["dsir_score_q20"] for r in rows if r["lang"] == "en"]
+    other = [r["dsir_score_q20"] for r in rows if r["lang"] != "en"]
     assert en and other, "fixture should contain both target and non-target"
     assert sum(en) / len(en) > sum(other) / len(other)
 
 
 def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
-    """dd14's packed argmax key (cs_x1m·10¹² − cid) under EXACT cosine
-    ties — the case duplicate embeddings create and the parquet fixtures
-    never pin: two identical centroid vectors at different cids must
-    both lose every tie to the lower cid (empty high-cid cell), and the
-    keep-rule must purge the more centroid-typical member. Runs the SAME
-    rows through the DuckDB oracle and asserts identical output."""
+    """dd14's packed argmax key (cs_x1m·10²⁰ − cid, DECIMAL/HUGEINT-wide
+    so EVERY BIGINT cid is ordering-safe) under EXACT cosine ties — the
+    case duplicate embeddings create and the parquet fixtures never pin:
+    two identical centroid vectors at different cids must both lose every
+    tie to the lower cid (empty high-cid cell), and the keep-rule must
+    purge the more centroid-typical member — through the full TWO-LEVEL
+    assignment (supers here are a subset of {0, 251, 502}; every
+    membership case collapses to the flat answer on this fixture). Runs
+    the SAME rows through the DuckDB oracle and asserts identical
+    output."""
     import duckdb
 
     from db_converter_spark.operators.dedup import _DD14_DUCK

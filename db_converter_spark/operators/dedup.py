@@ -1147,17 +1147,21 @@ def dd10_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DD10_TAIL_SPARK)
 
 
-def _dd10_prepare(spark: SparkSession, sf_dir: str) -> None:
+def _dd10_prepare(spark: SparkSession, sf_dir: str, with_doc_sh: bool = True) -> None:
     """Materialize dd10's three expensive intermediates (signatures,
     gated candidates, candidate-doc shingles) as temp views — shared by
-    dd10's verify aggregate and dd13's verified-edge components."""
+    dd10's verify aggregate and dd13's verified-edge components. dd15
+    passes ``with_doc_sh=False``: it scores against its own corpus-wide
+    inverted index, so the candidate-restricted shingle table would be
+    wasted work."""
     register_views(spark, sf_dir)
     sig = spark.sql(_DD10_SIG_SPARK).localCheckpoint(eager=True)
     sig.createOrReplaceTempView("dd10_sig")
     cand = spark.sql(_DD10_CAND_SPARK).localCheckpoint(eager=True)
     cand.createOrReplaceTempView("dd10_cand")
-    doc_sh = spark.sql(_DD10_DOCSH_SPARK).localCheckpoint(eager=True)
-    doc_sh.createOrReplaceTempView("dd10_doc_sh")
+    if with_doc_sh:
+        doc_sh = spark.sql(_DD10_DOCSH_SPARK).localCheckpoint(eager=True)
+        doc_sh.createOrReplaceTempView("dd10_doc_sh")
 
 
 # ---------------------------------------------------------------------------
@@ -1467,13 +1471,20 @@ def dc03_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus (random embeddings have no true near-dups; real deployments use
 # ~0.95+).
 #
-# Scale shape: centroid table broadcast; assignment = map-side cross join +
-# per-vec argmin (one shuffle keyed vec_id); the pair join shuffles on cid
-# once and is cell-bounded; per-cluster aggregate reuses that partitioning.
-# With k ∝ n the n·k assignment becomes the dominant term at extreme
-# scale — the standard IVF trade, mitigated in deployment by hierarchical
-# (coarse→fine) assignment; the declarative shape is unchanged by that
-# swap.
+# Scale shape: assignment is TWO-LEVEL (r6 — the r5 flat vecs×cents cross
+# join was the one asymptotically-quadratic stage left in the repo:
+# O(n·k) = O(n²/251) with k ∝ n). ~√k SUPER-centroids are drawn from the
+# centroid set by md5-residue (layout-independent — no id-structure
+# collapse possible — and anchored at the min centroid id so the set is
+# never empty); each vector argmaxes over the √k supers (n·√k), then
+# argmaxes only over its super-cell's ~√k child centroids (n·√k) — total
+# O(n·√k) = O(n^1.5/16) instead of O(n²/251), the standard IVF
+# coarse→fine assignment with nprobe=1. The pair join shuffles on cid
+# once and is cell-bounded; per-cluster aggregate reuses that
+# partitioning. Probe-1 coarse assignment is an approximation at cell
+# boundaries (a vector may land on a centroid in its probed cell when a
+# slightly nearer centroid lives in a neighbor cell) — the standard IVF
+# trade; both engines compute the identical rule, so the oracle is exact.
 
 # PRIME stride: with a composite stride (first attempt: 256), any id
 # layout whose block offsets share a factor with the stride collapses the
@@ -1488,12 +1499,14 @@ _DD14_CENT_PRED = "vec_id % 251 = 0"
 _DD14_TAU = 0.35
 
 
-def _dd14_main(dot_ab: str, assign_src: str) -> str:
+def _dd14_main(dot_ab: str, assign_src: str, lead: str = "WITH") -> str:
     """From a materialized assignment relation (vec_id, cid, cs — centroid
     cosine — embedding, nrm) to the per-cluster purge report. ``dot_ab``:
-    dialect dot product over a.embedding/b.embedding."""
+    dialect dot product over a.embedding/b.embedding. ``lead``: "WITH" for
+    a standalone statement, "," when the caller already opened a WITH
+    chain (parameterized instead of post-hoc string surgery)."""
     return f"""
-WITH pairs AS (
+{lead} pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
     a.cs AS cs_a, b.cs AS cs_b,
     ROUND(({dot_ab}) / (a.nrm * b.nrm), 6) AS sim
@@ -1531,40 +1544,100 @@ LEFT JOIN purge_stats g ON g.cid = c.cid
 """
 
 
-# Assignment is an ARGMAX AGGREGATE, not a window: with k ∝ n the n·k
-# similarity stream is the big relation, and a ROW_NUMBER window must
-# shuffle ALL of it (measured at sf10: 156M wide rows through one
-# exchange), while max_by collapses map-side to one row per vec before
-# the exchange. The (cs, lowest-cid) tiebreak packs into one BIGINT key
-# cs_x1m·10¹² − cid (cs_x1m ∈ [−1e6, 1e6] ⇒ |key| < 1.1e18, safe while
-# centroid ids stay < ~8e18); cs rides as an exact x1e6 integer so the
+# Every argmax in the assignment is an AGGREGATE, not a window: max_by
+# collapses map-side to one row per group before any exchange, while a
+# ROW_NUMBER window must shuffle the whole similarity stream (measured at
+# sf10 in r5: 156M wide rows through one exchange). The (cs, lowest-cid)
+# tiebreak packs into ONE wide integer key cs_x1m·10²⁰ − cid, computed in
+# DECIMAL(30,0) (Spark) / HUGEINT (DuckDB): one cs_x1m unit outweighs any
+# BIGINT cid (|cid| < 9.3e18 < 10²⁰), so the ordering is exact for EVERY
+# possible centroid id — the r5 BIGINT key (×10¹²) silently mis-ordered
+# once ids passed 1e12. cs rides as an exact x1e6 integer so the
 # keep-rule's >/= comparisons are float-free. Embeddings re-join AFTER
 # the argmax, so only n-scale narrow rows ever shuffle.
 
-_DD14_ASSIGN_SPARK = """
+
+def _dd14_key(col: str, cast: str) -> str:
+    """The packed (cosine DESC, id ASC) argmax key: ``cast`` widens cs_x1m
+    past BIGINT (DECIMAL(30,0) on Spark, HUGEINT on DuckDB)."""
+    return f"{cast} * 100000000000000000000 - {col}"
+
+
+def _dd14_assign_sql(nrm: str, cos: str, h: str, widen: str) -> str:
+    """Two-level (coarse→fine) centroid assignment, dialect-parameterized.
+
+    ``nrm``: L2-norm expression over ``embedding``; ``cos(a, av, an, b,
+    bv, bn)`` is produced by format on alias/vector/norm column names;
+    ``h``: md5→BIGINT hash template over ``{x}``; ``widen``: cast template
+    widening ``{x}`` past BIGINT for the packed key.
+    """
+    key = lambda col: _dd14_key(col, widen.format(x="cs_x1m"))  # noqa: E731
+    cos_vs = cos.format(a="v", av="embedding", an="nrm", b="s", bv="sv", bn="snrm")
+    cos_cs = cos.format(a="c", av="cv", an="cnrm", b="s", bv="sv", bn="snrm")
+    cos_vc = cos.format(a="v", av="embedding", an="nrm", b="c", bv="cv", bn="cnrm")
+    return f"""
 WITH vecs AS (
-  SELECT vec_id, embedding,
-    sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                   0.0D, (acc, x) -> acc + x)) AS nrm
+  SELECT vec_id, embedding, {nrm} AS nrm
   FROM embeddings
 ), cents AS (
   SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-  FROM vecs WHERE {cent_pred}
+  FROM vecs WHERE {_DD14_CENT_PRED}
+), cstats AS (
+  SELECT COUNT(*) AS k, MIN(cid) AS mc,
+    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+  FROM cents
+), sel AS (
+  -- integer-exact ceil(sqrt(k)): float sqrt slop at perfect squares would
+  -- otherwise let the two engines pick different strides
+  SELECT CASE WHEN s0 * s0 >= k THEN s0 ELSE s0 + 1 END AS s, mc FROM cstats
+), supers AS (
+  -- ~sqrt(k) super-centroids by md5 residue: layout-independent (hashing
+  -- destroys any blocked/sharded id structure — the prime-stride lesson
+  -- does not recur) and anchored at the min centroid id's residue class,
+  -- so the super set always contains at least that centroid
+  SELECT c.cid AS sid, c.cv AS sv, c.cnrm AS snrm
+  FROM cents c CROSS JOIN sel
+  WHERE {h.format(x="c.cid")} % s = {h.format(x="mc")} % s
+), vsim AS (
+  SELECT v.vec_id, s.sid, {cos_vs} AS cs_x1m
+  FROM vecs v CROSS JOIN supers s
+), vsup AS (
+  SELECT vec_id, max_by(sid, {key("sid")}) AS sid FROM vsim GROUP BY vec_id
+), csim AS (
+  SELECT c.cid, s.sid, {cos_cs} AS cs_x1m
+  FROM cents c CROSS JOIN supers s
+), csup AS (
+  SELECT cid, max_by(sid, {key("sid")}) AS sid FROM csim GROUP BY cid
 ), sims AS (
-  SELECT v.vec_id, c.cid,
-    CAST(ROUND(1000000.0 * aggregate(zip_with(v.embedding, c.cv,
-               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-               0.0D, (acc, x) -> acc + x) / (v.nrm * c.cnrm)) AS BIGINT) AS cs_x1m
-  FROM vecs v CROSS JOIN cents c
+  SELECT v.vec_id, c.cid, {cos_vc} AS cs_x1m
+  FROM vsup p
+  JOIN csup m ON m.sid = p.sid
+  JOIN cents c ON c.cid = m.cid
+  JOIN vecs v ON v.vec_id = p.vec_id
 ), pick AS (
   SELECT vec_id,
-    max_by(cid, cs_x1m * 1000000000000 - cid) AS cid,
+    max_by(cid, {key("cid")}) AS cid,
     MAX(cs_x1m) AS cs
   FROM sims GROUP BY vec_id
 )
 SELECT p.vec_id, p.cid, p.cs, v.embedding, v.nrm
 FROM pick p JOIN vecs v ON p.vec_id = v.vec_id
-""".format(cent_pred=_DD14_CENT_PRED)
+"""
+
+
+_DD14_ASSIGN_SPARK = _dd14_assign_sql(
+    nrm=(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x))"
+    ),
+    cos=(
+        "CAST(ROUND(1000000.0 * aggregate(zip_with({a}.{av}, {b}.{bv},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x) / ({a}.{an} * {b}.{bn})) AS BIGINT)"
+    ),
+    h="CAST(conv(substring(md5(CAST({x} AS STRING)), 1, 15), 16, 10) AS BIGINT)",
+    widen="CAST({x} AS DECIMAL(7,0))",
+)
 
 _DD14_SPARK_MAIN = _dd14_main(
     "aggregate(zip_with(a.embedding, b.embedding, "
@@ -1572,29 +1645,17 @@ _DD14_SPARK_MAIN = _dd14_main(
     "dd14_assign",
 )
 
-_DD14_DUCK_ASSIGN = """
-  WITH vecs AS (
-    SELECT vec_id, embedding,
-      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-    FROM embeddings
-  ), cents AS (
-    SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-    FROM vecs WHERE {cent_pred}
-  ), sims AS (
-    SELECT v.vec_id, c.cid,
-      CAST(ROUND(1000000.0 * list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(v.embedding))],
-            i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
-            / (v.nrm * c.cnrm)) AS BIGINT) AS cs_x1m
-    FROM vecs v CROSS JOIN cents c
-  ), pick AS (
-    SELECT vec_id,
-      max_by(cid, cs_x1m * 1000000000000 - cid) AS cid,
-      MAX(cs_x1m) AS cs
-    FROM sims GROUP BY vec_id
-  )
-  SELECT p.vec_id, p.cid, p.cs, v.embedding, v.nrm
-  FROM pick p JOIN vecs v ON p.vec_id = v.vec_id
-""".format(cent_pred=_DD14_CENT_PRED)
+_DD14_DUCK_ASSIGN = _dd14_assign_sql(
+    nrm="sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
+    cos=(
+        "CAST(ROUND(1000000.0 * list_sum(list_transform("
+        "[CAST(g AS INT) for g in generate_series(1, len({a}.{av}))],"
+        " i -> CAST({a}.{av}[i] AS DOUBLE) * CAST({b}.{bv}[i] AS DOUBLE)))"
+        " / ({a}.{an} * {b}.{bn})) AS BIGINT)"
+    ),
+    h="(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT)",
+    widen="{x}::HUGEINT",
+)
 
 _DD14_DUCK = (
     f"WITH dd14_assign AS ({_DD14_DUCK_ASSIGN})\n"
@@ -1602,7 +1663,8 @@ _DD14_DUCK = (
         "list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(a.embedding))], "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))",
         "dd14_assign",
-    ).replace("WITH pairs AS", ", pairs AS", 1)
+        lead=",",
+    )
 )
 
 
@@ -1614,9 +1676,11 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exemplar) — per-cluster report of cell size, duplicate pairs, purged
     count + id checksum, max similarity. Centroids are a fixed-STRIDE
     deterministic slice (k ∝ n, cells ~250 at any scale — the paper's
-    scaling, measured: 105× → 29.8× at 100× data after the stride swap
-    and the argmax-aggregate assignment); centroid broadcast shared with
-    ss03's shape, argmax via map-side-combinable max_by."""
+    scaling); assignment is TWO-LEVEL coarse→fine (r6): ~√k md5-residue
+    super-centroids, vector→super argmax, then argmax over the probed
+    cell's ~√k children only — O(n·√k) total, replacing the r5 flat
+    O(n·k)=O(n²/251) cross join. Every argmax is a map-side-combinable
+    max_by on an exact wide-integer (cosine, lowest-id) key."""
     register_views(spark, sf_dir)
     assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
     assign.createOrReplaceTempView("dd14_assign")
@@ -1635,16 +1699,26 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # containee→container pairs at containment >= 0.5 — the purge signal for
 # subset duplication that dd10's j >= 0.8 gate never fires on.
 #
-# Scale shape: identical to dd10 (the three expensive intermediates are
-# shared — signatures, gated candidates, candidate-doc shingles, each
-# materialized once); the containment tail is the same O(candidates)
-# shingle-intersection join, just normalized by the smaller set instead
-# of the union. Honest caveat, documented: candidates come from
-# SYMMETRIC MinHash banding, which under-recalls extreme containment at
-# very large size ratios (J -> 0 collapses band-collision probability);
-# the production fix is banding on the containee's partial signatures,
-# which changes candidate generation only — the scoring below is ratio-
-# independent.
+# Candidate generation is TWO-CHANNEL (r6 closes the r5 recall gap):
+# dd10's symmetric MinHash banding catches comparable-size near-dups, and
+# a CONTAINEE-SIDE bottom-k sketch channel catches the extreme-ratio
+# pairs banding structurally misses (a 50-token doc inside a 5,000-token
+# doc has J ≈ 0.01 — band-collision probability collapses). Bottom-k:
+# each doc's 4 smallest grams by md5 order (a uniform deterministic
+# sample of its shingle set — the containee's partial signature) probe
+# the corpus-wide inverted gram index; if containment(A ⊆ B) ≥ c, each
+# probe hits B with probability ≥ c, so P(pair surfaces) ≥ 1 − (1−c)⁴
+# (≥ 0.94 at the 0.5 emit threshold, 1.0 for verbatim embedding).
+# Postings with document frequency > 100 are dropped before probing
+# (mega-posting guard, the dd10 bucket-cap analog: boilerplate grams mint
+# O(df²) junk pairs; honest residual: a containee whose ENTIRE bottom-4
+# is boilerplate can still hide).
+#
+# Scale shape: the corpus inverted index is ONE explode + DISTINCT
+# (uniform md5-domain keys); bottom-k is a doc_id-partitioned window over
+# it; the probe join is posting-bounded (≤ 4·df per doc, df ≤ 100); the
+# scoring tail is the same O(candidates) shingle-intersection join as
+# dd10, normalized by the smaller set — ratio-independent.
 
 
 def _dd15_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
@@ -1683,7 +1757,81 @@ WHERE 2 * n_common >= sz_containee
 """
 
 
-_DD15_TAIL_SPARK = "WITH " + _dd15_tail("dd10_cand", "dd10_doc_sh", hints=True)
+_DD15_BOTTOM_K = 4
+_DD15_MAX_DF = 100
+
+
+def _dd15_fullsh(wordsh: str, split_fn: str) -> str:
+    """Corpus-wide inverted gram index over exact-dedup reps:
+    (doc_id, sh), DISTINCT per doc."""
+    return f"""
+SELECT DISTINCT doc_id, sh
+FROM (
+  SELECT r.doc_id, {wordsh} AS sh
+  FROM (SELECT doc_id, {split_fn}(text, ' ') AS w
+        FROM (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text) reps) r
+) t
+"""
+
+
+_DD15_FULLSH_SPARK = _dd15_fullsh(f"explode({_DD10_WORDSH_W_SPARK})", "split")
+_DD15_FULLSH_DUCK = _dd15_fullsh(f"unnest({_DD10_WORDSH_W_DUCK})", "string_split")
+
+
+def _dd15_cand_ctes(full_sh: str, hints: bool = False) -> str:
+    """The containee-channel CTEs (gram_df → bottom-k → probe pairs);
+    callers open their own WITH chain and union ``ccand`` with the
+    symmetric-banding candidates."""
+    h_probe = "/*+ BROADCAST(g) */ " if hints else ""
+    return f"""
+gram_df AS (
+  SELECT sh, COUNT(*) AS df FROM {full_sh} GROUP BY sh
+), bk AS (
+  -- the containee's partial signature: its {_DD15_BOTTOM_K} smallest grams
+  -- in md5 order (uniform deterministic sample; raw-gram tiebreak)
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rn
+    FROM {full_sh}
+  ) t WHERE rn <= {_DD15_BOTTOM_K}
+), ccand AS (
+  -- DISTINCT applied OUTSIDE the hinted join subquery: Spark 4.1 throws
+  -- an internal AttributeMap error (Union rewriteConstraints) when a
+  -- hinted DISTINCT projection of LEAST/GREATEST feeds a UNION branch
+  SELECT DISTINCT da, db FROM (
+    SELECT {h_probe}
+      LEAST(b.doc_id, f.doc_id)    AS da,
+      GREATEST(b.doc_id, f.doc_id) AS db
+    FROM bk b
+    JOIN gram_df g ON g.sh = b.sh AND g.df <= {_DD15_MAX_DF}
+    JOIN {full_sh} f ON f.sh = b.sh AND f.doc_id <> b.doc_id
+  ) probe
+)"""
+
+
+def _dd15_cand_union(sym_cand: str) -> str:
+    # UNION ALL + outer DISTINCT, not UNION: Spark 4.1's UnionBase
+    # constraint rewrite throws an internal AttributeMap error when the
+    # deduplicating-UNION branch carries ccand's LEAST/GREATEST-derived
+    # constraints; semantics are identical.
+    return f"""
+SELECT DISTINCT da, db FROM (
+  SELECT da, db FROM ccand
+  UNION ALL
+  SELECT da, db FROM {sym_cand}
+) u
+"""
+
+
+_DD15_CCAND_SPARK = (
+    "WITH " + _dd15_cand_ctes("dd15_sh", hints=True) + "\nSELECT da, db FROM ccand"
+)
+# the union runs over two MATERIALIZED views (dd15_ccand, dd10_cand):
+# unioning the live ccand plan trips a Spark 4.1 internal AttributeMap
+# error (UnionBase.rewriteConstraints, key not found: da#...) from the
+# LEAST/GREATEST-derived constraints; checkpointed views carry none.
+_DD15_CAND_SPARK = _dd15_cand_union("dd10_cand").replace("ccand", "dd15_ccand")
+_DD15_TAIL_SPARK = "WITH " + _dd15_tail("dd15_cand", "dd15_sh", hints=True)
 
 
 def _dd15_duck() -> str:
@@ -1703,29 +1851,43 @@ sig AS ({sig}),
 bands AS (
   {branches}
 ),{_dd10_band_ctes("sig")},
-cdocs AS (
-  SELECT da AS doc_id FROM cand UNION SELECT db FROM cand
-), doc_sh AS (
-  SELECT DISTINCT doc_id, sh
-  FROM (
-    SELECT d.doc_id, unnest({_DD10_WORDSH_W_DUCK}) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
-    JOIN cdocs c ON c.doc_id = d.doc_id
-  ) t
-),{_dd15_tail("cand", "doc_sh")}
+full_sh AS ({_DD15_FULLSH_DUCK}),
+{_dd15_cand_ctes("full_sh")},
+cand2 AS ({_dd15_cand_union("cand")}),{_dd15_tail("cand2", "full_sh")}
 """
 
 
 @query("dd15_containment", oracle=_dd15_duck(), tags=("dedup", "containment", "lsh"))
 def dd15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional containment scoring over dd10's gated LSH candidates:
-    |A∩B| / |smaller set| per pair, emitting containee→container pairs at
-    containment >= 0.5 — the doc-in-doc / near-superset signal symmetric
-    Jaccard misses (a short doc inside a long one has low J but high
-    containment). Shares dd10's materialized signatures/candidates/
-    shingles; the tail is the same O(candidates) intersection join
+    """Directional containment scoring: |A∩B| / |smaller set| per
+    candidate pair, emitting containee→container pairs at containment
+    >= 0.5 — the doc-in-doc / near-superset signal symmetric Jaccard
+    misses (a short doc inside a long one has low J but high
+    containment). Candidates are TWO-CHANNEL (r6): dd10's symmetric
+    MinHash banding (shared materialized signatures/candidates) UNION a
+    containee-side bottom-k gram sketch probing the corpus inverted
+    index — the channel that actually surfaces extreme size-ratio
+    containment, which banding's collision probability (∝ J^4) never
+    fires on. The tail is the same O(candidates) intersection join
     normalized by the smaller set."""
-    _dd10_prepare(spark, sf_dir)
+    _dd10_prepare(spark, sf_dir, with_doc_sh=False)
+    full_sh = spark.sql(_DD15_FULLSH_SPARK).localCheckpoint(eager=True)
+    full_sh.createOrReplaceTempView("dd15_sh")
+    ccand = spark.sql(_DD15_CCAND_SPARK).localCheckpoint(eager=True)
+    ccand.createOrReplaceTempView("dd15_ccand")
+    # Spark 4.1 bug dodge: the deduplicating union trips an internal
+    # AttributeMap error (UnionBase.rewriteConstraints: key not found)
+    # when a branch's checkpointed lineage carries LEAST/GREATEST- or
+    # da<db-derived constraints. Constraint propagation is pure optimizer
+    # pruning — off for this ONE statement, restored immediately.
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        cand = spark.sql(_DD15_CAND_SPARK).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev)
+    cand.createOrReplaceTempView("dd15_cand")
     return spark.sql(_DD15_TAIL_SPARK)
 
 

@@ -24,37 +24,33 @@ def _restore_views(spark):
     register_views(spark, SF_DIR)
 
 
+def _run_dd15_on_docs(spark, rows):
+    """Synthesize a documents view and run the FULL dd15 builder on it
+    (register_views no-ops via the memo, so the fixture view survives)."""
+    from db_converter_spark.operators.dedup import dd15_containment
+
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).createOrReplaceTempView("documents")
+    spark._dbc_registered_sf = SF_DIR  # memo: keep the synthesized view
+    return {
+        (r["containee"], r["container"]): r
+        for r in dd15_containment(spark, SF_DIR).collect()
+    }
+
+
 def test_dd15_catches_doc_in_doc_jaccard_misses(spark):
     """A 60-word doc embedded verbatim in an 80-word doc: containment is
     exactly 1.0 while Jaccard (~0.74) sits BELOW dd10's 0.8 dup gate —
     the asymmetric signal dd15 exists for. Fixture pinned from a
     deterministic md5-based search (seed 0 survives the banding +
     signature-agreement gates)."""
-    from db_converter_spark.operators.dedup import (
-        _DD10_CAND_SPARK,
-        _DD10_DOCSH_SPARK,
-        _DD10_SIG_SPARK,
-        _DD15_TAIL_SPARK,
-    )
-
     a_words = [f"w0x{i}" for i in range(60)]
     b_words = a_words + [f"z0y{i}" for i in range(20)]
     c_words = [f"c0q{i}" for i in range(60)]
     rows = [(1, " ".join(a_words)), (2, " ".join(b_words)), (3, " ".join(c_words))]
-    spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in rows],
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
-    ).createOrReplaceTempView("documents")
-    spark.sql(_DD10_SIG_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd10_sig"
-    )
-    spark.sql(_DD10_CAND_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd10_cand"
-    )
-    spark.sql(_DD10_DOCSH_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd10_doc_sh"
-    )
-    out = {(r["containee"], r["container"]): r for r in spark.sql(_DD15_TAIL_SPARK).collect()}
+    out = _run_dd15_on_docs(spark, rows)
     assert (1, 2) in out, out
     r = out[(1, 2)]
     # word 5-grams: doc1 has 56 shingles, all contained in doc2's 76
@@ -65,6 +61,39 @@ def test_dd15_catches_doc_in_doc_jaccard_misses(spark):
     assert r["jaccard_x1000"] == 737, r
     # the unrelated doc never pairs
     assert all(k == (1, 2) for k in out), out
+
+
+def test_dd15_extreme_ratio_containment_beyond_banding(spark):
+    """The r5 recall gap, planted: a 50-word doc embedded verbatim in a
+    5,000-word doc (J ≈ 0.009 — symmetric band collision probability
+    ∝ J⁴ ≈ 7e-9, so dd10's channel structurally misses it). The
+    containee-side bottom-k channel must surface it with containment
+    exactly 1.0 — and the materialized dd10_cand view must show the
+    symmetric channel alone really did miss the pair."""
+    import random
+
+    rng = random.Random(42)
+    a_words = [f"inner{i}" for i in range(50)]
+    b_words = (
+        [f"pre{i}" for i in range(2500)] + a_words + [f"post{i}" for i in range(2450)]
+    )
+    filler = [
+        (10 + j, " ".join(f"f{j}x{rng.randrange(10**6)}" for _ in range(80)))
+        for j in range(10)
+    ]
+    rows = [(1, " ".join(a_words)), (2, " ".join(b_words))] + filler
+    out = _run_dd15_on_docs(spark, rows)
+    # symmetric banding alone misses the extreme-ratio pair ...
+    sym = {(r["da"], r["db"]) for r in spark.table("dd10_cand").collect()}
+    assert (1, 2) not in sym, sym
+    # ... the bottom-k containee channel finds it, at containment 1.0
+    assert (1, 2) in out, out
+    r = out[(1, 2)]
+    assert r["sz_containee"] == 46, r
+    assert r["sz_container"] == 4996, r
+    assert r["n_common"] == 46, r
+    assert r["containment_x1000"] == 1000, r
+    assert r["jaccard_x1000"] == 9, r  # 46/4996 — invisible to banding
 
 
 def test_pipe11_known_token_arithmetic(spark):

@@ -1133,7 +1133,9 @@ _PQT_K = 8   # codewords trained per subspace (bounded broadcast side)
 _PQT_T = 2   # fixed Lloyd iterations — determinism + oracle parity
 
 
-def _ss11_main(pqflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+def _ss11_stages(pqflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> list[str]:
+    """The unrolled per-subspace Lloyd's CTE stages — shared by ss11's
+    training oracle and ss12's trained-ADC oracle."""
     stages = ([prelude] if prelude else []) + [
         f"""cent0 AS (
   SELECT CAST(vec_id {intdiv} 16 AS BIGINT) AS cid, m, sd, x AS val
@@ -1163,6 +1165,11 @@ def _ss11_main(pqflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str 
     ON u.m = c.m AND u.cid = c.cid AND u.sd = c.sd
 )"""
         )
+    return stages
+
+
+def _ss11_main(pqflat: str, intdiv: str, hint_c: str, hint_u: str, prelude: str = "") -> str:
+    stages = _ss11_stages(pqflat, intdiv, hint_c, hint_u, prelude)
     last = _PQT_T
     return f"""
 WITH {", ".join(stages)}
@@ -1248,3 +1255,104 @@ def ss11_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution."""
     register_views(spark, sf_dir)
     return _ss11_body(spark)
+
+
+# ---------------------------------------------------------------------------
+# ss12 — trained-PQ ADC top-k (the full train→encode→serve PQ path)
+# ---------------------------------------------------------------------------
+# ss11 trains the per-subspace codebooks but nothing consumed them (ss06
+# still ADC-ranks against fixture-slice codewords) — ss12 closes the PQ
+# train→serve loop the way ss08 closed it for IVF: train via ss11's
+# materialized loop, ENCODE every vector against the FINAL codebooks (one
+# more broadcast-argmin pass — the M·n code table, 1 byte/subspace in a
+# real deployment), build the query's 32-row ADC lookup table, and rank by
+# the summed table lookups. The scan side never touches raw vectors:
+# serving cost is |codes| narrow rows joined to a broadcast M·K table —
+# the whole point of PQ at 100 TB (Jégou et al. 2011 §IV).
+
+_SS12_TAIL = f"""
+WITH qtab AS (
+  SELECT /*+ BROADCAST(q) */ c.m, c.cid,
+         SUM((q.x - c.val) * (q.x - c.val)) AS d
+  FROM {{cent}} c
+  JOIN (SELECT m, d, x FROM {{pqflat}} WHERE vec_id = 0) q
+    ON q.m = c.m AND q.d = c.d
+  GROUP BY c.m, c.cid
+)
+SELECT /*+ BROADCAST(qt) */ e.vec_id, CAST(SUM(qt.d) AS BIGINT) AS adc_l2sq
+FROM {{codes}} e JOIN qtab qt ON qt.m = e.m AND qt.cid = e.cid
+WHERE e.vec_id <> 0
+GROUP BY e.vec_id
+ORDER BY adc_l2sq ASC, e.vec_id
+LIMIT 10
+"""
+
+
+def _ss12_duck() -> str:
+    stages = _ss11_stages(
+        "pqflat", "//", "", "",
+        prelude=f"pqflat AS ({_ss11_pqflat(_SS07_VFLAT_DUCK, '//')})",
+    )
+    last = _PQT_T
+    return f"""
+WITH {", ".join(stages)},
+encd AS (
+  SELECT v.vec_id, v.m, c.cid, SUM((v.x - c.val) * (v.x - c.val)) AS dd
+  FROM pqflat v JOIN cent{last} c ON c.m = v.m AND c.sd = v.sd
+  GROUP BY v.vec_id, v.m, c.cid
+), codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, cid) AS rn
+    FROM encd) r WHERE rn = 1
+), qtab AS (
+  SELECT c.m, c.cid, SUM((q.x - c.val) * (q.x - c.val)) AS d
+  FROM cent{last} c
+  JOIN (SELECT m, sd, x FROM pqflat WHERE vec_id = 0) q
+    ON q.m = c.m AND q.sd = c.sd
+  GROUP BY c.m, c.cid
+)
+SELECT e.vec_id, CAST(SUM(qt.d) AS BIGINT) AS adc_l2sq
+FROM codes e JOIN qtab qt ON qt.m = e.m AND qt.cid = e.cid
+WHERE e.vec_id <> 0
+GROUP BY e.vec_id
+ORDER BY adc_l2sq ASC, e.vec_id
+LIMIT 10
+"""
+
+
+@query(
+    "ss12_pq_trained_topk",
+    oracle=_ss12_duck(),
+    tags=("similarity", "pq", "ann", "knn", "train"),
+)
+def ss12_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL train→encode→serve PQ path: ss11's materialized
+    per-subspace Lloyd's loop trains the M=4 codebooks, every vector is
+    ENCODED against the final codewords (one broadcast-argmin pass —
+    the narrow (vec_id, m, cid) code table a real deployment stores at
+    1 byte/subspace), the query (vec_id=0) precomputes its 32-entry ADC
+    lookup table, and the top-10 is the summed table lookups — the scan
+    never touches raw vectors (Jégou et al. 2011). Exact-integer
+    arithmetic end-to-end (the ss07 machinery), so the unrolled DuckDB
+    oracle matches bit-for-bit.
+
+    Plan: training is O(T) corpus passes (``_km_train``); the encode
+    pass partial-aggregates map-side against the broadcast 512-row
+    codeword table before one (vec_id, m)-keyed argmin shuffle; serving
+    is the code table joined to the BROADCAST 32-row qtab with a
+    map-side-combined per-vector sum and a TakeOrderedAndProject top-10
+    — no global sort, no raw-vector access."""
+    register_views(spark, sf_dir)
+    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
+    pqflat.createOrReplaceTempView("ss12_pqflat")
+    cent_view, _ = _km_train(
+        spark, "ss12_pqflat", "ss12", _PQT_T, _PQT_K * 16, extra="m"
+    )
+    codes = spark.sql(
+        _km_sqls(extra="m")["asg"].format(vflat="ss12_pqflat", cent=cent_view)
+    ).localCheckpoint(eager=True)
+    codes.createOrReplaceTempView("ss12_codes")
+    return spark.sql(
+        _SS12_TAIL.format(cent=cent_view, pqflat="ss12_pqflat", codes="ss12_codes")
+    )

@@ -212,6 +212,10 @@ _CHECK_TAIL = (
     # newest official row predates r5); its construct families all keep
     # fresh local verification via tests/test_oracle_parity.py ---
     "q35_construct_probes",
+    # --- parked r6 to fund ss12_pq_trained_topk's head slot: green in
+    # CORRECTNESS_r05.json, untouched in r6 — fingerprint-verified by the
+    # freshness guard; the dedup family keeps dd10/dd12–dd15 in the head ---
+    "dd02_norm_fingerprint",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

@@ -652,3 +652,16 @@ def test_pipe13_broadcast_weights_topn_no_global_sort(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_ss12_serving_is_code_table_and_broadcast_lookups(spark):
+    """Trained-PQ ADC serving: the ranked scan reads the checkpointed code
+    table joined to the BROADCAST 32-row ADC lookup table (never raw
+    vectors, never a shuffle join), and top-10 is TakeOrderedAndProject
+    — no global sort anywhere in the serving tail."""
+    plan = _plan(spark, "ss12_pq_trained_topk")
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan

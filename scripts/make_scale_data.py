@@ -37,23 +37,30 @@ N_REP = 10
 
 # 10 distinct vowel permutations (index 0 = identity); for replica counts
 # beyond 10 a consonant rotation (i // 10) provides the second distinct
-# knob, so every replica's text transform is unique up to 100 replicas.
+# knob, and beyond 100 a second consonant-set rotation (i // 100) a third
+# — every replica's text transform is unique up to 1000 replicas (sf100),
+# so cross-replica exact duplicates never form (k-way duplicate cliques
+# would let exact-dedup reps collapse the corpus and understate scale).
 VOWELS = [
     "aeiou", "eioua", "iouae", "ouaei", "uaeio",
     "aeiuo", "eioau", "iouea", "ouaie", "uaeoi",
 ]
 CONS = "bcdfghjklm"
+CONS2 = "npqrstvwxz"
 
 
 def _translate_expr(i: int) -> str:
     if i == 0:
         return "text"
     src_chars, dst_chars = "aeiou", VOWELS[i % 10]
-    j = i // 10
+    j = (i // 10) % 10
     if j:
-        rot = CONS[j:] + CONS[:j]
         src_chars += CONS
-        dst_chars += rot
+        dst_chars += CONS[j:] + CONS[:j]
+    k = i // 100
+    if k:
+        src_chars += CONS2
+        dst_chars += CONS2[k:] + CONS2[:k]
     return f"translate(text, '{src_chars}', '{dst_chars}')"
 
 M = 1_000_000
@@ -115,17 +122,26 @@ def replica_select(table: str, i: int) -> str:
 def main() -> int:
     global N_REP
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=10, help="replica count (10=sf1, 100=sf10)")
+    ap.add_argument("--reps", type=int, default=10, help="replica count (10=sf1, 100=sf10, 1000=sf100)")
     ap.add_argument("--dst", default=str(DST))
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma list to restrict generation (e.g. documents,embeddings,events"
+        " for the sf100 memory-pressure probe — the heavy family's inputs)",
+    )
     args = ap.parse_args()
     N_REP = args.reps
     dst = Path(args.dst)
     dst.mkdir(parents=True, exist_ok=True)
+    only = {t for t in args.tables.split(",") if t}
     con = duckdb.connect()
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ):
+        if only and t not in only:
+            continue
         selects = [s for i in range(N_REP) if (s := replica_select(t, i))]
         union = " UNION ALL ".join(selects)
         out = dst / f"{t}.parquet"

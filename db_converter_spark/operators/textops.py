@@ -857,3 +857,131 @@ def ta11_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta11_tf"
     )
     return spark.sql(_TA11_TAIL.format(tf="ta11_tf"))
+
+
+# ---------------------------------------------------------------------------
+# ta12 — reference-LM perplexity bucketing (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+# ta07 scores rarity against the WHOLE-corpus trigram LM; the filter the
+# published pipelines actually run (CCNet, Wenzek et al. 2020; reused by
+# LLaMA/RedPajama) trains the LM on a clean REFERENCE domain (Wikipedia)
+# and buckets the corpus into head/middle/tail by corpus-relative
+# perplexity tertiles. ta12 is that shape: the lang='en' slice stands in
+# for the reference domain, every document scores the mean smoothed
+# in-reference probability of its character trigrams (an integer
+# perplexity proxy: HIGH mean probability = LOW perplexity = head), and
+# the tertile cut uses a 1,024-bin histogram + cumulative window —
+# corpus-relative quantiles WITHOUT a global sort (exact to bin
+# resolution, deterministic, identical in both engines; the head/middle
+# boundaries land on bin edges exactly like a production quantile
+# sketch would).
+#
+# Fixed point: per-trigram probability q20 = ((cnt_ref + 1) << 20) DIV
+# (n_ref + v_ref) (add-1 smoothing; OOV trigrams hit the LEFT JOIN's
+# NULL -> 1 numerator), per-doc score = mean of its trigram q20s via
+# integer DIV — every value exact BIGINT in both engines (the pipe13
+# fixed-point pattern in the LM domain; BIGINT holds to ~8e12 reference
+# trigrams, the pipe13 bound).
+#
+# Scale shape: ONE corpus explode feeds both the reference counts
+# (lang-filtered, vocab-bounded output) and the scoring join (reference
+# vocabulary broadcast); per-doc scores collapse map-side to one row per
+# document; the histogram is a <=1,025-row aggregate; the cumulative
+# window and tertile cuts are bounded; the final labeling re-reads the
+# CHECKPOINTED doc-score table against two broadcast scalars. No
+# rangepartitioning anywhere.
+
+_TA12_BINW = 16  # score in [0, 2^20] -> <=65,537 histogram bins (a
+# bounded aggregate at any corpus); width 16 resolves tertiles on the
+# realistic score range (mean trigram probabilities land in a narrow
+# q20 band - 1024-wide bins collapsed the whole corpus into ~3 bins)
+
+
+def _ta12_docs(base: str, explode_fn: str, intdiv: str) -> str:
+    """(doc_id, lang, n_trigrams, score_q20) — one explode, broadcast
+    reference join, map-side-combined per-doc aggregate."""
+    return f"""
+WITH tg AS (
+  SELECT doc_id, lang, {explode_fn} AS g FROM {base}
+), ref AS (
+  SELECT g, COUNT(*) AS cnt FROM tg WHERE lang = 'en' GROUP BY g
+), refstats AS (
+  SELECT SUM(cnt) AS n_ref, COUNT(*) AS v_ref FROM ref
+)
+SELECT t.doc_id, t.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+  CAST(SUM((COALESCE(r.cnt, 0) + 1) * {1 << 20} {intdiv} (rs.n_ref + rs.v_ref))
+       {intdiv} COUNT(*) AS BIGINT) AS score_q20
+FROM tg t
+LEFT JOIN ref r ON r.g = t.g
+CROSS JOIN refstats rs
+GROUP BY t.doc_id, t.lang
+"""
+
+
+def _ta12_tail(docs: str, lead: str = "WITH") -> str:
+    """Histogram-tertile labeling over a (checkpointed) doc-score table.
+    ``lead``: "WITH" standalone, "," inside an open WITH chain."""
+    return f"""
+{lead} bins AS (
+  SELECT score_q20 {{intdiv}} {_TA12_BINW} AS bin, COUNT(*) AS n
+  FROM {docs} GROUP BY score_q20 {{intdiv}} {_TA12_BINW}
+), cum AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum_n,
+         SUM(n) OVER () AS total
+  FROM bins
+), cuts AS (
+  -- ascending score: the bottom tertile is the TAIL (lowest reference
+  -- probability = highest perplexity), the top tertile the HEAD
+  SELECT MIN(CASE WHEN 3 * cum_n >= total THEN bin END)     AS b_tail,
+         MIN(CASE WHEN 3 * cum_n >= 2 * total THEN bin END) AS b_mid
+  FROM cum
+)
+SELECT lang, ppl_bucket,
+  CAST(COUNT(*) AS BIGINT)      AS n_docs,
+  CAST(SUM(n_trigrams) AS BIGINT) AS n_trigrams,
+  CAST(MIN(score_q20) AS BIGINT) AS min_score_q20,
+  CAST(MAX(score_q20) AS BIGINT) AS max_score_q20
+FROM (
+  SELECT d.lang, d.n_trigrams, d.score_q20,
+    CASE WHEN d.score_q20 {{intdiv}} {_TA12_BINW} <= c.b_tail THEN 'tail'
+         WHEN d.score_q20 {{intdiv}} {_TA12_BINW} <= c.b_mid  THEN 'middle'
+         ELSE 'head' END AS ppl_bucket
+  FROM {docs} d CROSS JOIN cuts c
+) t
+GROUP BY lang, ppl_bucket
+"""
+
+
+_TA12_DOCS_SPARK = _ta12_docs("ta12_base", "explode(gs)", "DIV")
+_TA12_TAIL_SPARK = _ta12_tail("ta12_docs").format(intdiv="DIV")
+# the docs CTE body keeps its own nested WITH (tg/ref/refstats) — legal in
+# a parenthesized CTE body, same composition as dd14's oracle
+_TA12_DUCK = (
+    "WITH base AS ("
+    + _ta07_base("list_transform(range(1, length(text) - 1), i -> substring(text, i::INT, 3))")
+    + "), docs AS ("
+    + _ta12_docs("base", "unnest(gs)", "//")
+    + ")"
+    + _ta12_tail("docs", lead=",").format(intdiv="//")
+)
+
+
+@query("ta12_ppl_buckets", oracle=_TA12_DUCK, tags=("text", "lm", "quality", "ccnet"))
+def ta12_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): a character
+    trigram LM trained on the reference slice (lang='en'), every document
+    scored by integer-exact mean smoothed in-reference trigram
+    probability (high = fluent = head), corpus-relative tertiles cut on
+    a 1,024-bin histogram with a bounded cumulative window — the
+    head/middle/tail census per language that the published pipelines
+    feed into sampling. No global sort anywhere; the doc-score table is
+    checkpointed once and re-read by the histogram and the labeler."""
+    register_views(spark, sf_dir)
+    spark.sql(_TA07_BASE_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta12_base"
+    )
+    spark.sql(_TA12_DOCS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta12_docs"
+    )
+    return spark.sql(_TA12_TAIL_SPARK)

@@ -216,6 +216,10 @@ _CHECK_TAIL = (
     # CORRECTNESS_r05.json, untouched in r6 — fingerprint-verified by the
     # freshness guard; the dedup family keeps dd10/dd12–dd15 in the head ---
     "dd02_norm_fingerprint",
+    # --- parked r6 to fund ta12_ppl_buckets' head slot: green in
+    # CORRECTNESS_r05.json, untouched in r6 — q37_pivot keeps the
+    # PIVOT/UNPIVOT family's head coverage ---
+    "q38_unpivot",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

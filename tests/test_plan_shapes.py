@@ -654,6 +654,17 @@ def test_pipe13_broadcast_weights_topn_no_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_ta12_no_global_sort_no_corpus_rescan(spark):
+    """Perplexity bucketing: the labeling tail reads ONLY the checkpointed
+    doc-score table (no parquet re-scan), the tertile cut is a bounded
+    histogram + window — never a rangepartitioning global sort — and no
+    shuffle join appears anywhere."""
+    plan = _plan(spark, "ta12_ppl_buckets")
+    assert "Scan parquet" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_ss12_serving_is_code_table_and_broadcast_lookups(spark):
     """Trained-PQ ADC serving: the ranked scan reads the checkpointed code
     table joined to the BROADCAST 32-row ADC lookup table (never raw

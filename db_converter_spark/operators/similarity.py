@@ -22,12 +22,22 @@ bit-for-bit; verified by the parity suite).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_converter_spark.catalog import load_table, register_views
 from db_converter_spark.functions.vectors import cosine_similarity
 from db_converter_spark.registry import query
+
+# Storage level for the CORPUS-SCALE checkpointed intermediates (the
+# exploded n·d vflat/pqflat tables, ~128M rows at sf100): the
+# localCheckpoint default stores blocks DESERIALIZED, whose JVM object
+# overhead OOM'd ss07 at sf100 on a 16 GB heap (SCALE_PROBE_R6_MEM.json);
+# serialized MEMORY_AND_DISK is 3-5x smaller and overflows to disk
+# gracefully under unroll pressure. Bounded tables (codebooks,
+# assignments, candidate sets) keep the fast deserialized default.
+_BIG_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 N_PLANES = 6
 
@@ -799,7 +809,9 @@ def ss08_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k of the corpus, and the top-10 compiles to
     TakeOrderedAndProject, never a global sort."""
     register_views(spark, sf_dir)
-    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
+    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
+    )
     vflat.createOrReplaceTempView("ss08_vflat")
     cent_view, _ = _km_train(spark, "ss08_vflat", "ss08", _KM_T, _KM_K * 16)
     return spark.sql(_SS08_TAIL.format(vflat="ss08_vflat", cent=cent_view))
@@ -833,7 +845,9 @@ def ss07_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     # materialize the exploded quantized-vector table ONCE. Narrow
     # schema: (vec_id, d, x) ≈ 24 B/row.
-    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(eager=True)
+    vflat = spark.sql(_SS07_VFLAT_SPARK).localCheckpoint(
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
+    )
     vflat.createOrReplaceTempView("ss07_vflat")
     cent_view, asg_view = _km_train(spark, "ss07_vflat", "ss07", _KM_T, _KM_K * 16)
     return spark.sql(_KM_FINAL_SS07.format(cent=cent_view, asg=asg_view))
@@ -1227,7 +1241,9 @@ def _ss11_body(spark: SparkSession) -> DataFrame:
     """ss11 over whatever `embeddings` view is registered — split out so
     structural tests can inject synthetic corpora without the builder
     re-registering the real tables."""
-    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
+    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
+    )
     pqflat.createOrReplaceTempView("ss11_pqflat")
     cent_view, asg_view = _km_train(
         spark, "ss11_pqflat", "ss11", _PQT_T, _PQT_K * 16, extra="m"
@@ -1344,7 +1360,9 @@ def ss12_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined per-vector sum and a TakeOrderedAndProject top-10
     — no global sort, no raw-vector access."""
     register_views(spark, sf_dir)
-    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(eager=True)
+    pqflat = spark.sql(_SS11_PQFLAT_SPARK).localCheckpoint(
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
+    )
     pqflat.createOrReplaceTempView("ss12_pqflat")
     cent_view, _ = _km_train(
         spark, "ss12_pqflat", "ss12", _PQT_T, _PQT_K * 16, extra="m"

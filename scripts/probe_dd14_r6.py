@@ -53,17 +53,37 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     out = {"probe": "dd14 two-level assignment, r6", "scales": list(prev)}
+    base_views = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+
+    def clean() -> None:
+        # leaked operator views pin checkpoint blocks, and System.gc()
+        # queues the cleaner ASYNCHRONOUSLY — without the drop+drain the
+        # next timed run absorbs the churn (the r6 bench q03 lesson; the
+        # first version of this probe measured 170.8 s at sf10 where the
+        # clean harness measures ~14 s)
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name not in base_views:
+                spark.catalog.dropTempView(t.name)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+
     for label, d in scales:
         spark._dbc_registered_sf = None
         register_views(spark, d)
-        n, k, sup, lvl2 = spark.sql(AUDIT_SQL).collect()[0]
         t_best = None
         for _ in range(2):
             t0 = time.perf_counter()
             qs["dd14_semdedup"].builder(spark, d).collect()
             t = time.perf_counter() - t0
             t_best = t if t_best is None else min(t_best, t)
-            spark.sparkContext._jvm.System.gc()
+            clean()
+        spark._dbc_registered_sf = None
+        register_views(spark, d)
+        n, k, sup, lvl2 = spark.sql(AUDIT_SQL).collect()[0]
+        clean()
         rec = {
             "scale": label,
             "n_vecs": n,

@@ -107,7 +107,17 @@ def main() -> int:
             t0 = time.perf_counter()
             try:
                 df = qs[name].builder(spark, d)
-                n_rows = df.count()
+                # force EVERY column: a bare count() lets Catalyst
+                # eliminate LEFT-JOIN tails wholesale (dd14's pair stage
+                # vanished and the probe under-measured it 8x) — hash all
+                # columns into one aggregated row instead
+                from pyspark.sql import functions as F
+
+                n_rows = (
+                    df.select(F.xxhash64(*df.columns).alias("h"))
+                    .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)"))
+                    .collect()[0]["n"]
+                )
                 wall = time.perf_counter() - t0
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 # post-action plans double-count via the AQE initial-plan
@@ -135,6 +145,7 @@ def main() -> int:
                     spark.catalog.dropTempView(t.name)
             spark.sparkContext._jvm.System.gc()
             time.sleep(2)
+            path.write_text(json.dumps(out, indent=1) + "\n")  # persist per leg
         if rec.get("sf10", {}).get("wall_s") and rec.get("sf100", {}).get("wall_s"):
             rec["wall_ratio_100x_vs_10x"] = round(
                 rec["sf100"]["wall_s"] / rec["sf10"]["wall_s"], 1

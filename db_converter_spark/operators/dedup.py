@@ -1971,3 +1971,98 @@ def dc04_benchmark_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set broadcasts with item ids, the corpus explode streams through
     the join un-shuffled; aggregates key on the bench item."""
     return _sql(spark, sf_dir, _DC04_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd16 — LSH calibration audit (estimated vs exact Jaccard per agreement)
+# ---------------------------------------------------------------------------
+# The banding parameters everything upstream rests on (dd04/dd10's 2×4
+# bands, the ≥5-of-8 agreement gate, the j ≥ 0.8 verify threshold) are
+# theory-derived; a production pipeline VALIDATES them by comparing the
+# MinHash ESTIMATE against exact Jaccard on the verified candidates —
+# E[agree/8] = J, so each agreement level should track its exact-J band,
+# and the calibration table is what you read before retuning bands/rows
+# (Broder 1997's estimator, audited the way Lee et al. 2022 audit their
+# dedup thresholds). dd16 emits, per signature-agreement level (5..8):
+# candidate count, mean/min/max exact Jaccard (x1000), the estimator's
+# mean absolute error, and how many pairs pass the 0.8 dup gate — i.e.
+# the per-level precision of the banding stack.
+#
+# Scale shape: reuses dd10's three materialized intermediates verbatim
+# (signatures / gated candidates / candidate-doc shingles); the agreement
+# recount is a candidates×signatures broadcast join (8 integer equality
+# checks per pair on already-computed hashes); exact J is the same
+# O(candidates) intersection join dd10's verify tail runs; output is ≤4
+# rows.
+
+
+def _dd16_tail(cand: str, doc_sh: str, sig: str, hints: bool = False) -> str:
+    h_agree = "/*+ BROADCAST(c) */ " if hints else ""
+    return (
+        _dd10_jac_ctes(cand, doc_sh, hints)
+        + f""", agree AS (
+  SELECT {h_agree}c.da, c.db, ({_DD10_AGREE}) AS n_agree
+  FROM {cand} c
+  JOIN {sig} sa ON sa.doc_id = c.da
+  JOIN {sig} sb ON sb.doc_id = c.db
+)
+SELECT a.n_agree,
+  CAST(COUNT(*) AS BIGINT)                                   AS n_pairs,
+  CAST(ROUND(1000.0 * AVG(j.j)) AS BIGINT)                   AS mean_jaccard_x1000,
+  CAST(ROUND(1000.0 * MIN(j.j)) AS BIGINT)                   AS min_jaccard_x1000,
+  CAST(ROUND(1000.0 * MAX(j.j)) AS BIGINT)                   AS max_jaccard_x1000,
+  CAST(ROUND(1000.0 * AVG(ABS(a.n_agree / 8.0 - j.j))) AS BIGINT)
+                                                             AS est_abs_err_x1000,
+  CAST(SUM(CASE WHEN j.j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dup_gate
+FROM agree a
+JOIN jac j ON j.da = a.da AND j.db = a.db
+GROUP BY a.n_agree
+"""
+    )
+
+
+_DD16_TAIL_SPARK = "WITH " + _dd16_tail("dd10_cand", "dd10_doc_sh", "dd10_sig", hints=True)
+
+
+def _dd16_duck() -> str:
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band,"
+        " md5(concat("
+        + ", ',', ".join(f"CAST(h{4*b+i} AS VARCHAR)" for i in range(4))
+        + ")) AS bkey FROM sig"
+        for b in range(2)
+    )
+    sig = _DD10_SIG_DUCK.replace("FROM documents", "FROM reps")
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+sig AS ({sig}),
+bands AS (
+  {branches}
+),{_dd10_band_ctes("sig")},
+cdocs AS (
+  SELECT da AS doc_id FROM cand UNION SELECT db FROM cand
+), doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT d.doc_id, unnest({_DD10_WORDSH_W_DUCK}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+    JOIN cdocs c ON c.doc_id = d.doc_id
+  ) t
+),{_dd16_tail("cand", "doc_sh", "sig")}
+"""
+
+
+@query("dd16_lsh_calibration", oracle=_dd16_duck(), tags=("dedup", "lsh", "calibration", "eval"))
+def dd16_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH calibration audit: per signature-agreement level of
+    dd10's gated candidates, the exact-Jaccard distribution, the
+    estimator's mean absolute error (E[agree/8] = J — Broder's bound,
+    checked empirically) and the per-level precision at the j >= 0.8 dup
+    gate — the table that justifies (or retunes) the banding parameters
+    the whole dedup stack rests on. Reuses dd10's three materialized
+    intermediates; the agreement recount is a broadcast join over
+    already-computed hashes; output <= 4 rows."""
+    _dd10_prepare(spark, sf_dir)
+    return spark.sql(_DD16_TAIL_SPARK)

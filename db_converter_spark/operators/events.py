@@ -1350,3 +1350,87 @@ def ev15_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the 168-row relation."""
     register_views(spark, sf_dir)
     return spark.sql(_EV15_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev16 — watermark-lag audit (what would an N-minute watermark drop?)
+# ---------------------------------------------------------------------------
+# The streaming operators (ev03/ev07/ev10) all run `withWatermark(ts, "30
+# minutes")` — a number someone has to PICK, and picking it wrong either
+# drops real events (too tight) or holds state forever (too loose). ev16
+# is the batch audit that choice comes from, with Structured Streaming's
+# OWN lateness semantics: arrival order (event_id) chunks into
+# micro-batches, the watermark an event is judged against is the max
+# event time of all PRIOR batches (Spark advances the watermark between
+# micro-batches, never within one), and lateness = that high-water mark
+# minus the event's own time. For each candidate watermark policy, the
+# events it would discard as too-late, per event type. Output is
+# |event_types| × |policies| rows.
+#
+# Scale shape: ONE scan → per-batch max (bounded aggregate, uniform
+# keys) → running max as a window over the BOUNDED batch table → the
+# batch-hwm relation broadcast back onto the scan (batch id is a pure
+# projection of event_id — no second corpus pass) → 4-row policy
+# relation broadcast → bounded aggregate. No global sort anywhere.
+
+_EV16_POLICIES = "(60), (300), (1800), (3600)"
+_EV16_BATCH = 1000  # arrival-order events per audited micro-batch
+
+
+def _ev16(late_s: str, values_pol: str, hint: str = "") -> str:
+    return f"""
+WITH batches AS (
+  SELECT event_id {{intdiv}} {_EV16_BATCH} AS b, MAX(ts) AS bmax
+  FROM events GROUP BY event_id {{intdiv}} {_EV16_BATCH}
+), hwm AS (
+  SELECT b, MAX(bmax) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM batches
+), late AS (
+  SELECT {hint}e.event_type, {late_s} AS late_s
+  FROM events e JOIN hwm h ON e.event_id {{intdiv}} {_EV16_BATCH} = h.b
+  WHERE h.wm IS NOT NULL
+), pol AS (
+  SELECT * FROM {values_pol}
+)
+SELECT l.event_type,
+  CAST(p.w_s AS BIGINT)                                       AS watermark_s,
+  CAST(COUNT(*) AS BIGINT)                                    AS n_judged,
+  CAST(SUM(CASE WHEN l.late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_behind_wm,
+  CAST(SUM(CASE WHEN l.late_s > p.w_s THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_dropped,
+  CAST(ROUND(100000.0 * SUM(CASE WHEN l.late_s > p.w_s THEN 1 ELSE 0 END)
+             / COUNT(*)) AS BIGINT)                           AS drop_rate_x100k,
+  CAST(MAX(l.late_s) AS BIGINT)                               AS max_lateness_s
+FROM late l CROSS JOIN pol p
+GROUP BY l.event_type, p.w_s
+"""
+
+
+_EV16_SPARK = _ev16(
+    "CAST(unix_timestamp(h.wm) - unix_timestamp(e.ts) AS BIGINT)",
+    f"VALUES {_EV16_POLICIES} AS t(w_s)",
+    hint="/*+ BROADCAST(h) */ ",
+).format(intdiv="div")
+_EV16_DUCK = _ev16(
+    "CAST(date_diff('second', e.ts, h.wm) AS BIGINT)",
+    f"(VALUES {_EV16_POLICIES}) t(w_s)",
+).format(intdiv="//")
+
+
+@query("ev16_watermark_audit", oracle=_EV16_DUCK, tags=("events", "streaming", "watermark"))
+def ev16_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy audit with Structured Streaming's own lateness
+    semantics: arrival order (event_id) chunks into micro-batches, each
+    event is judged against the max event time of all PRIOR batches
+    (Spark advances the watermark between micro-batches), and per
+    (event_type, candidate watermark) the audit reports the behind-
+    watermark share, the events the policy would DROP as too-late and
+    the worst lateness — the table you read before writing
+    `withWatermark(ts, ...)` (ev03/ev07/ev10's 30-minute choice comes
+    from exactly this audit). ONE scan, a bounded per-batch aggregate, a
+    window over the bounded batch table, the batch-hwm relation
+    broadcast back, bounded output."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV16_SPARK)

@@ -220,6 +220,12 @@ _CHECK_TAIL = (
     # CORRECTNESS_r05.json, untouched in r6 — q37_pivot keeps the
     # PIVOT/UNPIVOT family's head coverage ---
     "q38_unpivot",
+    # --- parked r6 to fund ev16_watermark_audit's and
+    # dd16_lsh_calibration's head slots: green in CORRECTNESS_r05.json,
+    # untouched in r6 — the dq family keeps dq01/dq03/dq04/dq06 in the
+    # head ---
+    "dq02_rate_anomaly",
+    "dq05_fk_orphans",
 )
 # NOTE: every remaining head entry either has its newest official row in
 # r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail

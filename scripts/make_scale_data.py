@@ -136,6 +136,8 @@ def main() -> int:
     dst.mkdir(parents=True, exist_ok=True)
     only = {t for t in args.tables.split(",") if t}
     con = duckdb.connect()
+    # a 1000-replica UNION ALL exceeds the default parser depth
+    con.execute("SET max_expression_depth TO 10000")
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",

@@ -119,6 +119,12 @@ def main() -> int:
         "ss09_lsh_recall",
         "ss11_pq_train",
         "pipe13_importance_resample",
+        # r6 additions that leave checkpoint chains behind (ss12's
+        # training loop alone checkpoints ~10 relations; its residue
+        # inflated ta04 0.9 s -> 25 s three positions later)
+        "ss12_pq_trained_topk",
+        "dd16_lsh_calibration",
+        "ta12_ppl_buckets",
     }
     since_gc = 0
     for name in sorted(queries):

@@ -542,6 +542,30 @@ def test_dd15_same_accepted_shape_as_dd10(spark):
     assert plan.count("SortMergeJoin") <= 1, plan
 
 
+def test_dd15_containee_channel_stage_shape(spark):
+    """The r6 bottom-k candidate stage: reads ONLY the checkpointed
+    inverted index (zero parquet scans), the bottom-k window partitions
+    by doc_id (never a global sort), and both the df-guard and the
+    posting probe are broadcast joins — no shuffle join anywhere."""
+    from db_converter_spark.catalog import register_views
+    from db_converter_spark.operators.dedup import (
+        _DD15_CCAND_SPARK,
+        _DD15_FULLSH_SPARK,
+        _dd10_prepare,
+    )
+
+    _dd10_prepare(spark, SF, with_doc_sh=False)
+    spark.sql(_DD15_FULLSH_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dd15_sh"
+    )
+    plan = _fresh_plan(spark, _DD15_CCAND_SPARK)
+    assert "Scan parquet" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
 def test_mg06_single_scan_single_shuffle(spark):
     """CDC apply: the LWW row_number and every per-key counter are windows
     over the SAME user_id partitioning — one scan, one hash exchange, no

@@ -1574,7 +1574,7 @@ def _dd14_assign_sql(nrm: str, cos: str, h: str, widen: str) -> str:
     key = lambda col: _dd14_key(col, widen.format(x="cs_x1m"))  # noqa: E731
     cos_vs = cos.format(a="v", av="embedding", an="nrm", b="s", bv="sv", bn="snrm")
     cos_cs = cos.format(a="c", av="cv", an="cnrm", b="s", bv="sv", bn="snrm")
-    cos_vc = cos.format(a="v", av="embedding", an="nrm", b="c", bv="cv", bn="cnrm")
+    cos_vf = cos.format(a="v", av="embedding", an="nrm", b="f", bv="cv", bn="cnrm")
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding, {nrm} AS nrm
@@ -1604,16 +1604,35 @@ WITH vecs AS (
 ), vsup AS (
   SELECT vec_id, max_by(sid, {key("sid")}) AS sid FROM vsim GROUP BY vec_id
 ), csim AS (
-  SELECT c.cid, s.sid, {cos_cs} AS cs_x1m
+  -- a super ALWAYS routes to itself (forced above the 1000000 cosine
+  -- ceiling): under x1e6 rounding two near-identical supers can tie and
+  -- the lowest-sid tiebreak would route a super into the OTHER's cell,
+  -- leaving its own cell empty — any vector whose coarse argmax still
+  -- picked the emptied super would then get zero rows in sims and
+  -- silently vanish from the assignment (r6 ADVICE). Self-routing makes
+  -- every probed cell provably nonempty, so every vector survives.
+  SELECT c.cid, s.sid,
+    CASE WHEN c.cid = s.sid THEN 1000001 ELSE {cos_cs} END AS cs_x1m
   FROM cents c CROSS JOIN supers s
 ), csup AS (
   SELECT cid, max_by(sid, {key("sid")}) AS sid FROM csim GROUP BY cid
+), fine AS (
+  -- the fan-out table: each probed super's child centroids WITH their
+  -- vectors — k rows total, the SMALL side of the fine argmax
+  SELECT m.sid, c.cid, c.cv, c.cnrm
+  FROM csup m JOIN cents c ON c.cid = m.cid
 ), sims AS (
-  SELECT v.vec_id, c.cid, {cos_vc} AS cs_x1m
+  -- fan-out AFTER the wide join: vecs joins vsup 1:1 first (n wide
+  -- rows), then the ~sqrt(k)-way child expansion happens streaming
+  -- through the fine join and collapses map-side in pick's max_by. The
+  -- r6 ordering (vsup->csup->cents->vecs) carried the centroid vector
+  -- through an n·sqrt(k)-row sort-merge join on vec_id — measured 56+20
+  -- GB of spill at the sf100/16 GB memory decade; this shape sorts only
+  -- the n-row relation once.
+  SELECT v.vec_id, f.cid, {cos_vf} AS cs_x1m
   FROM vsup p
-  JOIN csup m ON m.sid = p.sid
-  JOIN cents c ON c.cid = m.cid
   JOIN vecs v ON v.vec_id = p.vec_id
+  JOIN fine f ON f.sid = p.sid
 ), pick AS (
   SELECT vec_id,
     max_by(cid, {key("cid")}) AS cid,
@@ -1682,7 +1701,33 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·k)=O(n²/251) cross join. Every argmax is a map-side-combinable
     max_by on an exact wide-integer (cosine, lowest-id) key."""
     register_views(spark, sf_dir)
-    assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
+    raw = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
+    # Materialize the assignment PRE-PARTITIONED by cid and sorted within
+    # partitions (r7): the pair self-join and the cells aggregate both key
+    # on cid, so a checkpoint that carries hashpartitioning(cid)+ordering
+    # makes the whole pair stage exchange-free AND sort-free — at
+    # deployment scale that is 2x the assignment relation (n wide rows)
+    # never re-shuffled. Two steps because Dataset.checkpoint only
+    # preserves outputPartitioning when the captured plan is NOT wrapped
+    # in AdaptiveSparkPlan (measured: UnknownPartitioning under AQE): the
+    # assignment itself runs under AQE (its join strategies should adapt),
+    # then the bare exchange+sort is re-checkpointed with AQE off.
+    # ~64k rows/partition keeps a partition's cells bounded (~20 MB) at
+    # any corpus size; cap 4096.
+    n_part = max(
+        spark.sparkContext.defaultParallelism, min(4096, raw.count() // 65536 + 1)
+    )
+    conf_key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        assign = (
+            raw.repartition(n_part, "cid")
+            .sortWithinPartitions("cid")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
     assign.createOrReplaceTempView("dd14_assign")
     return spark.sql(_DD14_SPARK_MAIN)
 
@@ -1704,15 +1749,16 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a CONTAINEE-SIDE bottom-k sketch channel catches the extreme-ratio
 # pairs banding structurally misses (a 50-token doc inside a 5,000-token
 # doc has J ≈ 0.01 — band-collision probability collapses). Bottom-k:
-# each doc's 4 smallest grams by md5 order (a uniform deterministic
-# sample of its shingle set — the containee's partial signature) probe
-# the corpus-wide inverted gram index; if containment(A ⊆ B) ≥ c, each
-# probe hits B with probability ≥ c, so P(pair surfaces) ≥ 1 − (1−c)⁴
-# (≥ 0.94 at the 0.5 emit threshold, 1.0 for verbatim embedding).
-# Postings with document frequency > 100 are dropped before probing
-# (mega-posting guard, the dd10 bucket-cap analog: boilerplate grams mint
-# O(df²) junk pairs; honest residual: a containee whose ENTIRE bottom-4
-# is boilerplate can still hide).
+# each doc's 4 smallest grams by md5 order AMONG ITS RARE GRAMS
+# (document frequency ≤ 100 — the dd10 bucket-cap analog: boilerplate
+# grams mint O(df²) junk pairs) probe the corpus-wide inverted gram
+# index; if containment(A ⊆ B) ≥ c, each probe hits B with probability
+# ≥ c, so P(pair surfaces) ≥ 1 − (1−c)⁴ (≥ 0.94 at the 0.5 emit
+# threshold, 1.0 for verbatim embedding). The df filter runs BEFORE the
+# rank (r7 — r6 ranked over ALL grams and dropped df>100 postings at
+# probe time, so a containee whose entire bottom-4 was corpus-wide
+# boilerplate lost its whole signature); a doc with ZERO rare grams is
+# pure boilerplate and indistinguishable by construction.
 #
 # Scale shape: the corpus inverted index is ONE explode + DISTINCT
 # (uniform md5-domain keys); bottom-k is a doc_id-partitioned window over
@@ -1782,28 +1828,38 @@ def _dd15_cand_ctes(full_sh: str, hints: bool = False) -> str:
     """The containee-channel CTEs (gram_df → bottom-k → probe pairs);
     callers open their own WITH chain and union ``ccand`` with the
     symmetric-banding candidates."""
-    h_probe = "/*+ BROADCAST(g) */ " if hints else ""
+    # no broadcast hints on the gram_df / probe joins (r7): gram_df and bk
+    # are both corpus-scale at deployment — a forced broadcast caps scale.
+    # AQE converts either join to broadcast AT RUNTIME when the built side
+    # is actually small (it is at bench sf), so the unhinted plan is fast
+    # at bench scale and correct at 100 TB.
+    h_bk = ""
+    h_probe = ""
     return f"""
 gram_df AS (
   SELECT sh, COUNT(*) AS df FROM {full_sh} GROUP BY sh
 ), bk AS (
   -- the containee's partial signature: its {_DD15_BOTTOM_K} smallest grams
-  -- in md5 order (uniform deterministic sample; raw-gram tiebreak)
+  -- in md5 order AMONG ITS RARE GRAMS (df <= {_DD15_MAX_DF}, filtered
+  -- BEFORE the rank — r7: ranking over all grams let an all-boilerplate
+  -- bottom-{_DD15_BOTTOM_K} erase the signature; raw-gram tiebreak)
   SELECT doc_id, sh FROM (
-    SELECT doc_id, sh,
-      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rn
-    FROM {full_sh}
+    SELECT {h_bk}f.doc_id, f.sh,
+      ROW_NUMBER() OVER (PARTITION BY f.doc_id ORDER BY md5(f.sh), f.sh) AS rn
+    FROM {full_sh} f
+    JOIN gram_df g ON g.sh = f.sh AND g.df <= {_DD15_MAX_DF}
   ) t WHERE rn <= {_DD15_BOTTOM_K}
 ), ccand AS (
-  -- DISTINCT applied OUTSIDE the hinted join subquery: Spark 4.1 throws
-  -- an internal AttributeMap error (Union rewriteConstraints) when a
-  -- hinted DISTINCT projection of LEAST/GREATEST feeds a UNION branch
+  -- probe postings are df-bounded by construction (every bk gram has
+  -- df <= {_DD15_MAX_DF}). DISTINCT applied OUTSIDE the hinted join
+  -- subquery: Spark 4.1 throws an internal AttributeMap error (Union
+  -- rewriteConstraints) when a hinted DISTINCT projection of
+  -- LEAST/GREATEST feeds a UNION branch
   SELECT DISTINCT da, db FROM (
     SELECT {h_probe}
       LEAST(b.doc_id, f.doc_id)    AS da,
       GREATEST(b.doc_id, f.doc_id) AS db
     FROM bk b
-    JOIN gram_df g ON g.sh = b.sh AND g.df <= {_DD15_MAX_DF}
     JOIN {full_sh} f ON f.sh = b.sh AND f.doc_id <> b.doc_id
   ) probe
 )"""

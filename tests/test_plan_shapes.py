@@ -273,14 +273,20 @@ def test_dc03_bloom_and_verify_broadcast(spark):
 
 
 def test_dd14_pair_join_on_cluster_key(spark):
-    """SemDeDup: the pairwise stage must hash-join on the cluster id (cell-
-    bounded), the per-cluster stats joins must broadcast, and nothing may
-    plan as a nested loop / cartesian."""
+    """SemDeDup: the pairwise stage joins on the cluster id (cell-bounded),
+    the per-cluster stats joins broadcast, and nothing plans as a nested
+    loop / cartesian. r7: the assignment checkpoint carries
+    hashpartitioning(cid) + cid ordering (repartition+sortWithinPartitions
+    before the AQE-off checkpoint), so the pair self-join AND the cells
+    aggregate must be EXCHANGE-free and SORT-free — the merge join sits
+    directly on the checkpointed scans."""
     plan = _plan(spark, "dd14_semdedup")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "hashpartitioning(cid" in plan, plan
+    assert "SortMergeJoin [cid" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "+- Sort " not in plan, plan
 
 
 def test_dd14_assignment_is_aggregate_not_window(spark):

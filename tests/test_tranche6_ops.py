@@ -96,6 +96,57 @@ def test_dd15_extreme_ratio_containment_beyond_banding(spark):
     assert r["jaccard_x1000"] == 9, r  # 46/4996 — invisible to banding
 
 
+def test_dd15_boilerplate_framed_containee_df_aware_bottomk(spark):
+    """The r6 residual, planted (r6 verdict Next #4): 50 distinctive
+    tokens wrapped in corpus-wide boilerplate whose grams all exceed
+    df 100. The containee's four smallest-md5 grams over its FULL gram
+    set are all boilerplate (asserted below against the materialized
+    inverted index — the fixture really plants the trap), so the r6
+    rank-then-filter channel had zero probes for it; the r7 df-aware
+    bottom-k (filter to rare grams BEFORE the rank) keeps a signature
+    and surfaces the pair. Banding must also miss it (J ≈ 0.08), so the
+    containee channel is the only path."""
+    import hashlib
+
+    b1 = [f"bpa{i}" for i in range(150)]
+    b2 = [f"bpb{i}" for i in range(154)]
+    distinct = [f"needle0x{i}" for i in range(50)]
+    d1 = b1 + distinct + b2  # 354 words -> 350 distinct 5-grams
+    d2 = [f"pre{i}" for i in range(2000)] + d1 + [f"post{i}" for i in range(2000)]
+    # 120 fillers share the boilerplate frame (distinct texts — exact-dedup
+    # reps must NOT collapse them), so every pure-boilerplate gram has
+    # df >= 122 > the 100 guard
+    fillers = [(10 + j, " ".join(b1 + [f"uniq{j}"] + b2)) for j in range(120)]
+    rows = [(1, " ".join(d1)), (2, " ".join(d2))] + fillers
+    out = _run_dd15_on_docs(spark, rows)
+    # fixture validity: the naive (unfiltered) bottom-4 of doc 1 is all
+    # boilerplate — same md5-hex ordering Spark's md5(sh) uses
+    grams = sorted(
+        {" ".join(d1[i : i + 5]) for i in range(len(d1) - 4)},
+        key=lambda g: (hashlib.md5(g.encode()).hexdigest(), g),
+    )
+    naive_bot4 = grams[:4]
+    assert all("needle" not in g for g in naive_bot4), naive_bot4
+    df = {
+        r["sh"]: r["df"]
+        for r in spark.sql(
+            "SELECT sh, COUNT(*) AS df FROM dd15_sh WHERE sh IN ({}) GROUP BY sh".format(
+                ", ".join("'" + g + "'" for g in naive_bot4)
+            )
+        ).collect()
+    }
+    assert all(df[g] > 100 for g in naive_bot4), df
+    # symmetric banding misses the extreme-ratio pair ...
+    sym = {(r["da"], r["db"]) for r in spark.table("dd10_cand").collect()}
+    assert (1, 2) not in sym
+    # ... and the df-aware containee channel finds it at containment 1.0
+    assert (1, 2) in out, sorted(out)[:10]
+    r = out[(1, 2)]
+    assert r["sz_containee"] == 350, r
+    assert r["n_common"] == 350, r
+    assert r["containment_x1000"] == 1000, r
+
+
 def test_pipe11_known_token_arithmetic(spark):
     """Two docs of exactly 100 and 300 tokens: every cell of the fit
     report is hand-checkable (ceil-division seq counts, truncation loss,

@@ -27,6 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from db_converter_spark.benchutil import drop_leaked_views, gc_drain
 from db_converter_spark.registry import all_queries
 from db_converter_spark.session import build_session
 
@@ -62,33 +63,12 @@ def main() -> int:
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    samples_by: dict[str, list[float]] = {}
     degraded: list[str] = []
 
-    # Operators that materialize intermediates leave TEMP VIEWS behind
-    # (dd10_sig, dd14_assign, pipe13_feat, ...); each view pins its
-    # localCheckpoint RDD blocks for the REST of the session, so the block
-    # manager accumulates every heavy query's state and the post-heavy GC
-    # has nothing it can actually free. Dropping leaked views after every
-    # query releases the blocks so the next GC truly cleans (r5 artifact:
-    # q03 read 5.2 s best-of-3 purely from this churn landing on-clock).
-    base_views = {
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    }
-
-    def drop_leaked_views() -> None:
-        for t in spark.catalog.listTables():
-            if t.isTemporary and t.name not in base_views:
-                spark.catalog.dropTempView(t.name)
-
-    def gc_drain() -> None:
-        # System.gc() queues the ContextCleaner's shuffle/broadcast/RDD
-        # unregistration ASYNCHRONOUSLY; without a drain pause the storm
-        # lands inside the next queries' timed runs (measured: 12-15 s
-        # spikes on q02/q03 right after the heavy tail — the r5 q03
-        # regression). 2 s off-clock lets the cleaner churn pass.
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
+    # Temp-view dropping + GC-drain hygiene lives in benchutil (shared with
+    # the scale probes — r6 ADVICE: it was copy-pasted in three places).
+    # Rationale for both is documented there.
     # The heaviest queries leave the most shuffle/checkpoint state behind;
     # GC immediately after them (not on the fixed cadence) so their state
     # doesn't inflate the next five queries' numbers (r3 verdict).
@@ -128,15 +108,11 @@ def main() -> int:
     }
     since_gc = 0
     for name in sorted(queries):
-        # Periodic driver GC: Spark's ContextCleaner only unregisters old
-        # shuffles/broadcasts when the DRIVER garbage-collects, and a 90 GB
-        # heap never does on its own — measured: by query ~60 of the suite,
-        # per-query time inflates 5-25x (ta04 0.6s fresh vs 16.7s dirty)
-        # purely from accumulated shuffle state. A forced GC every few
-        # queries keeps the map-output tracker small; each pause is far
-        # cheaper than the inflation it prevents.
+        # Periodic driver GC keeps the map-output tracker small (see
+        # benchutil: a 90 GB heap never GCs on its own and per-query time
+        # inflates 5-25x by query ~60 otherwise).
         if since_gc >= 6:
-            gc_drain()
+            gc_drain(spark)
             since_gc = 0
         samples = []
         n_runs = max(1, runs)
@@ -148,18 +124,81 @@ def main() -> int:
             queries[name].builder(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
         samples.sort()
+        samples_by[name] = samples
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
         print(f"{name}: best {timings[name]:.3f}s median {medians[name]:.3f}s", file=sys.stderr)
-        drop_leaked_views()
+        drop_leaked_views(spark)
         since_gc += 1
         if name in heavy:
-            gc_drain()
+            gc_drain(spark)
             since_gc = 0
     if degraded:
         print(
             f"wall budget {budget}s exceeded: {len(degraded)} queries ran"
             f" best-of-1 (from {degraded[0]})",
+            file=sys.stderr,
+        )
+
+    # --- churn pin (r6 verdict Next #1) -----------------------------------
+    # Two failure classes put harness noise into the artifact of record:
+    #   (a) IN-RUN churn — some samples slow, median diverges from best
+    #       (r6: dq04 3.7 s best / 9.7 s median, code unchanged);
+    #   (b) PERSISTENT residue — ALL samples slow because session state
+    #       from the preceding heavy block outlived the scheduled drains
+    #       (r6: dq05 10.1 s best-of-3 vs 1.85 s in r5, code unchanged —
+    #       the med_hot diagnostic can NOT see this one, best==median).
+    # (a) is detected by the med_hot criterion; (b) by a committed
+    # expected-time reference (bench_expected.json — per-query bests from a
+    # clean idle-host run; only ever a TRIGGER, never a recorded number).
+    # Every suspect is re-measured at END of suite after a full two-cycle
+    # drain: fresh samples are APPENDED (a genuine slow query stays slow);
+    # the original samples are DISCARDED only when the post-drain
+    # re-measure is decisively (1.5x) faster — proof they measured harness
+    # state, not the operator. The compact line records who was re-sampled.
+    expected: dict[str, float] = {}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_expected.json")
+        ) as fh:
+            expected = json.load(fh).get("queries_best", {})
+    except (OSError, ValueError):
+        pass
+    suspects = [
+        n
+        for n in sorted(timings)
+        if n not in degraded
+        and (
+            medians[n] > max(1.5 * timings[n], timings[n] + 0.3)
+            or (
+                n in expected
+                and timings[n] > max(1.5 * expected[n], expected[n] + 0.3)
+            )
+        )
+    ]
+    resampled: dict[str, float] = {}
+    for name in suspects:
+        if time.perf_counter() - bench_t0 > budget * 1.25:
+            print(f"resample budget exhausted before {name}", file=sys.stderr)
+            break
+        drop_leaked_views(spark)
+        gc_drain(spark, pause=1.5, cycles=2)
+        fresh = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name].builder(spark, sf_dir).collect()
+            fresh.append(time.perf_counter() - t0)
+        drop_leaked_views(spark)
+        if min(fresh) * 1.5 < samples_by[name][0]:
+            s = sorted(fresh)  # originals measured residue, not the operator
+        else:
+            s = sorted(samples_by[name] + fresh)
+        timings[name] = round(s[0], 3)
+        medians[name] = round(s[len(s) // 2], 3)
+        resampled[name.split("_", 1)[0]] = timings[name]
+        print(
+            f"resampled {name}: best {timings[name]:.3f}s median"
+            f" {medians[name]:.3f}s (fresh {sorted(round(x, 3) for x in fresh)})",
             file=sys.stderr,
         )
 
@@ -182,6 +221,7 @@ def main() -> int:
         "queries_median": medians,
         "runs_per_query": max(1, runs),
         "n_degraded_to_single_run": len(degraded),
+        "resampled": resampled,
     }
     print(json.dumps(verbose))
     # The full verbose record (best + median per query) also lands in a
@@ -216,6 +256,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": {k.split("_", 1)[0]: v for k, v in timings.items()},
                 "med_hot": med_hot,
+                "resampled": resampled,
                 "total_ex_dd05_baseline": total_ex_baseline,
                 "sf": sf_val,
                 "n_queries": len(timings),

@@ -916,6 +916,186 @@ def dc02_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dc05 — SKETCHED source-overlap (the 100 TB deployment path dc02 names)
+# ---------------------------------------------------------------------------
+# dc02 is exact-by-definition and therefore linear in DISTINCT GRAMS — its
+# pair join streams every shared gram occurrence (measured 108× at 100×
+# data, SCALE_PROBE_R5L_100x.json). dc05 is the recurring-audit form dc02's
+# docstring promises: ONE pass over the same distinct (source, gram) stream
+# builds a per-source bottom-k (KMV) MinHash sketch — tiny, mergeable
+# partial-aggregate state — and every pairwise estimate is then computed on
+# the ≤ n_sources-row sketch relation with NO gram-keyed pair join at all.
+#
+# Estimator (Bar-Yossef et al. 2002; Beyer et al. 2007 — the classic
+# k-minimum-values coincidence estimator): with h uniform over the md5
+# domain, the k smallest hashes of A ∪ B are a uniform size-k sample of
+# the union, so  Ĵ = |bottomk(A∪B) ∩ A ∩ B| / |bottomk(A∪B)|  is a
+# consistent Jaccard estimator with RSE ≈ sqrt(J(1−J)/k).  bottomk(A∪B)
+# is computable FROM THE SKETCHES alone (the k smallest of the merged
+# bottom-k lists), which is what makes the state mergeable. Intersection
+# and containment derive integer-exactly:  Î = m·(|A|+|B|) DIV (uk+m)
+# (from J = I/(|A|+|B|−I)), containment = Î / min(|A|,|B|). Everything is
+# deterministic given md5, so the DuckDB oracle computes the IDENTICAL
+# estimate and the row hashes must match bit-for-bit; dc05's accuracy vs
+# the exact dc02 matrix is asserted separately (tests/test_r7_ops.py:
+# every pair within the documented ε at k=512).
+#
+# Scale shape: the only corpus-scale stages are the dc02 gram DISTINCT
+# (unavoidable for exact per-source cardinalities, one uniform-key
+# shuffle) and a (source, shard)-keyed bottom-k window — 16 uniform
+# md5-suffix shards per source keep every sort partition-local and
+# balanced, and the global bottom-k of a union is always contained in the
+# union of per-shard bottom-ks, so two bounded levels reproduce the exact
+# sketch. After that: ≤ n_sources rows × 512 hashes (~16 KB/source),
+# pair-joined broadcast. At 100 TB the sketches are the only state that
+# moves; re-audits union stored sketches instead of re-scanning.
+
+_DC05_K = 512  # sketch size: RSE(J) ≈ sqrt(J(1-J)/512) ≤ 2.2%; the
+# containment derivation amplifies by (|A|+|B|)/min — ε = 0.1 asserted
+
+
+def _dc05_grams(gram_explode: str, split_fn: str, len_fn: str) -> str:
+    """The dc02 distinct (source, gram) stream — the ONE corpus-scale
+    relation; everything downstream is sketch-sized."""
+    return f"""
+  SELECT DISTINCT source, {gram_explode} AS h
+  FROM (SELECT source, {split_fn}(text, ' ') AS w FROM documents) d
+  WHERE {len_fn}(w) >= 5
+"""
+
+
+def _dc05_tail(
+    sk_src: str, szs_src: str, merge_k: str, inter2: str, card: str, lead: str = "WITH"
+) -> str:
+    """Pairwise estimation over the sketch relation only. ``merge_k``:
+    k-smallest of two merged sketch lists; ``inter2``: three-way list
+    intersection count; ``card``: list length; ``lead``: "WITH" standalone,
+    "," when the caller already opened a WITH chain."""
+    return f"""
+{lead} est AS (
+  SELECT a.source AS sa, b.source AS sb,
+    za.n AS na, zb.n AS nb,
+    {merge_k} AS uks,
+    a.ks AS aks, b.ks AS bks
+  FROM {sk_src} a JOIN {sk_src} b ON a.source < b.source
+  JOIN {szs_src} za ON za.source = a.source
+  JOIN {szs_src} zb ON zb.source = b.source
+), scored AS (
+  SELECT sa, sb, na, nb,
+    {card.format(x="uks")} AS uk,
+    {inter2} AS m
+  FROM est
+)
+SELECT sa, sb,
+  CAST(na AS BIGINT) AS grams_a,
+  CAST(nb AS BIGINT) AS grams_b,
+  CAST(uk AS BIGINT) AS union_k,
+  CAST(m AS BIGINT)  AS sketch_matches,
+  CAST(CASE WHEN uk = 0 THEN 0 ELSE (1000 * m) {{div}} uk END AS BIGINT)
+    AS jaccard_est_x1000,
+  CAST(CASE WHEN uk + m = 0 THEN 0
+       ELSE (m * (na + nb)) {{div}} (uk + m) END AS BIGINT)
+    AS intersection_est,
+  CAST(CASE WHEN uk + m = 0 THEN 0
+       ELSE (1000 * ((m * (na + nb)) {{div}} (uk + m)))
+            {{div}} (CASE WHEN na < nb THEN na ELSE nb END) END AS BIGINT)
+    AS containment_est_x1000
+FROM scored
+"""
+
+
+# Spark bottom-k: two bounded levels — ROW_NUMBER per (source, 16-way
+# md5-suffix shard) keeps every sort local and uniform (a single
+# per-source partition would funnel the whole distinct-gram stream of a
+# source through one task; Spark pushes the rn <= k filter down as
+# partial+final WindowGroupLimit, so only k rows per shard ever sort
+# fully), then the ≤ 16·k survivors collapse to the exact global
+# bottom-k in one tiny per-source aggregate.
+_DC05_GRAMS_SPARK = _dc05_grams(
+    "explode(transform(sequence(1, size(w) - 4), i -> md5(array_join(slice(w, i, 5), ' '))))",
+    "split",
+    "size",
+)
+
+_DC05_SK_SPARK = f"""
+  SELECT source, slice(array_sort(collect_list(h)), 1, {_DC05_K}) AS ks
+  FROM (
+    SELECT source, h,
+      ROW_NUMBER() OVER (
+        PARTITION BY source, substring(h, 32, 1) ORDER BY h
+      ) AS rn
+    FROM dc05_grams
+  ) t
+  WHERE rn <= {_DC05_K}
+  GROUP BY source
+"""
+
+_DC05_SZS_SPARK = "SELECT source, COUNT(*) AS n FROM dc05_grams GROUP BY source"
+
+_DC05_TAIL_SPARK = _dc05_tail(
+    "dc05_sk",
+    "dc05_szs",
+    f"slice(array_sort(array_distinct(concat(a.ks, b.ks))), 1, {_DC05_K})",
+    "size(array_intersect(array_intersect(uks, aks), bks))",
+    "size({x})",
+).format(div="DIV")
+
+# DuckDB bottom-k: the ordered-list aggregate sliced to k — the
+# single-level exact form of the same sketch (fine at oracle scale; the
+# oracle runs the whole chain as ONE statement).
+_DC05_DUCK = (
+    "WITH grams AS ("
+    + _dc05_grams(
+        "unnest(list_transform(range(1, len(w) - 3), i -> md5(array_to_string(w[i : i + 4], ' '))))",
+        "string_split",
+        "len",
+    )
+    + "), szs AS (\n  SELECT source, COUNT(*) AS n FROM grams GROUP BY source\n), sk AS (\n"
+    + f"  SELECT source, (list(h ORDER BY h))[1:{_DC05_K}] AS ks FROM grams GROUP BY source\n)"
+    + _dc05_tail(
+        "sk",
+        "szs",
+        f"list_sort(list_distinct(list_concat(a.ks, b.ks)))[1:{_DC05_K}]",
+        "len(list_intersect(list_intersect(uks, aks), bks))",
+        "len({x})",
+        lead=",",
+    ).format(div="//")
+)
+
+
+@query("dc05_sketched_overlap", oracle=_DC05_DUCK, tags=("dedup", "decontamination", "sketch", "mixing"))
+def dc05_sketched_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched pairwise source-overlap: per-source bottom-512 KMV MinHash
+    sketches over dc02's word-5-gram stream (one pass, mergeable state),
+    pairwise Jaccard / intersection / containment estimated entirely from
+    the ≤ n_sources-row sketch relation — the recurring-audit deployment
+    form of dc02, whose exact pair join is linear in shared grams. The
+    estimator is deterministic given md5 (KMV coincidence counting,
+    integer-exact division), so the oracle computes the identical values;
+    accuracy vs the exact dc02 matrix is asserted at ε = 0.1 on every
+    pair (tests/test_r7_ops.py).
+
+    The distinct (source, gram) stream is materialized ONCE (serialized
+    MEMORY_AND_DISK — the ss07 lesson) and both tiny derivations (sketch,
+    cardinalities) read the checkpoint: Catalyst inlines WITH bodies, so
+    the single-statement form scanned the corpus 4x."""
+    register_views(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    grams = spark.sql(_DC05_GRAMS_SPARK).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+    grams.createOrReplaceTempView("dc05_grams")
+    spark.sql(_DC05_SK_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dc05_sk"
+    )
+    spark.sql(_DC05_SZS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dc05_szs"
+    )
+    return spark.sql(_DC05_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
 # dd10 — LSH-candidates + exact-Jaccard verify (the production near-dup path)
 # ---------------------------------------------------------------------------
 # dd05 is the exact all-pairs baseline (O(n²)-family, 10% sample by design);
@@ -1499,21 +1679,35 @@ _DD14_CENT_PRED = "vec_id % 251 = 0"
 _DD14_TAU = 0.35
 
 
-def _dd14_main(dot_ab: str, assign_src: str, lead: str = "WITH") -> str:
-    """From a materialized assignment relation (vec_id, cid, cs — centroid
-    cosine — embedding, nrm) to the per-cluster purge report. ``dot_ab``:
-    dialect dot product over a.embedding/b.embedding. ``lead``: "WITH" for
-    a standalone statement, "," when the caller already opened a WITH
-    chain (parameterized instead of post-hoc string surgery)."""
+def _dd14_pairs(dot_ab: str, assign_src: str) -> str:
+    """The within-cell duplicate-pair relation (the O(n·cell) stage —
+    the paper's own cost). ``dot_ab``: dialect dot product over
+    a.embedding/b.embedding. Spark MATERIALIZES this once (r7): Catalyst
+    inlines CTEs, so the single-statement form ran the cosine pair join
+    TWICE — once under pair_stats, once under purged — doubling the
+    interpreted-lambda work (the dominant dd14 cost at every scale; at
+    the sf100/16 GB probe the duplicated join was also the spill
+    driver). Post-filter the relation is tiny (only pairs at sim ≥ τ)."""
     return f"""
-{lead} pairs AS (
+SELECT * FROM (
   SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
     a.cs AS cs_a, b.cs AS cs_b,
     ROUND(({dot_ab}) / (a.nrm * b.nrm), 6) AS sim
   FROM {assign_src} a JOIN {assign_src} b
     ON a.cid = b.cid AND a.vec_id < b.vec_id
-), dup_pairs AS (
-  SELECT * FROM pairs WHERE sim >= {_DD14_TAU}
+) p WHERE sim >= {_DD14_TAU}
+"""
+
+
+def _dd14_main(pairs_src: str, assign_src: str, lead: str = "WITH") -> str:
+    """From the materialized assignment (vec_id, cid, cs — centroid
+    cosine — embedding, nrm) and duplicate-pair relations to the
+    per-cluster purge report. ``lead``: "WITH" for a standalone
+    statement, "," when the caller already opened a WITH chain
+    (parameterized instead of post-hoc string surgery)."""
+    return f"""
+{lead} dup_pairs AS (
+  SELECT * FROM {pairs_src}
 ), purged AS (
   -- SemDeDup keep-rule: within a duplicate pair, keep the member LESS
   -- similar to the centroid; the other is purged (ties: keep lower id)
@@ -1658,11 +1852,13 @@ _DD14_ASSIGN_SPARK = _dd14_assign_sql(
     widen="CAST({x} AS DECIMAL(7,0))",
 )
 
-_DD14_SPARK_MAIN = _dd14_main(
+_DD14_PAIRS_SPARK = _dd14_pairs(
     "aggregate(zip_with(a.embedding, b.embedding, "
     "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)",
     "dd14_assign",
 )
+
+_DD14_SPARK_MAIN = _dd14_main("dd14_pairs", "dd14_assign")
 
 _DD14_DUCK_ASSIGN = _dd14_assign_sql(
     nrm="sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
@@ -1677,13 +1873,14 @@ _DD14_DUCK_ASSIGN = _dd14_assign_sql(
 )
 
 _DD14_DUCK = (
-    f"WITH dd14_assign AS ({_DD14_DUCK_ASSIGN})\n"
-    + _dd14_main(
+    f"WITH dd14_assign AS ({_DD14_DUCK_ASSIGN}),\n dd14_pairs AS ("
+    + _dd14_pairs(
         "list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len(a.embedding))], "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))",
         "dd14_assign",
-        lead=",",
     )
+    + ")"
+    + _dd14_main("dd14_pairs", "dd14_assign", lead=",")
 )
 
 
@@ -1702,34 +1899,57 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by on an exact wide-integer (cosine, lowest-id) key."""
     register_views(spark, sf_dir)
     raw = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
-    # Materialize the assignment PRE-PARTITIONED by cid and sorted within
-    # partitions (r7): the pair self-join and the cells aggregate both key
-    # on cid, so a checkpoint that carries hashpartitioning(cid)+ordering
-    # makes the whole pair stage exchange-free AND sort-free — at
-    # deployment scale that is 2x the assignment relation (n wide rows)
-    # never re-shuffled. Two steps because Dataset.checkpoint only
-    # preserves outputPartitioning when the captured plan is NOT wrapped
-    # in AdaptiveSparkPlan (measured: UnknownPartitioning under AQE): the
-    # assignment itself runs under AQE (its join strategies should adapt),
-    # then the bare exchange+sort is re-checkpointed with AQE off.
-    # ~64k rows/partition keeps a partition's cells bounded (~20 MB) at
-    # any corpus size; cap 4096.
-    n_part = max(
-        spark.sparkContext.defaultParallelism, min(4096, raw.count() // 65536 + 1)
+    assign = _dd14_capture(spark, raw, raw.count())
+    assign.createOrReplaceTempView("dd14_assign")
+    # materialize dup_pairs ONCE (tiny post-filter): the report's two stat
+    # branches would otherwise each re-run the cosine pair join (Catalyst
+    # inlines CTEs) — see _dd14_pairs
+    spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dd14_pairs"
     )
+    return spark.sql(_DD14_SPARK_MAIN)
+
+
+def _dd14_capture(spark: SparkSession, raw: DataFrame, n: int) -> DataFrame:
+    """Capture the materialized assignment in the shape the pair stage
+    wants — GATED on the cid/partition ratio (r7).
+
+    At deployment scale the pair self-join and the cells aggregate both
+    key on cid, so a checkpoint that carries hashpartitioning(cid) +
+    ordering makes the whole pair stage exchange-free AND sort-free — 2x
+    the assignment relation (n wide rows) never re-shuffled. Two steps
+    because Dataset.checkpoint only preserves outputPartitioning when the
+    captured plan is NOT wrapped in AdaptiveSparkPlan (measured:
+    UnknownPartitioning under AQE); ~64k rows/partition keeps a
+    partition's cells bounded (~20 MB) at any corpus size, cap 4096.
+
+    The GATE: pre-partitioning pins the pair join's parallelism to the
+    number of DISTINCT cids — with k ∝ n/251 the capture is uniform at
+    scale (k/n_part ≥ 250 at n = 5M), but on a small corpus k can drop
+    BELOW the partition count and the forced shape collapses the pair
+    stage onto k cores while blocking AQE's broadcast conversion
+    (measured at sf0.1: k = 8 cids over 32 partitions ran the SMJ-pinned
+    main 31.0 s vs 5.7 s for the AQE/broadcast shape — the r7 bench
+    regression). Below k ≥ 4·n_part the assignment is left AQE-shaped:
+    tiny relations broadcast, and one reusable exchange at mid scale is
+    cheaper than starving the interpreted-lambda cosine stage of cores."""
+    n_part = max(
+        spark.sparkContext.defaultParallelism, min(4096, n // 65536 + 1)
+    )
+    k = raw.select("cid").distinct().count()  # one cheap pass on the ckpt
+    if k < 4 * n_part:
+        return raw
     conf_key = "spark.sql.adaptive.enabled"
     prev = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "false")
     try:
-        assign = (
+        return (
             raw.repartition(n_part, "cid")
             .sortWithinPartitions("cid")
             .localCheckpoint(eager=True)
         )
     finally:
         spark.conf.set(conf_key, prev)
-    assign.createOrReplaceTempView("dd14_assign")
-    return spark.sql(_DD14_SPARK_MAIN)
 
 
 # ---------------------------------------------------------------------------

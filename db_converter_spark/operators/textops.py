@@ -870,7 +870,7 @@ def ta11_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the reference domain, every document scores the mean smoothed
 # in-reference probability of its character trigrams (an integer
 # perplexity proxy: HIGH mean probability = LOW perplexity = head), and
-# the tertile cut uses a 1,024-bin histogram + cumulative window —
+# the tertile cut uses a width-16 / ≤65,537-bin histogram + cumulative window —
 # corpus-relative quantiles WITHOUT a global sort (exact to bin
 # resolution, deterministic, identical in both engines; the head/middle
 # boundaries land on bin edges exactly like a production quantile
@@ -973,7 +973,7 @@ def ta12_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram LM trained on the reference slice (lang='en'), every document
     scored by integer-exact mean smoothed in-reference trigram
     probability (high = fluent = head), corpus-relative tertiles cut on
-    a 1,024-bin histogram with a bounded cumulative window — the
+    a width-16 (≤65,537-bin) histogram with a bounded cumulative window — the
     head/middle/tail census per language that the published pipelines
     feed into sampling. No global sort anywhere; the doc-score table is
     checkpointed once and re-read by the histogram and the labeler."""

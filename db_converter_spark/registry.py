@@ -227,9 +227,10 @@ _CHECK_TAIL = (
     "dq02_rate_anomaly",
     "dq05_fk_orphans",
 )
-# NOTE: every remaining head entry either has its newest official row in
-# r2 (must be re-checked in r4), changed in r4, or is new in r4 — the tail
-# cannot grow further this round without letting an official row go stale.
+# NOTE (r7 state): the tail above parks queries whose newest official row
+# is r2–r5 and whose fingerprints the freshness guard pins; each round the
+# head takes everything whose SQL changed plus the oldest parked rows, and
+# the tail absorbs the displaced green entries (see update_official_rows.py).
 
 
 def query_fingerprint(name: str) -> str:

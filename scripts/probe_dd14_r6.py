@@ -16,6 +16,7 @@ import sys
 
 sys.path.insert(0, str(ROOT))
 
+from db_converter_spark.benchutil import drop_leaked_views, gc_drain
 from db_converter_spark.catalog import register_views
 from db_converter_spark.operators.dedup import _DD14_ASSIGN_SPARK
 from db_converter_spark.registry import all_queries
@@ -53,22 +54,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     out = {"probe": "dd14 two-level assignment, r6", "scales": list(prev)}
-    base_views = {
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    }
 
     def clean() -> None:
-        # leaked operator views pin checkpoint blocks, and System.gc()
-        # queues the cleaner ASYNCHRONOUSLY — without the drop+drain the
-        # next timed run absorbs the churn (the r6 bench q03 lesson; the
-        # first version of this probe measured 170.8 s at sf10 where the
-        # clean harness measures ~14 s)
-        for t in spark.catalog.listTables():
-            if t.isTemporary and t.name not in base_views:
-                spark.catalog.dropTempView(t.name)
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
+        # drop-views + drain between timed runs (benchutil — the r6 bench
+        # q03 lesson; the first version of this probe measured 170.8 s at
+        # sf10 where the clean harness measures ~14 s)
+        drop_leaked_views(spark)
+        gc_drain(spark)
 
     for label, d in scales:
         spark._dbc_registered_sf = None

@@ -38,6 +38,7 @@ args = ap.parse_args()
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = args.heap
 os.environ["SPARK_GRAFT_UI"] = "true"
 
+from db_converter_spark.benchutil import drop_leaked_views, gc_drain  # noqa: E402
 from db_converter_spark.registry import all_queries  # noqa: E402
 from db_converter_spark.session import build_session  # noqa: E402
 
@@ -94,10 +95,6 @@ def main() -> int:
         "cpus": spark.sparkContext.defaultParallelism,
         "results": {},
     }
-    base_views = {
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    }
     for name in names:
         rec = out["results"].setdefault(name, {})
         for label in scales:
@@ -140,11 +137,8 @@ def main() -> int:
                 }
             print(name, label, rec[label], flush=True)
             # release leaked operator views + let the cleaner drain
-            for t in spark.catalog.listTables():
-                if t.isTemporary and t.name not in base_views:
-                    spark.catalog.dropTempView(t.name)
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2)
+            drop_leaked_views(spark)
+            gc_drain(spark)
             path.write_text(json.dumps(out, indent=1) + "\n")  # persist per leg
         if rec.get("sf10", {}).get("wall_s") and rec.get("sf100", {}).get("wall_s"):
             rec["wall_ratio_100x_vs_10x"] = round(

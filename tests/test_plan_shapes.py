@@ -275,15 +275,68 @@ def test_dc03_bloom_and_verify_broadcast(spark):
 def test_dd14_pair_join_on_cluster_key(spark):
     """SemDeDup: the pairwise stage joins on the cluster id (cell-bounded),
     the per-cluster stats joins broadcast, and nothing plans as a nested
-    loop / cartesian. r7: the assignment checkpoint carries
-    hashpartitioning(cid) + cid ordering (repartition+sortWithinPartitions
-    before the AQE-off checkpoint), so the pair self-join AND the cells
-    aggregate must be EXCHANGE-free and SORT-free — the merge join sits
-    directly on the checkpointed scans."""
+    loop / cartesian. At test scale the capture GATE (k < 4·n_part) leaves
+    the assignment AQE-shaped, so the pair join must be free to broadcast
+    the tiny checkpointed side — pinning that the forced-SMJ shape (which
+    collapsed the cosine stage onto k cores, 31 s vs 5.7 s at sf0.1) does
+    NOT reappear on small corpora."""
     plan = _plan(spark, "dd14_semdedup")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Scan parquet" not in plan, plan  # pair stage reads the ckpt
+
+
+def test_dd14_capture_prepartitions_when_cells_dominate(spark):
+    """The deployment half of the capture gate: when distinct cids ≥
+    4·n_part (always true at scale — k ∝ n/251), the assignment checkpoint
+    carries hashpartitioning(cid) + cid ordering, so the pair self-join
+    AND the cells aggregate are EXCHANGE-free and SORT-free — the merge
+    join sits directly on the checkpointed scans. Pinned on a synthetic
+    assignment with k = 4·parallelism·2 cids."""
+    from pyspark.sql import functions as F
+
+    from db_converter_spark.operators.dedup import _DD14_PAIRS_SPARK, _dd14_capture
+
+    k = spark.sparkContext.defaultParallelism * 8
+    n = k * 4
+    raw = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % k).alias("cid"),
+            F.lit(1000000).alias("cs"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+            F.lit(1.0).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign = _dd14_capture(spark, raw, n)
+    assign.createOrReplaceTempView("dd14_assign")
+    # the synthetic relation is kilobytes, so AQE would (correctly)
+    # broadcast it — kill both thresholds to expose the shape the plan
+    # takes at REAL scale, where the assignment exceeds any broadcast cap
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {c: spark.conf.get(c, None) for c in confs}
+    for c, v in confs.items():
+        spark.conf.set(c, v)
+    try:
+        plan = (
+            spark.sql(_DD14_PAIRS_SPARK)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+        spark.catalog.dropTempView("dd14_assign")
     assert "SortMergeJoin [cid" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "+- Sort " not in plan, plan
@@ -706,3 +759,87 @@ def test_ss12_serving_is_code_table_and_broadcast_lookups(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def _single_partition_subtrees(plan: str) -> list[list[str]]:
+    """Each `Exchange SinglePartition` node's subtree (the indented block
+    below it, until indentation returns to the node's level or shallower)."""
+    lines = plan.splitlines()
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = depth(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["mg04_compaction_plan", "pipe06_token_budget"],
+)
+def test_cumulative_windows_stay_keyed(spark, name):
+    """r6 verdict Next #7 (keyed half): mg04's running-bytes window and
+    pipe06's budget window partition on real keys (part_month / the pack
+    key) — pin that no edit collapses them onto ONE partition."""
+    plan = _plan(spark, name)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ta12_ppl_buckets", "ev16_watermark_audit"],
+)
+def test_single_partition_windows_read_bounded_relations(spark, name):
+    """r6 verdict Next #7: these queries run cumulative windows through ONE
+    partition BY DESIGN — their inputs are bounded bin/batch relations
+    (≤65,537 histogram bins / ≤ micro-batch count), never the corpus. Pin
+    the intent mechanically: every SinglePartition exchange's subtree must
+    reach an AGGREGATE (the binning/bounding group-by) or a
+    constant/checkpointed bounded relation BEFORE any raw parquet scan — a
+    future edit that funnels a corpus-scale stream through the single
+    partition fails here, not in a 100 TB deploy."""
+    plan = _plan(spark, name)
+    subs = _single_partition_subtrees(plan)
+    assert subs, f"expected a SinglePartition window in {name}:\n{plan}"
+    bounded_markers = (
+        "HashAggregate",
+        "ObjectHashAggregate",
+        "SortAggregate",
+        "LocalTableScan",
+        "Scan ExistingRDD",  # localCheckpoint of an already-bounded relation
+        "ReusedExchange",
+    )
+    for sub in subs:
+        verdict = None
+        for ln in sub:
+            if any(m in ln for m in bounded_markers):
+                verdict = "bounded"
+                break
+            if "Scan parquet" in ln:
+                verdict = "corpus"
+                break
+        assert verdict != "corpus", (
+            f"{name}: SinglePartition window fed by a raw parquet scan\n"
+            + "\n".join(sub)
+        )
+
+
+def test_dc05_pair_stage_is_sketch_only(spark):
+    """Sketched source-overlap: the pairwise estimation tail reads ONLY the
+    checkpointed sketch/cardinality relations (no corpus re-scan — the
+    single-statement form scanned parquet 4x before the checkpoint split),
+    joins broadcast (≤ n_sources rows a side), and nothing shuffle-joins."""
+    plan = _plan(spark, "dc05_sketched_overlap")
+    assert "Scan parquet" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3, plan

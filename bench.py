@@ -46,6 +46,19 @@ def main() -> int:
     spark.range(0, spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").collect()
+    # Warm the C2 JIT over the lambda/md5/explode-heavy dedup head (r7):
+    # the suite runs alphabetically, so the dc*/dd* block is the FIRST
+    # sustained load the JVM sees and pays the whole-stage-codegen compile
+    # storm on-clock — on this round's kernel the C2 thread burned 60+ s
+    # of SYSTEM time and dc01/dc03 recorded 13/33 s bests (vs 1.5/2.3 s in
+    # r6) with ALL samples slow, invisible to the median diagnostic. One
+    # untimed pass over that block is session-boot cost, same as the q01 /
+    # Python-worker warmups above.
+    for _warm in sorted(queries):
+        if _warm.split("_", 1)[0][:2] in ("dc", "dd"):
+            queries[_warm].builder(spark, sf_dir).collect()
+            drop_leaked_views(spark)
+    gc_drain(spark)
 
     # best-of-3: two same-code runs this round recorded 83 s vs 140 s totals
     # purely from ambient host spikes (dd04 0.9 s vs 15.3 s) — a third
@@ -178,7 +191,7 @@ def main() -> int:
     ]
     resampled: dict[str, float] = {}
     for name in suspects:
-        if time.perf_counter() - bench_t0 > budget * 1.25:
+        if time.perf_counter() - bench_t0 > budget * 1.5:
             print(f"resample budget exhausted before {name}", file=sys.stderr)
             break
         drop_leaked_views(spark)
@@ -243,10 +256,15 @@ def main() -> int:
     # >0.3 s) — the handful that matter for "was the whole best-of slow or
     # just one pass", small enough to ride the compact line through the
     # capture window (the full medians dict lives in bench_verbose_last.json).
+    # Queries the churn pin already RE-MEASURED post-drain are excluded:
+    # their recorded best has a fresh verdict (the `resampled` dict), and a
+    # kept-originals merge leaves the median high by construction — listing
+    # them twice would misread as "still untrusted".
     med_hot = {
         k.split("_", 1)[0]: medians[k]
         for k in timings
         if medians[k] > max(1.5 * timings[k], timings[k] + 0.3)
+        and k.split("_", 1)[0] not in resampled
     }
     print(
         json.dumps(

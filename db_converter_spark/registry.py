@@ -57,180 +57,110 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # their construct families keep an official row via q35_construct_probes
 # (which stays in the head for that reason).
 _CHECK_TAIL = (
-    # --- green + unchanged in CORRECTNESS_r03.json; parked to fund the r4
-    # head (slots go to the 25 r2-green queries + the 7 changed in r4) ---
-    "q01_pricing_summary",
-    "q02_top_revenue_orders",
-    "q03_nation_revenue",
-    "q13_scalar_subquery",
-    "q14_in_subquery",
-    "q15_generate_series",
-    "q16_unnest_words",
-    "q17_values_inline",
-    "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_math_funcs",
-    "q23_conditional_funcs",
-    "q25_rollup",
-    "q26_like_patterns",
-    "q30_json_extract",
-    "q31_array_funcs",
-    "q32_intersect_except",
-    "q33_offset_fetch",
-    "mg01_chunk_grid",
-    "mg02_incremental_diff",
-    # mm02/mm04 re-headed in r5: the pure-stdlib PNG codec slots into
-    # their decode/resize chain (stub semantics unchanged on the text
-    # corpus, but the freshness guard rightly demands a fresh official
-    # row). q04/q05 parked in their place (r4-green, untouched).
-    "mm03_frame_sample_plumbing",
-    "ev01_windowed_event_stats",
+    # =====================================================================
+    # r7 rotation: the head refreshes the 43 OLDEST official rows (all 34
+    # r3 rows + 9 r4 rows) plus everything whose SQL changed or is new in
+    # r7 (dd14, dd15, dc05) and the four r6-new operators (dd16, ev16,
+    # ss12, ta12 — per the r6 verdict's Next #5). Everything below is
+    # parked with a green official row and a pinned fingerprint
+    # (tests/official_rows.json + the freshness guard).
+    # =====================================================================
+    # --- r4-green, unchanged since (rows re-verified every session by
+    # tests/test_oracle_parity.py and the all-131 driver_sim sweeps) ---
     "q04_left_join_counts",
     "q05_customers_without_orders",
-    "ev06_multi_rollup",
-    # --- parked mid-r4 to fund head slots for the three new r4 operators
-    # (ta07_trigram_lm, pipe03_weighted_sample, pipe04_shard_assign): green
-    # + unchanged in CORRECTNESS_r03.json, untouched by the r4 perf work ---
-    "dd06_simhash",
-    "ev04_asof_join",
-    "pii01_pii_scrub",
-    # --- parked mid-r4 to fund head slots for ss06_pq_adc_topk and
-    # ev08_stream_stream_join: green + unchanged in CORRECTNESS_r03.json,
-    # untouched by the r4 perf work ---
-    "ev02_sessionization",
-    "ta04_winnow_fingerprints",
-    # --- parked mid-r4 to fund head slots for ta08_vocab_topk and
-    # pipe05_corpus_build: green + unchanged in CORRECTNESS_r03.json,
-    # untouched by the r4 perf work ---
-    "mm01_binary_decode_plumbing",
-    "ta06_repetition_score",
-    # --- parked mid-r4 to fund head slots for ev09_stream_static_join and
-    # ev10_session_window_stream: green + unchanged in CORRECTNESS_r03.json,
-    # untouched by the r4 perf work ---
-    "dd07_embedding_neardup",
-    "ev05_range_join",
-    # --- parked mid-r4 to fund the head slot for mm05_phash_neardup:
-    # green + unchanged in CORRECTNESS_r03.json, untouched by r4 perf work
-    # (dd10's rework shares no code with dd04's banding SQL) ---
-    "dd04_minhash_lsh_bands",
-    # --- parked mid-r4 to fund the head slot for dd11_dedup_keep_best:
-    # green + unchanged in CORRECTNESS_r03.json (rows-only by design, the
-    # sketch is re-asserted every run by tests/test_sketch.py) ---
-    "ta05_hll_distinct",
-    # --- parked r5 to fund head slots for the two new r5 operators
-    # (ss07_kmeans_train, dd12_dup_substring_runs): green + unchanged in
-    # CORRECTNESS_r04.json, untouched in r5 — enforced mechanically now by
-    # tests/official_rows.json + the freshness guard ---
-    "q18_group_ordinal_having",
-    "q24_distinct_agg",
-    # --- parked r5 for ss08_ivf_trained_topk and dd13_neardup_purge:
-    # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
-    "q19_case_agg",
-    "q24b_array_agg_distinct",
-    # --- parked r5 for dc02_source_overlap and pipe06_token_budget:
-    # green + unchanged in CORRECTNESS_r04.json, untouched in r5 ---
-    "q27_pivot",
-    "q29_percentile",
-    # --- parked r5 (second tranche) to fund head slots for mg03_scd2_history,
-    # pipe07_stratified_sample, dc03_bloom_decontaminate, dd14_semdedup and
-    # ta09_bpe_train: green + unchanged in CORRECTNESS_r04.json, untouched
-    # in r5 — fingerprint-verified by the freshness guard ---
     "q06_customers_with_big_order",
     "q07_nullsafe_self_join",
     "q08_self_join_pairs",
-    "q28_lateral_top1",
-    "q34_cube_grouping_sets",
-    # --- parked r5 (third tranche) to fund head slots for ev12_funnel,
-    # ev13_retention_cohorts and pipe08_curriculum_phases: green + unchanged
-    # in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
-    # freshness guard ---
     "q09_window_top2_orders",
     "q10_window_running_sum",
     "q11_set_ops",
-    # --- parked r5 (fourth tranche) to fund head slots for dq01_constraint_audit,
-    # dq02_rate_anomaly, pipe09_leakage_safe_split, mg04_compaction_plan and
-    # ta10_vocab_growth: green + unchanged in CORRECTNESS_r04.json, untouched
-    # in r5 — fingerprint-verified by the freshness guard ---
     "q12_cte_chain",
-    "dd01_dedup_exact",
-    "dd03_minhash_signatures",
-    "ss01_cosine_topk",
-    "ta01_langid",
-    # --- parked r5 (fifth tranche) to fund head slots for
-    # ev11_interarrival_hist, mg05_table_checksum, ta11_tfidf_topterms,
-    # dq03_column_profile and pipe10_dataset_card: green + unchanged since
-    # their newest official row — fingerprint-verified by the freshness
-    # guard ---
+    "q18_group_ordinal_having",
+    "q19_case_agg",
+    "q24_distinct_agg",
+    "q24b_array_agg_distinct",
+    "q27_pivot",
+    "q28_lateral_top1",
+    "q29_percentile",
+    "q34_cube_grouping_sets",
+    "q35_construct_probes",
+    "q36_recursive_cte",
     "ta02_quality_score",
     "ta03_token_stats",
+    "ta08_vocab_topk",
     "ss02_lsh_buckets",
-    "dd09_span_dedup",
-    "pipe03_weighted_sample",
-    # parked to fund q37_pivot's and dq04_reconciliation's head slots
     "ss03_ivf_assign",
     "ss04_ivf_topk",
-    # --- parked r5 (sixth tranche) to fund head slots for dd15_containment,
-    # pipe11_context_fit, dq05_fk_orphans, q38_unpivot and ss09_lsh_recall:
-    # green in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified
-    # by the freshness guard; every family keeps fresh head coverage
-    # (ss07/ss08/ss09, dc02/dc03, dd10..dd15, ta09/ta10/ta11) ---
     "ss05_knn_join",
     "ss06_pq_adc_topk",
-    "dc01_decontaminate",
-    "dd11_dedup_keep_best",
-    "ta08_vocab_topk",
-    # --- parked r5 (seventh tranche) to fund head slots for mg06_cdc_apply,
-    # ev14_transition_matrix and ss10_ivf_balance: green in
-    # CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
-    # freshness guard; streaming stays fully in the head (rows-only checks
-    # are the weaker gate, so they re-run every round) ---
     "pipe02_sequence_pack",
     "pipe04_shard_assign",
-    "mm05_phash_neardup",
-    # --- parked r5 (eighth tranche) to fund head slots for
-    # dc04_benchmark_burn and pipe12_epoch_plan: green in
-    # CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified by the
-    # freshness guard (q36 stays locally oracle-verified every run by
-    # test_oracle_parity; ev09 is the simplest streaming entry and stays
-    # engine-tested by tests/test_streaming.py) ---
-    "q36_recursive_cte",
-    "ev09_stream_static_join",
-    # --- parked r5 (ninth tranche) to fund ev15_load_profile's head slot:
-    # green in CORRECTNESS_r04.json, untouched in r5 — fingerprint-verified;
-    # ev03 stays engine-tested every run by tests/test_streaming.py ---
     "ev03_streaming_window",
-    # --- parked r5 (tenth tranche) to fund head slots for ss11_pq_train
-    # and dq06_distribution_drift: green in CORRECTNESS_r04.json, untouched
-    # in r5 — fingerprint-verified; both are rows-only streaming checks
-    # whose real gate (state bounds, watermark semantics, checkpoint
-    # restart) runs every session in tests/test_streaming.py ---
     "ev07_stream_dedup",
     "ev08_stream_stream_join",
-    # --- parked r5 (eleventh tranche) to fund pipe13_importance_resample's
-    # head slot: q35 is the construct-family probe, official-green in r4 and
-    # fingerprint-unchanged since (the only remaining head entry whose
-    # newest official row predates r5); its construct families all keep
-    # fresh local verification via tests/test_oracle_parity.py ---
-    "q35_construct_probes",
-    # --- parked r6 to fund ss12_pq_trained_topk's head slot: green in
-    # CORRECTNESS_r05.json, untouched in r6 — fingerprint-verified by the
-    # freshness guard; the dedup family keeps dd10/dd12–dd15 in the head ---
+    "ev09_stream_static_join",
+    # --- r5-green, unchanged since ---
     "dd02_norm_fingerprint",
-    # --- parked r6 to fund ta12_ppl_buckets' head slot: green in
-    # CORRECTNESS_r05.json, untouched in r6 — q37_pivot keeps the
-    # PIVOT/UNPIVOT family's head coverage ---
     "q38_unpivot",
-    # --- parked r6 to fund ev16_watermark_audit's and
-    # dd16_lsh_calibration's head slots: green in CORRECTNESS_r05.json,
-    # untouched in r6 — the dq family keeps dq01/dq03/dq04/dq06 in the
-    # head ---
     "dq02_rate_anomaly",
     "dq05_fk_orphans",
+    # --- r6-green, unchanged in r7: parked to fund the 43 oldest rows'
+    # head slots (every family keeps head coverage via the r7 head's
+    # dd04/dd06/dd07 + dd14/dd15/dd16, dc01/dc05, ss01/ss12, ta01/ta04/
+    # ta05/ta06/ta12, mm01/mm03/mm05, ev01/ev02/ev04/ev05/ev06/ev16,
+    # mg01/mg02, pii01, pipe03, q01–q33 relational) ---
+    "q37_pivot",
+    "dd05_ngram_jaccard",
+    "dd08_neardup_components",
+    "dd10_lsh_jaccard_verify",
+    "dd12_dup_substring_runs",
+    "dd13_neardup_purge",
+    "dc02_source_overlap",
+    "dc03_bloom_decontaminate",
+    "dc04_benchmark_burn",
+    "ss07_kmeans_train",
+    "ss08_ivf_trained_topk",
+    "ss09_lsh_recall",
+    "ss10_ivf_balance",
+    "ss11_pq_train",
+    "ta07_trigram_lm",
+    "ta09_bpe_train",
+    "ta10_vocab_growth",
+    "ta11_tfidf_topterms",
+    "mm02_image_metadata_stub",
+    "mm04_resize_plumbing",
+    "ev10_session_window_stream",
+    "ev11_interarrival_hist",
+    "ev12_funnel",
+    "ev13_retention_cohorts",
+    "ev14_transition_matrix",
+    "ev15_load_profile",
+    "mg03_scd2_history",
+    "mg04_compaction_plan",
+    "mg05_table_checksum",
+    "mg06_cdc_apply",
+    "pipe01_corpus_filter",
+    "pipe05_corpus_build",
+    "pipe06_token_budget",
+    "pipe07_stratified_sample",
+    "pipe08_curriculum_phases",
+    "pipe09_leakage_safe_split",
+    "pipe10_dataset_card",
+    "pipe11_context_fit",
+    "pipe12_epoch_plan",
+    "pipe13_importance_resample",
+    "dq01_constraint_audit",
+    "dq03_column_profile",
+    "dq04_reconciliation",
+    "dq06_distribution_drift",
 )
-# NOTE (r7 state): the tail above parks queries whose newest official row
-# is r2–r5 and whose fingerprints the freshness guard pins; each round the
-# head takes everything whose SQL changed plus the oldest parked rows, and
-# the tail absorbs the displaced green entries (see update_official_rows.py).
+# NOTE (r7 state): the tail parks queries whose newest official row is
+# r4–r6 with fingerprints pinned by the freshness guard; the r7 head is
+# the 43 oldest rows (r3/r4) + dd14/dd15/dc05 (changed/new in r7) + the
+# four r6-new ops. Each round the head takes everything whose SQL changed
+# plus the oldest parked rows, and the tail absorbs the displaced green
+# entries (stamp via scripts/update_official_rows.py).
 
 
 def query_fingerprint(name: str) -> str:

@@ -43,7 +43,25 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 24g, pre-touched, ParallelGC (r7): the original 90g G1 heap paid
+        # first-touch page-zeroing + G1 concurrent-thread futex churn as
+        # SYSTEM time throughout the suite — on this round's kernel the
+        # bench JVM burned a 9:1 system:user CPU ratio and shuffle-heavy
+        # queries stalled 3-5x (dq05 isolated: [8.1, 5.2, 26.8] on 90g G1
+        # vs [5.2, 3.0, 2.5] pre-touched). 24g is 1.5x the heap the ENTIRE
+        # heavy family survived on at the sf100 memory-pressure decade
+        # (SCALE_PROBE_R6_MEM.json) with two orders of magnitude more data
+        # than any local suite run; AlwaysPreTouch moves the zeroing to
+        # boot (~5 s); ParallelGC drops G1's concurrent refinement threads
+        # (throughput GC is the right choice for a batch suite).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch",
+            ),
+        )
     )
     if master is not None:
         builder = builder.master(master)

@@ -30,6 +30,12 @@ sys.path.insert(0, str(ROOT))
 ap = argparse.ArgumentParser()
 ap.add_argument("--heap", default="16g")
 ap.add_argument("--scales", default="sf10,sf100")
+ap.add_argument(
+    "--out",
+    default="SCALE_PROBE_R6_MEM.json",
+    help="output artifact name (relative to repo root) — pass a new name"
+    " for a re-probe so the prior round's evidence stays intact",
+)
 ap.add_argument("names", nargs="*")
 args = ap.parse_args()
 
@@ -88,7 +94,7 @@ def main() -> int:
     qs = all_queries()
     names = args.names or HEAVY
     scales = [s for s in args.scales.split(",") if s]
-    path = ROOT / "SCALE_PROBE_R6_MEM.json"
+    path = ROOT / args.out
     out = json.loads(path.read_text()) if path.exists() else {
         "probe": "memory-pressure: heavy family under a small heap",
         "heap": args.heap,

@@ -1823,7 +1823,14 @@ WITH vecs AS (
   -- through an n·sqrt(k)-row sort-merge join on vec_id — measured 56+20
   -- GB of spill at the sf100/16 GB memory decade; this shape sorts only
   -- the n-row relation once.
-  SELECT v.vec_id, f.cid, {cos_vf} AS cs_x1m
+  -- MERGE(p), r7: vsup is an N-ROW relation behind a stats-free
+  -- aggregate, so Catalyst's size guess undercuts the broadcast
+  -- threshold and builds an n-row HashedRelation — never scale-safe,
+  -- and the proximate [AGGREGATE_OUT_OF_MEMORY] at the sf100/16 GB
+  -- decade (the build held the heap the downstream partial argmax
+  -- needed). The hint forces the n-to-n join to co-shuffle on vec_id;
+  -- fine (k rows) stays the broadcast side by design.
+  SELECT /*+ MERGE(p), BROADCAST(f) */ v.vec_id, f.cid, {cos_vf} AS cs_x1m
   FROM vsup p
   JOIN vecs v ON v.vec_id = p.vec_id
   JOIN fine f ON f.sid = p.sid
@@ -1833,7 +1840,7 @@ WITH vecs AS (
     MAX(cs_x1m) AS cs
   FROM sims GROUP BY vec_id
 )
-SELECT p.vec_id, p.cid, p.cs, v.embedding, v.nrm
+SELECT /*+ MERGE(p) */ p.vec_id, p.cid, p.cs, v.embedding, v.nrm
 FROM pick p JOIN vecs v ON p.vec_id = v.vec_id
 """
 
@@ -1898,9 +1905,19 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·k)=O(n²/251) cross join. Every argmax is a map-side-combinable
     max_by on an exact wide-integer (cosine, lowest-id) key."""
     register_views(spark, sf_dir)
-    raw = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
-    assign = _dd14_capture(spark, raw, raw.count())
-    assign.createOrReplaceTempView("dd14_assign")
+    # ONE wide materialization (r7): the assignment checkpoints once and
+    # the pair self-join's two sides share its lineage, so Spark's
+    # exchange reuse runs the cid shuffle ONCE (plan-pinned: Exchange +
+    # ReusedExchange) with shuffle files on disk. The r6-tail variant
+    # that re-checkpointed the assignment PRE-PARTITIONED by cid bought
+    # an exchange-free merge join but doubled the in-memory wide working
+    # set — measured this round at the sf100/16 GB memory decade it OOMs
+    # where this single-checkpoint shape completes, and at small k it
+    # pinned the pair join's parallelism to the cid count (31.0 s vs
+    # 5.7 s at sf0.1). AQE sizes/coalesces the cid exchange at any scale.
+    spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dd14_assign"
+    )
     # materialize dup_pairs ONCE (tiny post-filter): the report's two stat
     # branches would otherwise each re-run the cosine pair join (Catalyst
     # inlines CTEs) — see _dd14_pairs
@@ -1908,48 +1925,6 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dd14_pairs"
     )
     return spark.sql(_DD14_SPARK_MAIN)
-
-
-def _dd14_capture(spark: SparkSession, raw: DataFrame, n: int) -> DataFrame:
-    """Capture the materialized assignment in the shape the pair stage
-    wants — GATED on the cid/partition ratio (r7).
-
-    At deployment scale the pair self-join and the cells aggregate both
-    key on cid, so a checkpoint that carries hashpartitioning(cid) +
-    ordering makes the whole pair stage exchange-free AND sort-free — 2x
-    the assignment relation (n wide rows) never re-shuffled. Two steps
-    because Dataset.checkpoint only preserves outputPartitioning when the
-    captured plan is NOT wrapped in AdaptiveSparkPlan (measured:
-    UnknownPartitioning under AQE); ~64k rows/partition keeps a
-    partition's cells bounded (~20 MB) at any corpus size, cap 4096.
-
-    The GATE: pre-partitioning pins the pair join's parallelism to the
-    number of DISTINCT cids — with k ∝ n/251 the capture is uniform at
-    scale (k/n_part ≥ 250 at n = 5M), but on a small corpus k can drop
-    BELOW the partition count and the forced shape collapses the pair
-    stage onto k cores while blocking AQE's broadcast conversion
-    (measured at sf0.1: k = 8 cids over 32 partitions ran the SMJ-pinned
-    main 31.0 s vs 5.7 s for the AQE/broadcast shape — the r7 bench
-    regression). Below k ≥ 4·n_part the assignment is left AQE-shaped:
-    tiny relations broadcast, and one reusable exchange at mid scale is
-    cheaper than starving the interpreted-lambda cosine stage of cores."""
-    n_part = max(
-        spark.sparkContext.defaultParallelism, min(4096, n // 65536 + 1)
-    )
-    k = raw.select("cid").distinct().count()  # one cheap pass on the ckpt
-    if k < 4 * n_part:
-        return raw
-    conf_key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "false")
-    try:
-        return (
-            raw.repartition(n_part, "cid")
-            .sortWithinPartitions("cid")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        spark.conf.set(conf_key, prev)
 
 
 # ---------------------------------------------------------------------------

@@ -275,11 +275,10 @@ def test_dc03_bloom_and_verify_broadcast(spark):
 def test_dd14_pair_join_on_cluster_key(spark):
     """SemDeDup: the pairwise stage joins on the cluster id (cell-bounded),
     the per-cluster stats joins broadcast, and nothing plans as a nested
-    loop / cartesian. At test scale the capture GATE (k < 4·n_part) leaves
-    the assignment AQE-shaped, so the pair join must be free to broadcast
-    the tiny checkpointed side — pinning that the forced-SMJ shape (which
-    collapsed the cosine stage onto k cores, 31 s vs 5.7 s at sf0.1) does
-    NOT reappear on small corpora."""
+    loop / cartesian. At test scale AQE broadcasts the tiny checkpointed
+    assignment — pinning that a forced-SMJ shape (which once collapsed the
+    cosine stage onto k cores, 31 s vs 5.7 s at sf0.1) does NOT reappear
+    on small corpora."""
     plan = _plan(spark, "dd14_semdedup")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -287,35 +286,23 @@ def test_dd14_pair_join_on_cluster_key(spark):
     assert "Scan parquet" not in plan, plan  # pair stage reads the ckpt
 
 
-def test_dd14_capture_prepartitions_when_cells_dominate(spark):
-    """The deployment half of the capture gate: when distinct cids ≥
-    4·n_part (always true at scale — k ∝ n/251), the assignment checkpoint
-    carries hashpartitioning(cid) + cid ordering, so the pair self-join
-    AND the cells aggregate are EXCHANGE-free and SORT-free — the merge
-    join sits directly on the checkpointed scans. Pinned on a synthetic
-    assignment with k = 4·parallelism·2 cids."""
-    from pyspark.sql import functions as F
-
-    from db_converter_spark.operators.dedup import _DD14_PAIRS_SPARK, _dd14_capture
-
-    k = spark.sparkContext.defaultParallelism * 8
-    n = k * 4
-    raw = (
-        spark.range(n)
-        .select(
-            F.col("id").alias("vec_id"),
-            (F.col("id") % k).alias("cid"),
-            F.lit(1000000).alias("cs"),
-            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
-            F.lit(1.0).alias("nrm"),
-        )
-        .localCheckpoint(eager=True)
+def test_dd14_pair_exchange_is_reused_at_scale_shape(spark):
+    """The deployment shape of the pair stage: the self-join's two sides
+    share the checkpointed assignment's lineage, so the cid shuffle runs
+    ONCE and the other side is a ReusedExchange — the n-row wide relation
+    is materialized exactly once and shuffled exactly once (the r6-tail
+    pre-partitioned double-checkpoint OOM'd the sf100/16 GB memory decade
+    that this shape completes). Broadcast thresholds killed to expose the
+    beyond-broadcast-scale plan."""
+    from db_converter_spark.catalog import register_views
+    from db_converter_spark.operators.dedup import (
+        _DD14_ASSIGN_SPARK,
+        _DD14_PAIRS_SPARK,
     )
-    assign = _dd14_capture(spark, raw, n)
-    assign.createOrReplaceTempView("dd14_assign")
-    # the synthetic relation is kilobytes, so AQE would (correctly)
-    # broadcast it — kill both thresholds to expose the shape the plan
-    # takes at REAL scale, where the assignment exceeds any broadcast cap
+
+    register_views(spark, SF)
+    raw = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
+    raw.createOrReplaceTempView("dd14_assign")
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
@@ -324,12 +311,11 @@ def test_dd14_capture_prepartitions_when_cells_dominate(spark):
     for c, v in confs.items():
         spark.conf.set(c, v)
     try:
+        df = spark.sql(_DD14_PAIRS_SPARK)
+        df.collect()  # AQE must finalize for ReusedExchange to appear
         plan = (
-            spark.sql(_DD14_PAIRS_SPARK)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+            df._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
     finally:
         for c, v in prev.items():
             if v is None:
@@ -338,8 +324,13 @@ def test_dd14_capture_prepartitions_when_cells_dominate(spark):
                 spark.conf.set(c, v)
         spark.catalog.dropTempView("dd14_assign")
     assert "SortMergeJoin [cid" in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "+- Sort " not in plan, plan
+    real_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real_exchanges) == 1, plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_dd14_assignment_is_aggregate_not_window(spark):

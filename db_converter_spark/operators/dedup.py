@@ -1699,12 +1699,17 @@ SELECT * FROM (
 """
 
 
-def _dd14_main(pairs_src: str, assign_src: str, lead: str = "WITH") -> str:
-    """From the materialized assignment (vec_id, cid, cs — centroid
-    cosine — embedding, nrm) and duplicate-pair relations to the
-    per-cluster purge report. ``lead``: "WITH" for a standalone
-    statement, "," when the caller already opened a WITH chain
-    (parameterized instead of post-hoc string surgery)."""
+def _dd14_main(pairs_src: str, cells_src: str, lead: str = "WITH") -> str:
+    """From the materialized duplicate-pair and per-cluster-size relations
+    to the purge report. ``cells_src``: a (cid, cell_size) relation —
+    Spark passes a k-row checkpoint so the report tail never re-reads
+    the n-row wide assignment (r7: the tail's cells aggregate and the
+    broadcast-join stages ran CONCURRENTLY over the deserialized 5M-row
+    checkpoint at the sf100/16 GB decade and died UNABLE_TO_ACQUIRE —
+    now every corpus-scale read happens in exactly one sequential eager
+    job). ``lead``: "WITH" for a standalone statement, "," when the
+    caller already opened a WITH chain (parameterized instead of
+    post-hoc string surgery)."""
     return f"""
 {lead} dup_pairs AS (
   SELECT * FROM {pairs_src}
@@ -1718,7 +1723,7 @@ def _dd14_main(pairs_src: str, assign_src: str, lead: str = "WITH") -> str:
     FROM dup_pairs
   ) t
 ), cells AS (
-  SELECT cid, COUNT(*) AS cell_size FROM {assign_src} GROUP BY cid
+  SELECT cid, cell_size FROM {cells_src}
 ), pair_stats AS (
   SELECT cid, COUNT(*) AS n_dup_pairs, MAX(sim) AS max_sim
   FROM dup_pairs GROUP BY cid
@@ -1865,7 +1870,9 @@ _DD14_PAIRS_SPARK = _dd14_pairs(
     "dd14_assign",
 )
 
-_DD14_SPARK_MAIN = _dd14_main("dd14_pairs", "dd14_assign")
+_DD14_SPARK_MAIN = _dd14_main("dd14_pairs", "dd14_cells")
+
+_DD14_CELLS_SPARK = "SELECT cid, COUNT(*) AS cell_size FROM dd14_assign GROUP BY cid"
 
 _DD14_DUCK_ASSIGN = _dd14_assign_sql(
     nrm="sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
@@ -1887,7 +1894,11 @@ _DD14_DUCK = (
         "dd14_assign",
     )
     + ")"
-    + _dd14_main("dd14_pairs", "dd14_assign", lead=",")
+    + _dd14_main(
+        "dd14_pairs",
+        "(SELECT cid, COUNT(*) AS cell_size FROM dd14_assign GROUP BY cid)",
+        lead=",",
+    )
 )
 
 
@@ -1915,14 +1926,28 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where this single-checkpoint shape completes, and at small k it
     # pinned the pair join's parallelism to the cid count (31.0 s vs
     # 5.7 s at sf0.1). AQE sizes/coalesces the cid exchange at any scale.
-    spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd14_assign"
-    )
+    from pyspark import StorageLevel
+
+    # SERIALIZED MEMORY_AND_DISK (r7): the default deserialized level held
+    # 5M wide object rows pinned in the 16 GB-decade heap — the exact ss07
+    # failure class (r6), which was fixed everywhere BUT here; measured
+    # this round the deserialized form dies UNABLE_TO_ACQUIRE in the
+    # report tail where the serialized form completes.
+    spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    ).createOrReplaceTempView("dd14_assign")
     # materialize dup_pairs ONCE (tiny post-filter): the report's two stat
     # branches would otherwise each re-run the cosine pair join (Catalyst
     # inlines CTEs) — see _dd14_pairs
-    spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd14_pairs"
+    spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    ).createOrReplaceTempView("dd14_pairs")
+    # k-row cell sizes as their OWN checkpoint: the report tail then joins
+    # three bounded relations and never touches the n-row assignment —
+    # each corpus-scale read happens in exactly one sequential eager job
+    # (see _dd14_main)
+    spark.sql(_DD14_CELLS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dd14_cells"
     )
     return spark.sql(_DD14_SPARK_MAIN)
 

@@ -1434,3 +1434,110 @@ def ev16_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back, bounded output."""
     register_views(spark, sf_dir)
     return spark.sql(_EV16_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ev17 — count-min sketch heavy-hitter audit (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# ta05 sketches DISTINCT counts (HLL); ev17 is the frequency side: a
+# count-min sketch — d=4 salted hash rows x w=64 buckets, every event
+# incrementing one counter per row, point estimate = MIN over the d row
+# counters — plus the audit a deployment needs before trusting it: the
+# exact top-10 heavy hitters joined with their CM estimates and the
+# one-sided overestimate error (CM never underestimates; expected
+# overestimate <= n/w per row). All hashing is md5-derived so both
+# engines compute the identical sketch.
+#
+# Scale shape: the sketch build is ONE pass over events exploded x4 (the
+# d rows), map-side combinable into exactly d*w = 256 cells — THE
+# mergeable-across-shards/streams frequency structure at 100 TB (counters
+# add across partitions, days, or streams). The exact side exists only
+# for the audit and reports top-10; its user-keyed aggregate is the cost
+# the sketch replaces in deployment, which is the point of the audit.
+
+_EV17_D = 4
+_EV17_W = 64
+
+
+def _ev17_tail(exact_src: str, rows_gen: str, md5_i32: str,
+               lead: str = "WITH") -> str:
+    h = md5_i32.format(expr="CONCAT(CAST(r AS STRING), ':', CAST(user_id AS STRING))")
+    return f"""
+{lead} rws AS (
+  SELECT {rows_gen} AS r
+), cells AS (
+  -- counter(r, b) = sum of per-key counts hashing to (r, b): identical to
+  -- incrementing per event, but built from the audit's own exact relation
+  -- so the whole operator runs ONE corpus scan. A deployment without the
+  -- audit builds the same cells as a direct map-side d x w aggregate over
+  -- the raw stream (no per-key state).
+  SELECT r, {h} % {_EV17_W} AS b, SUM(exact_n) AS cnt
+  FROM {exact_src} CROSS JOIN rws
+  GROUP BY r, {h} % {_EV17_W}
+), topk AS (
+  -- ORDER BY + LIMIT, not a global ROW_NUMBER: Spark plans this as
+  -- TakeOrderedAndProject (per-partition top-k, merged) — no
+  -- single-partition window over the unbounded user relation
+  SELECT user_id, exact_n FROM {exact_src} ORDER BY exact_n DESC, user_id LIMIT 10
+), ranked AS (
+  -- the rank window runs over the bounded 10-row top-k only
+  SELECT user_id, exact_n,
+    ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rnk
+  FROM topk
+), est AS (
+  SELECT t.user_id, t.exact_n, t.rnk, MIN(c.cnt) AS cm_est
+  FROM ranked t
+  CROSS JOIN rws
+  JOIN cells c ON c.r = rws.r
+    AND c.b = {md5_i32.format(expr="CONCAT(CAST(rws.r AS STRING), ':', CAST(t.user_id AS STRING))")} % {_EV17_W}
+  GROUP BY t.user_id, t.exact_n, t.rnk
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, user_id,
+  CAST(exact_n AS BIGINT) AS exact_n,
+  CAST(cm_est AS BIGINT) AS cm_est,
+  CAST(cm_est - exact_n AS BIGINT) AS overest
+FROM est
+"""
+
+
+_EV17_EXACT = "SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id"
+
+_EV17_TAIL_SPARK = _ev17_tail(
+    "ev17_exact",
+    "explode(sequence(0, {d}))".format(d=_EV17_D - 1),
+    "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)",
+)
+_EV17_DUCK = (
+    f"WITH exact AS ({_EV17_EXACT})"
+    + _ev17_tail(
+        "exact",
+        "unnest(generate_series(0, {d}))".format(d=_EV17_D - 1),
+        "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)",
+        lead=",",
+    )
+)
+
+
+def _ev17_run(spark: SparkSession) -> DataFrame:
+    """Materialize the per-user exact relation once (cells + topk both read
+    it; CTE inlining would scan events twice), then run the audit tail."""
+    spark.sql(_EV17_EXACT).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ev17_exact"
+    )
+    return spark.sql(_EV17_TAIL_SPARK)
+
+
+@query("ev17_countmin_audit", oracle=_EV17_DUCK, tags=("events", "sketch", "heavyhitters"))
+def ev17_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit (Cormode & Muthukrishnan 2005):
+    a d=4 x w=64 md5-salted sketch built in one exploded pass (256
+    map-side-combinable cells — the mergeable frequency structure for
+    streams/shards at 100 TB), point-estimated by min-over-rows, audited
+    against the exact top-10 users: estimate, exact count, one-sided
+    overestimate. CM never underestimates; the audit proves the property
+    and measures the n/w-bounded error on real data. ONE corpus scan:
+    the cells aggregate over the materialized per-key counts (sum-per-
+    bucket == increment-per-event); in a no-audit deployment the cells
+    build directly over the stream as a d x w map-side aggregate."""
+    register_views(spark, sf_dir)
+    return _ev17_run(spark)

@@ -1007,3 +1007,112 @@ def pipe13_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _pipe13_main("pipe13_feat", "DIV", "/*+ BROADCAST(w) */")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe14 — UniMax budget waterfill (Chung et al. 2023, "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual Pretraining")
+# ---------------------------------------------------------------------------
+# pipe03 mixes by a FIXED weight config and pipe12 plans epochs from a fixed
+# mixture share; UniMax derives the mixture FROM the data: allocate a token
+# budget as uniformly as possible across sources, subject to a per-source
+# epoch cap C (no source repeats more than C times). The classic waterfill:
+# sort sources by capacity c_i = tokens_i * C ascending; source i is capped
+# iff c_i * (k - i + 1) <= B - sum(c_j, j < i) (its cap fits under the
+# current water line); every uncapped source splits the leftover budget
+# equally. The synthetic sources are near-uniform in size, so capacities are
+# scaled by a deterministic 1 + md5(source) % 8 plant (the ta13/pii01
+# pattern) to exercise both branches.
+#
+# Scale shape: ONE corpus scan for the per-source token counts (array-domain
+# word count, bounded-key aggregate); everything after runs on the <=
+# n_sources-row relation — the rank/cumsum window is bounded by design. At
+# 100 TB the scan is the only distributed stage; the waterfill itself is
+# metadata arithmetic.
+
+_PIPE14_EPOCH_CAP = 4      # UniMax N=4: the Muennighoff-consistent repeat cap
+_PIPE14_BUDGET_MULT = 2.0  # budget = 2x total corpus tokens
+
+
+def _pipe14_lim(split_fn: str, filter_fn: str, len_fn: str, md5_i32: str) -> str:
+    """The per-source capacity relation — the ONE corpus-scale stage.
+    Spark MATERIALIZES it (n_sources rows): the tail references it from
+    two chains (tot, ord) and Catalyst CTE inlining would re-run the
+    corpus scan for each (measured: 4 parquet scans single-statement)."""
+    h = md5_i32.format(expr="source")
+    return f"""
+WITH toks AS (
+  SELECT source,
+    SUM({len_fn}({filter_fn}({split_fn}(text, ' '), x -> x <> ''))) AS raw_tokens
+  FROM documents GROUP BY source
+), caps AS (
+  SELECT source, raw_tokens * (1 + {h} % 8) AS cap_tokens FROM toks
+)
+SELECT source, cap_tokens, cap_tokens * {_PIPE14_EPOCH_CAP} AS c FROM caps
+"""
+
+
+def _pipe14_tail(lim_src: str, lead: str = "WITH") -> str:
+    return f"""
+{lead} tot AS (
+  SELECT SUM(cap_tokens) * {_PIPE14_BUDGET_MULT} AS b, COUNT(*) AS k FROM {lim_src}
+), ord AS (
+  SELECT source, cap_tokens, c,
+    ROW_NUMBER() OVER (ORDER BY c, source) AS i,
+    COALESCE(SUM(c) OVER (ORDER BY c, source
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM {lim_src}
+), flags AS (
+  SELECT o.source, o.cap_tokens, o.c, t.b, t.k,
+    CASE WHEN CAST(o.c AS DOUBLE) * (t.k - o.i + 1) <= t.b - o.cum_prev
+         THEN 1 ELSE 0 END AS capped
+  FROM ord o CROSS JOIN tot t
+), agg AS (
+  SELECT SUM(CASE WHEN capped = 1 THEN c ELSE 0 END) AS capped_sum,
+         SUM(capped) AS n_capped
+  FROM flags
+)
+SELECT f.source,
+  CAST(f.cap_tokens AS BIGINT) AS cap_tokens,
+  CAST(f.c AS BIGINT) AS max_tokens,
+  CAST(f.capped AS BIGINT) AS capped,
+  ROUND(CASE WHEN f.capped = 1 THEN CAST(f.c AS DOUBLE)
+        ELSE (f.b - a.capped_sum) / (f.k - a.n_capped) END, 4) AS alloc_tokens,
+  ROUND(CASE WHEN f.capped = 1 THEN CAST(f.c AS DOUBLE)
+        ELSE (f.b - a.capped_sum) / (f.k - a.n_capped) END / f.cap_tokens, 6) AS epochs
+FROM flags f CROSS JOIN agg a
+"""
+
+
+_PIPE14_LIM_SPARK = _pipe14_lim(
+    "split", "filter", "size",
+    "CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)",
+)
+_PIPE14_TAIL_SPARK = _pipe14_tail("pipe14_lim")
+_PIPE14_DUCK = (
+    "WITH lim AS ("
+    + _pipe14_lim(
+        "string_split", "list_filter", "length",
+        "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)",
+    )
+    + ")"
+    + _pipe14_tail("lim", lead=",")
+)
+
+
+@query("pipe14_unimax_waterfill", oracle=_PIPE14_DUCK, tags=("pipeline", "mixture", "unimax"))
+def pipe14_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget waterfill (Chung et al. 2023): allocate a 2x-corpus
+    token budget as uniformly as possible across sources under a 4-epoch
+    per-source cap — capped sources pin at cap_tokens*4, the rest split the
+    leftover equally (allocations sum exactly to the budget). Capacities
+    carry a deterministic md5-derived 1..8x plant so both waterfill
+    branches fire on the near-uniform synthetic corpus. ONE corpus scan
+    (the n_sources-row capacity relation is materialized once — CTE
+    inlining re-scanned parquet 4x in the single-statement form); the
+    waterfill is a rank+cumsum window over the bounded source relation."""
+    register_views(spark, sf_dir)
+    spark.sql(_PIPE14_LIM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "pipe14_lim"
+    )
+    return spark.sql(_PIPE14_TAIL_SPARK)

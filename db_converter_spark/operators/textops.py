@@ -985,3 +985,171 @@ def ta12_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta12_docs"
     )
     return spark.sql(_TA12_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# ta13 — Gopher n-gram character-coverage filters (Rae et al. 2021, App. A)
+# ---------------------------------------------------------------------------
+# ta06 covers the WORD-level Gopher repetition rules (distinct-word ratio,
+# most-frequent-word coverage); ta13 is the n-gram half of the same table:
+# per document, (a) the fraction of characters covered by the most frequent
+# n-gram for n ∈ {2,3,4} (threshold 0.20/0.18/0.16 = (24-2n)/100) and
+# (b) the fraction of characters inside DUPLICATED n-grams for n ∈ {5..10}
+# (threshold (20-n)/100 — 0.15 down to 0.10). Rule (b) uses union-of-
+# positions semantics: a word position covered by several duplicated
+# n-grams counts its characters ONCE (the paper's definition) — computed
+# by exploding each duplicated occurrence into its n covered positions,
+# DISTINCT, then summing word lengths at covered positions.
+#
+# The synthetic corpus has no within-document n-gram repetition, so the
+# operator PLANTS it deterministically (the pii01 pattern): docs with
+# doc_id % 7 = 0 get their own first 8 words appended 3× — both engines
+# compute the identical augmentation, giving every dup rule a nonzero,
+# flag-exercising signal (9/10-grams repeat across the copy boundaries).
+#
+# Scale shape: occurrence explode is Σ_n (len-n+1) ≈ 9·n_words rows per
+# doc — linear in corpus tokens with constant factor 9, embarrassingly
+# parallel; every join/aggregate downstream is keyed by doc_id (uniform),
+# and the final rollup is on the bounded (source, n) domain. No windows
+# over corpus-scale relations except the per-(doc,n) top-1 rank, which is
+# doc-partitioned. At 100 TB this is the same map-heavy/reduce-light
+# profile as ta06.
+
+
+def _ta13_docs(split_fn: str, filter_fn: str, len_fn: str, wsum: str,
+               plant: str) -> str:
+    """The per-doc word relation (tokenize → plant → lengths). Spark
+    MATERIALIZES this once: the tail references it from three chains
+    (dom, occ, wlen) and Catalyst's CTE inlining would re-scan parquet
+    and re-tokenize for each (measured: 5 parquet scans in the
+    single-statement plan)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {filter_fn}({split_fn}(text, ' '), x -> x <> '') AS w
+  FROM documents
+), planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0 AND {len_fn}(w) >= 8 THEN {plant} ELSE w END AS w
+  FROM base
+)
+SELECT doc_id, source, w, {len_fn}(w) AS n_words, {wsum} AS n_wchars
+FROM planted WHERE {len_fn}(w) >= 2
+"""
+
+
+def _ta13_tail(docs_src: str, nseq: str, occ_lat: str, gram: str,
+               cov_lat: str, cov_pos: str, wlen_lat: str, wlen_expr: str,
+               wpos_expr: str, lead: str = "WITH") -> str:
+    return f"""
+{lead} ns AS (
+  SELECT {nseq} AS n
+), dom AS (
+  SELECT d.doc_id, d.source, d.n_words, d.n_wchars, ns.n, d.w
+  FROM {docs_src} d JOIN ns ON d.n_words >= ns.n
+), occ AS (
+  SELECT doc_id, n_wchars, n, {cov_pos} AS pos, {gram} AS gram
+  FROM dom {occ_lat}
+), gcnt AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt
+  FROM occ GROUP BY doc_id, n, gram
+), top AS (
+  SELECT doc_id, n, cnt, gram,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+  FROM gcnt WHERE n <= 4
+), dup_occ AS (
+  SELECT o.doc_id, o.n, o.pos
+  FROM occ o JOIN gcnt g ON g.doc_id = o.doc_id AND g.n = o.n AND g.gram = o.gram
+  WHERE o.n >= 5 AND g.cnt >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, n, pos + k AS wpos
+  FROM dup_occ {cov_lat}
+), wlen AS (
+  SELECT doc_id, {wlen_expr} AS wlen, {wpos_expr} AS wpos
+  FROM {docs_src} {wlen_lat}
+), dupchars AS (
+  SELECT c.doc_id, c.n, SUM(l.wlen) AS dchars
+  FROM covered c JOIN wlen l ON l.doc_id = c.doc_id AND l.wpos = c.wpos
+  GROUP BY c.doc_id, c.n
+), scored AS (
+  SELECT d.source, d.n,
+    CASE WHEN d.n <= 4 THEN 'top_gram_cov' ELSE 'dup_gram_cov' END AS rule,
+    CASE WHEN d.n <= 4
+         THEN LEAST(1.0, CAST(t.cnt * (length(t.gram) - (d.n - 1)) AS DOUBLE) / d.n_wchars)
+         ELSE CAST(COALESCE(x.dchars, 0) AS DOUBLE) / d.n_wchars END AS frac,
+    CASE WHEN d.n <= 4 THEN (24 - 2 * d.n) / 100.0 ELSE (20 - d.n) / 100.0 END AS thr
+  FROM dom d
+  LEFT JOIN top t ON t.doc_id = d.doc_id AND t.n = d.n AND t.rn = 1
+  LEFT JOIN dupchars x ON x.doc_id = d.doc_id AND x.n = d.n
+)
+SELECT source, CAST(n AS BIGINT) AS n, rule,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(AVG(frac), 6) AS avg_frac,
+  CAST(SUM(CASE WHEN frac > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM scored GROUP BY source, n, rule
+"""
+
+
+_TA13_DOCS_SPARK = _ta13_docs(
+    split_fn="split", filter_fn="filter", len_fn="size",
+    wsum="aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)",
+    plant="concat(w, slice(w, 1, 8), slice(w, 1, 8), slice(w, 1, 8))",
+)
+
+_TA13_TAIL_SPARK = _ta13_tail(
+    "ta13_docs",
+    nseq="explode(sequence(2, 10))",
+    occ_lat="LATERAL VIEW explode(sequence(0, n_words - n)) t AS pos",
+    gram="array_join(slice(w, pos + 1, n), ' ')",
+    cov_lat="LATERAL VIEW explode(sequence(0, n - 1)) t AS k",
+    cov_pos="pos",
+    wlen_lat="LATERAL VIEW posexplode(w) t AS wpos, word",
+    wlen_expr="length(word)",
+    wpos_expr="wpos",
+)
+
+_TA13_DUCK = (
+    "WITH docs AS ("
+    + _ta13_docs(
+        split_fn="string_split", filter_fn="list_filter", len_fn="length",
+        wsum="list_sum(list_transform(w, x -> length(x)))",
+        plant="w || w[1:8] || w[1:8] || w[1:8]",
+    )
+    + ")"
+    + _ta13_tail(
+        "docs",
+        nseq="unnest(generate_series(2, 10))",
+        occ_lat=", LATERAL (SELECT unnest(generate_series(0, n_words - n)) AS pos) t",
+        gram="array_to_string(w[t.pos + 1 : t.pos + n], ' ')",
+        cov_lat=", LATERAL (SELECT unnest(generate_series(0, n - 1)) AS k) t",
+        cov_pos="t.pos",
+        wlen_lat=", LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) t",
+        wlen_expr="length(w[t.i])",
+        wpos_expr="t.i - 1",
+        lead=",",
+    )
+)
+
+
+def _ta13_run(spark: SparkSession) -> DataFrame:
+    """Materialize the tokenized doc relation once, then run the tail
+    (shared by the builder and the planted-fixture tests)."""
+    spark.sql(_TA13_DOCS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ta13_docs"
+    )
+    return spark.sql(_TA13_TAIL_SPARK)
+
+
+@query("ta13_gopher_ngram_cov", oracle=_TA13_DUCK, tags=("text", "quality", "gopher"))
+def ta13_gopher_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram character-coverage filters (Rae et al. 2021, App. A —
+    the n-gram half; ta06 is the word half): per (source, n) the mean
+    fraction of characters covered by the most frequent n-gram (n=2..4)
+    and by duplicated n-grams under union-of-positions semantics (n=5..10),
+    plus the count of docs breaching the paper's thresholds ((24-2n)/100
+    and (20-n)/100). Deterministic planted repetition on doc_id % 7 = 0
+    exercises every dup rule (no reference analog; SURVEY §6 extension).
+    One 9×-token occurrence explode over the ONCE-materialized tokenized
+    doc relation (Catalyst CTE inlining re-scanned parquet 5× in the
+    single-statement form), doc-keyed joins, bounded rollup."""
+    register_views(spark, sf_dir)
+    return _ta13_run(spark)

@@ -154,6 +154,16 @@ _CHECK_TAIL = (
     "dq03_column_profile",
     "dq04_reconciliation",
     "dq06_distribution_drift",
+    # --- parked mid-r7 to fund head slots for the four r7-new operators
+    # (ta13/pipe14/ev17/ss13 — each keeps its family covered in the head):
+    # three r6-green r6-new ops (ss12 stays in the head — its source
+    # changed after its r6 row, so it needs a fresh r7 row) and pipe03
+    # (r4-green, the one oldest-row refresh deferred to r8 to keep the
+    # head at the driver's 50-query budget) ---
+    "dd16_lsh_calibration",
+    "ev16_watermark_audit",
+    "pipe03_weighted_sample",
+    "ta12_ppl_buckets",
 )
 # NOTE (r7 state): the tail parks queries whose newest official row is
 # r4–r6 with fingerprints pinned by the freshness guard; the r7 head is

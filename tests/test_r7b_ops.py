@@ -1,0 +1,172 @@
+"""Semantic tests for the four r7-new operators beyond the oracle compare:
+ta13's union-of-positions coverage math on planted repetition, pipe14's
+waterfill invariants (budget conservation, cap pinning, water line), ev17's
+one-sided count-min guarantee on a planted heavy hitter, and ss13's
+complete-candidate equivalence + a planted prefix-adversarial corpus that
+forces a real recall miss."""
+
+from __future__ import annotations
+
+import pytest
+
+from db_converter_spark.operators.events import _ev17_run
+from db_converter_spark.operators.similarity import _ss13_run
+from db_converter_spark.operators.textops import _ta13_run
+from db_converter_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _restore_views(spark):
+    yield
+    from db_converter_spark.catalog import register_views
+
+    spark._dbc_registered_sf = None
+    register_views(spark, SF_DIR)
+
+
+def _docs_view(spark, rows):
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# ta13 — union-of-positions coverage semantics
+# ---------------------------------------------------------------------------
+
+
+def test_ta13_dup_coverage_counts_overlapping_positions_once(spark):
+    # "a a a a a a": the 5-gram "a a a a a" occurs at pos 0 and 1 (cnt=2),
+    # so BOTH occurrences are duplicated and their union covers all 6
+    # positions -> dup coverage exactly 1.0. A naive per-occurrence sum
+    # would claim 2*5/6 = 1.67 coverage; the union semantics cap it.
+    # doc_id=1 avoids the operator's own doc_id%7 plant.
+    _docs_view(spark, [(1, "s", "a a a a a a")])
+    rows = {(r["n"], r["rule"]): r for r in _ta13_run(spark).collect()}
+    assert rows[(5, "dup_gram_cov")]["avg_frac"] == 1.0
+    # the 6-gram occurs once -> not duplicated -> coverage 0
+    assert rows[(6, "dup_gram_cov")]["avg_frac"] == 0.0
+    # dup coverage 1.0 > 0.15 threshold -> flagged
+    assert rows[(5, "dup_gram_cov")]["n_flagged"] == 1
+
+
+def test_ta13_top_gram_coverage_and_threshold_flags(spark):
+    # "x y x y z": top 2-gram is "x y" (cnt=2, 2 chars of words), word
+    # chars total 5 -> coverage 2*2/5 = 0.8 > 0.20 -> flagged.
+    _docs_view(spark, [(1, "s", "x y x y z")])
+    rows = {(r["n"], r["rule"]): r for r in _ta13_run(spark).collect()}
+    assert rows[(2, "top_gram_cov")]["avg_frac"] == 0.8
+    assert rows[(2, "top_gram_cov")]["n_flagged"] == 1
+
+
+def test_ta13_operator_plant_fires_only_on_doc_id_mod_7(spark):
+    # the operator's own deterministic repetition plant (doc_id % 7 = 0,
+    # >= 8 words) must create nonzero dup coverage for the planted doc and
+    # leave a same-text unplanted doc at zero
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    _docs_view(spark, [(7, "planted", text), (8, "clean", text)])
+    rows = _ta13_run(spark).collect()
+    planted = [r for r in rows if r["source"] == "planted" and r["rule"] == "dup_gram_cov"]
+    clean = [r for r in rows if r["source"] == "clean" and r["rule"] == "dup_gram_cov"]
+    assert all(r["avg_frac"] > 0 for r in planted)
+    assert all(r["avg_frac"] == 0 for r in clean)
+
+
+# ---------------------------------------------------------------------------
+# pipe14 — waterfill invariants
+# ---------------------------------------------------------------------------
+
+
+def test_pipe14_waterfill_invariants(spark):
+    rows = all_queries()["pipe14_unimax_waterfill"].builder(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    budget = 2.0 * total_cap
+    # allocations conserve the budget exactly (uncapped split the leftover)
+    assert abs(sum(r["alloc_tokens"] for r in rows) - budget) < 1e-2
+    capped = [r for r in rows if r["capped"] == 1]
+    uncapped = [r for r in rows if r["capped"] == 0]
+    # the md5 heterogeneity plant must exercise BOTH branches at sf0.001+
+    assert capped and uncapped
+    for r in capped:
+        assert r["alloc_tokens"] == float(r["max_tokens"])
+        assert r["epochs"] == 4.0
+    # all uncapped sources sit on the same water line
+    line = {r["alloc_tokens"] for r in uncapped}
+    assert len(line) == 1
+    # the water line is above every capped allocation
+    assert all(min(line) >= r["alloc_tokens"] for r in capped)
+    # uncapped sources run strictly under the epoch cap
+    assert all(r["epochs"] < 4.0 for r in uncapped)
+
+
+# ---------------------------------------------------------------------------
+# ev17 — count-min one-sided guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_ev17_never_underestimates_and_finds_planted_heavy_hitter(spark):
+    rows = [(999,)] * 50 + [(u,) for u in range(40) for _ in range(3)]
+    spark.createDataFrame(rows, "user_id long").createOrReplaceTempView("events")
+    out = _ev17_run(spark).collect()
+    assert len(out) == 10
+    by_rank = {r["rnk"]: r for r in out}
+    assert by_rank[1]["user_id"] == 999
+    assert by_rank[1]["exact_n"] == 50
+    for r in out:  # CM property: estimate >= exact, always
+        assert r["cm_est"] >= r["exact_n"]
+        assert r["overest"] == r["cm_est"] - r["exact_n"]
+
+
+def test_ev17_on_real_corpus_one_sided(spark):
+    out = all_queries()["ev17_countmin_audit"].builder(spark, SF_DIR).collect()
+    assert len(out) == 10
+    assert all(r["overest"] >= 0 for r in out)
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == list(range(1, 11))
+
+
+# ---------------------------------------------------------------------------
+# ss13 — complete-candidate equivalence and a forced miss
+# ---------------------------------------------------------------------------
+
+
+def _emb_view(spark, rows):
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .createOrReplaceTempView("embeddings")
+
+
+def test_ss13_complete_candidates_equal_exact(spark):
+    # with <= 32 base vectors the candidate set is the whole corpus, so
+    # the two-stage result must equal the exact ranking: recall 1.0 and a
+    # zero top-1 gap for every query
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(20)]) for i in range(30)]
+    _emb_view(spark, rows)
+    out = _ss13_run(spark).collect()
+    assert len(out) == 1  # only vec_id=0 matches the query predicate
+    assert out[0]["recall_at_3"] == 1.0
+    assert out[0]["approx_top1"] == out[0]["exact_top1"]
+    assert out[0]["top1_sim_gap"] == 0.0
+
+
+def test_ss13_prefix_blind_corpus_forces_a_miss(spark):
+    # 40 base vectors whose FIRST 16 dims are identical (the prefix cannot
+    # rank them; the candidate cut falls back to the vec_id tiebreak and
+    # keeps ids 1..32) while the full-dim winners live in the excluded ids
+    # 33..40 -> the audit must report recall < 1 and a positive top-1 gap.
+    # This is the measurement the operator exists to surface.
+    base = [1.0] * 16
+    rows = [(0, base + [1.0, 0.0, 0.0, 0.0])]  # the query
+    for i in range(1, 33):
+        rows.append((i, base + [-1.0, 0.5, 0.5, 0.5]))  # candidates kept by id
+    for i in range(33, 41):
+        rows.append((i, base + [1.0, 0.0, 0.0, 0.0]))  # true winners, excluded
+    _emb_view(spark, rows)
+    out = _ss13_run(spark).collect()
+    assert len(out) == 1
+    assert out[0]["recall_at_3"] == 0.0
+    assert out[0]["exact_top1"] == 33
+    assert out[0]["approx_top1"] == 1
+    assert out[0]["top1_sim_gap"] > 0

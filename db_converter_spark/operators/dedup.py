@@ -2342,3 +2342,174 @@ def dd16_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-computed hashes; output <= 4 rows."""
     _dd10_prepare(spark, sf_dir)
     return spark.sql(_DD16_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dd17 — incremental ingest near-dup dedup (delta-vs-corpus)
+# ---------------------------------------------------------------------------
+# dd04/dd10 dedup the WHOLE corpus; production never re-runs that — a 100 TB
+# corpus is deduped once, and every subsequent ingest batch (the daily ~0.1%)
+# is checked INCREMENTALLY against the standing corpus state: the batch's
+# MinHash bands probe the corpus band index, exact Jaccard verifies only the
+# probe hits, and only duplicate-free batch docs are admitted. dd17 is that
+# shape on the synthetic corpus: doc_id % 7 = 3 plays the ingest batch (~14%, coprime with the
+# 20-source layout so every source ships batch docs),
+# the rest plays the standing corpus. The corpus-side signatures/bands are
+# computed in-query here because parquet is the only input; at deployment
+# they are STORED state (the signature relation is exactly what a real
+# pipeline persists per shard — narrow, mergeable, rewritten only by
+# admission), so the recurring cost is O(batch) probe + O(hits) verify.
+#
+# No exact-dedup reps collapse (unlike dd10): a batch doc IDENTICAL to a
+# corpus doc is precisely what the operator must catch, and collapsing
+# would merge the two sides. Pair blow-up control stays with the
+# mega-bucket guard (<= 100 per bucket) and the >= 5/8 agreement gate;
+# batch x batch pairs are out of scope by construction (the batch is
+# deduped against ITSELF by a plain dd10 pass at 1/5000th the corpus cost).
+
+_DD17_DELTA_PRED = "doc_id % 7 = 3"
+
+
+def _dd17_cand_ctes(branches: str, sig_src: str) -> str:
+    """Pure CTE chain (bands → guard → probe → agreement gate) ending in
+    ``cand`` — a lead parameter on each caller, no post-hoc string
+    surgery (the pipe13 lesson)."""
+    return f"""bands AS (
+  {branches}
+), bsize AS (
+  SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
+), bands_ok AS (
+  SELECT b.doc_id, b.is_d, b.band, b.bkey
+  FROM bands b JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
+  WHERE s.n <= 100
+), cand0 AS (
+  -- batch side probes corpus side only: no a<b, the sides are disjoint
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.is_d = 1 AND b.is_d = 0
+), cand AS (
+  SELECT c.da, c.db
+  FROM cand0 c
+  JOIN {sig_src} sa ON sa.doc_id = c.da
+  JOIN {sig_src} sb ON sb.doc_id = c.db
+  WHERE ({_DD10_AGREE}) >= {_DD10_MIN_AGREE}
+)"""
+
+
+def _dd17_tail(cand: str, doc_sh: str, hints: bool = False) -> str:
+    h_best = "/*+ BROADCAST(b) */ " if hints else ""
+    return (
+        _dd10_jac_ctes(cand, doc_sh, hints)
+        + f"""
+, best AS (
+  SELECT da, MAX(j) AS best_j, COUNT(*) AS n_cand FROM jac GROUP BY da
+), delta AS (
+  SELECT doc_id, source FROM documents WHERE {_DD17_DELTA_PRED}
+)
+SELECT {h_best}d.source,
+  CAST(COUNT(*) AS BIGINT)                                   AS n_batch_docs,
+  CAST(SUM(CASE WHEN b.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_with_candidates,
+  CAST(SUM(COALESCE(b.n_cand, 0)) AS BIGINT)                 AS n_candidate_pairs,
+  CAST(SUM(CASE WHEN b.best_j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_rejected_dup,
+  CAST(SUM(CASE WHEN b.best_j >= 0.8 THEN d.doc_id ELSE 0 END) AS BIGINT)
+                                                             AS rejected_checksum,
+  ROUND(COALESCE(MAX(b.best_j), -1.0), 4)                    AS max_jaccard
+FROM delta d LEFT JOIN best b ON b.da = d.doc_id
+GROUP BY d.source
+"""
+    )
+
+
+# signatures over ALL docs, no reps collapse (see module comment)
+_DD17_SIG_SPARK = _minhash_sig_sql(
+    _DD10_WORDSH_W_SPARK,
+    "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)",
+    "array_min",
+    "h ^ shiftright(h, {r})",
+).replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) r",
+)
+
+_DD17_BANDS_BRANCH_SPARK = f"""
+  SELECT doc_id, CASE WHEN {_DD17_DELTA_PRED} THEN 1 ELSE 0 END AS is_d,
+         band, bkey
+  FROM dd17_sig
+  LATERAL VIEW posexplode(array(
+    {_DD10_BAND_KEYS_SPARK}
+  )) t AS band, bkey
+"""
+
+_DD17_CAND_SPARK = (
+    "WITH "
+    + _dd17_cand_ctes(_DD17_BANDS_BRANCH_SPARK, "dd17_sig")
+    + "\nSELECT da, db FROM cand"
+)
+
+_DD17_DOCSH_SPARK = _DD10_DOCSH_SPARK.replace("dd10_cand", "dd17_cand")
+
+_DD17_TAIL_SPARK = "WITH " + _dd17_tail("dd17_cand", "dd17_doc_sh", hints=True)
+
+
+def _dd17_duck() -> str:
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, CASE WHEN {_DD17_DELTA_PRED} THEN 1 ELSE 0 END AS is_d,"
+        f" {b} AS band,"
+        " md5(concat("
+        + ", ',', ".join(f"CAST(h{4*b+i} AS VARCHAR)" for i in range(4))
+        + ")) AS bkey FROM sig"
+        for b in range(2)
+    )
+    sig = _minhash_sig_sql(
+        _DD10_WORDSH_W_DUCK,
+        "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)",
+        "list_min",
+        "xor(h, h >> {r})",
+    ).replace(
+        "FROM documents",
+        "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) r",
+    )
+    return f"""
+WITH sig AS ({sig}),
+{_dd17_cand_ctes(branches, "sig")}, cdocs AS (
+  SELECT da AS doc_id FROM cand UNION SELECT db FROM cand
+), doc_sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (
+    SELECT d.doc_id, unnest({_DD10_WORDSH_W_DUCK}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+    JOIN cdocs c ON c.doc_id = d.doc_id
+  ) t
+), {_dd17_tail("cand", "doc_sh")}
+"""
+
+
+_DD17_DUCK = _dd17_duck()
+
+
+@query("dd17_incremental_dedup", oracle=_DD17_DUCK, tags=("dedup", "lsh", "incremental"))
+def dd17_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest near-dup dedup: the batch slice (doc_id % 7 = 3)
+    probes the standing corpus's MinHash band index (2 bands x 4 hashes,
+    mega-bucket guard, >= 5/8 agreement gate — dd10's machinery, sides
+    disjoint), exact word-5-gram Jaccard verifies only the probe hits,
+    and the per-source admission report counts batch docs rejected at
+    J >= 0.8 with an id checksum. THE recurring shape at 100 TB: the
+    corpus never re-dedups, its signature/band relation is stored
+    mergeable state, and each ingest batch costs O(batch) probe +
+    O(hits) verify. No reps collapse — a batch doc identical to a
+    corpus doc is exactly what must be caught.
+
+    The three intermediates (signatures, gated candidates, candidate-doc
+    shingles) are materialized once, same as dd10 (Catalyst CTE inlining
+    would recompute signatures per tail reference)."""
+    register_views(spark, sf_dir)
+    sig = spark.sql(_DD17_SIG_SPARK).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("dd17_sig")
+    cand = spark.sql(_DD17_CAND_SPARK).localCheckpoint(eager=True)
+    cand.createOrReplaceTempView("dd17_cand")
+    doc_sh = spark.sql(_DD17_DOCSH_SPARK).localCheckpoint(eager=True)
+    doc_sh.createOrReplaceTempView("dd17_doc_sh")
+    return spark.sql(_DD17_TAIL_SPARK)

@@ -170,3 +170,48 @@ def test_ss13_prefix_blind_corpus_forces_a_miss(spark):
     assert out[0]["exact_top1"] == 33
     assert out[0]["approx_top1"] == 1
     assert out[0]["top1_sim_gap"] > 0
+
+
+# ---------------------------------------------------------------------------
+# dd17 — incremental admission semantics
+# ---------------------------------------------------------------------------
+
+
+def test_dd17_rejects_batch_dup_admits_unique_ignores_corpus_dups(spark):
+    # ids: 3 and 17 are batch (doc_id % 7 = 3); 1, 2, 9 are corpus.
+    # - batch doc 3 is VERBATIM-identical to corpus doc 1 -> rejected (J=1)
+    # - batch doc 17 is unique -> admitted, zero candidates
+    # - corpus docs 2 and 9 duplicate EACH OTHER -> must not appear in the
+    #   report at all (admission only judges the batch)
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    c = "one two three four five six seven eight nine ten"
+    _docs_view(spark, [
+        (1, "s1", a), (3, "s1", a),
+        (17, "s2", "totally different words nothing shared here at all ok fine"),
+        (2, "s3", c), (9, "s3", c),
+    ])
+    from db_converter_spark.operators.dedup import (
+        _DD17_CAND_SPARK, _DD17_DOCSH_SPARK, _DD17_SIG_SPARK, _DD17_TAIL_SPARK,
+    )
+    spark.sql(_DD17_SIG_SPARK).createOrReplaceTempView("dd17_sig")
+    spark.sql(_DD17_CAND_SPARK).createOrReplaceTempView("dd17_cand")
+    spark.sql(_DD17_DOCSH_SPARK).createOrReplaceTempView("dd17_doc_sh")
+    rows = {r["source"]: r for r in spark.sql(_DD17_TAIL_SPARK).collect()}
+    assert rows["s1"]["n_rejected_dup"] == 1
+    assert rows["s1"]["rejected_checksum"] == 3
+    assert rows["s1"]["max_jaccard"] == 1.0
+    assert rows["s2"]["n_with_candidates"] == 0
+    assert rows["s2"]["n_rejected_dup"] == 0
+    # corpus-internal duplicates contribute no batch rows: s3 absent
+    assert "s3" not in rows
+
+
+def test_dd17_real_corpus_invariants(spark):
+    rows = all_queries()["dd17_incremental_dedup"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 20  # every source ships batch docs (mod-7 vs 20 sources)
+    total_rejected = 0
+    for r in rows:
+        assert 0 <= r["n_rejected_dup"] <= r["n_with_candidates"] <= r["n_batch_docs"]
+        assert r["n_candidate_pairs"] >= r["n_with_candidates"] or r["n_with_candidates"] == 0
+        total_rejected += r["n_rejected_dup"]
+    assert total_rejected > 0  # the synthetic corpus plants real dups

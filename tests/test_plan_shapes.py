@@ -834,3 +834,52 @@ def test_dc05_pair_stage_is_sketch_only(spark):
     assert "Scan parquet" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3, plan
+
+
+def test_ta13_tail_is_scan_free_and_rank_is_grouplimit(spark):
+    """ta13's tail runs over the once-materialized tokenized docs: zero
+    parquet scans (the single-statement form re-scanned documents 5x via
+    CTE inlining), and the per-(doc, n) top-1 rank compiles to
+    WindowGroupLimit (partial top-k before the exchange)."""
+    plan = _plan(spark, "ta13_gopher_ngram_cov")
+    assert "Scan parquet" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pipe14_one_scan_bounded_window(spark):
+    """pipe14's tail joins only the materialized n_sources-row capacity
+    relation — no parquet scans, and the rank/cumsum window input IS that
+    bounded relation (the single-partition window class pinned for
+    ta12/ev16/mg04/pipe06)."""
+    plan = _plan(spark, "pipe14_unimax_waterfill")
+    assert "Scan parquet" not in plan, plan
+    assert "Window" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ev17_topk_never_global_sorts(spark):
+    """ev17's exact top-10 is TakeOrderedAndProject over the materialized
+    per-user counts — never a global-sort window; the rank window runs
+    over the bounded 10-row top-k only."""
+    plan = _plan(spark, "ev17_countmin_audit")
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ss13_rankings_are_grouplimit_over_materialized_sims(spark):
+    """Both of ss13's per-query rankings (candidate cut rn<=32, top-3)
+    compile to WindowGroupLimit over the once-materialized sims relation;
+    no parquet scan survives in the tail."""
+    plan = _plan(spark, "ss13_truncated_rerank")
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_dd17_admission_tail_broadcasts_best(spark):
+    """dd17's admission tail: the per-batch-doc best relation (bounded by
+    the candidate set) broadcasts onto the batch relation; the only
+    allowed sort-merge join is the shingle-vs-shingle common join (the
+    dd10 pin's class)."""
+    plan = _plan(spark, "dd17_incremental_dedup")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan

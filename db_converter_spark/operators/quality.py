@@ -566,3 +566,129 @@ def dq06_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = spark.sql(_DQ06_REF_SPARK).localCheckpoint(eager=True)
     ref.createOrReplaceTempView("dq06_ref")
     return spark.sql(_DQ06_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dq07 — distributed exact quantiles via histogram-partitioned selection
+# ---------------------------------------------------------------------------
+# dq03 profiles min/max/distinct; quantiles are the missing profile stat —
+# and the naive exact method (global ROW_NUMBER) funnels the whole column
+# through one partition. dq07 computes EXACT nearest-rank quantiles with no
+# global sort: one pass builds a 4,096-bin equi-width histogram over
+# integer cents (fixed-memory, mergeable — the same counter state a
+# streaming profiler keeps), the cumulative over the <= 4,096-row bin
+# relation locates the target bin per quantile, and a within-bin
+# ROW_NUMBER — partitioned by bin, ~n/4096 rows each — selects the exact
+# value. The operator also reports the pure-sketch estimate (the bin's
+# right edge, what you'd serve WITHOUT the selection pass) and its signed
+# error, auditing the bin resolution the same way ev17 audits count-min.
+#
+# Scale shape: two corpus-scale stages (min/max pass, binning pass), both
+# map-side-combinable; the cum window runs over <= 4,096 bounded rows (the
+# ta12 pinned class); the selection window partitions BY BIN (bounded
+# partitions by construction) and only over the <= 5 picked bins. At
+# 100 TB: histogram state is 32 KB per shard and merges across
+# shards/days; only picked bins ever sort.
+
+_DQ07_BINS = 4096
+_DQ07_QS = (25, 50, 75, 90, 99)
+
+
+_DQ07_MM = """
+SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL) t
+"""
+
+
+def _dq07_binned(mm_src: str, intdiv: str) -> str:
+    return f"""
+SELECT v, ((v - lo) * {_DQ07_BINS}) {intdiv} (hi - lo + 1) AS b
+FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL) t
+CROSS JOIN {mm_src}
+"""
+
+
+_DQ07_CUM = """
+SELECT b, c,
+  SUM(c) OVER (ORDER BY b) AS cum,
+  COALESCE(SUM(c) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+FROM (SELECT b, COUNT(*) AS c FROM {binned_src} GROUP BY b) hist
+"""
+
+
+def _dq07_tail(mm_src: str, binned_src: str, cum_src: str, values_table: str,
+               intdiv: str, lead: str = "WITH") -> str:
+    return f"""
+{lead} cum AS (
+  SELECT * FROM {cum_src}
+), qs AS (
+  SELECT * FROM {values_table}
+), targets AS (
+  SELECT qpct, (qpct * n + 99) {intdiv} 100 AS tgt FROM qs CROSS JOIN {mm_src}
+), pick AS (
+  SELECT t.qpct, t.tgt, MIN(c.b) AS b
+  FROM targets t JOIN cum c ON c.cum >= t.tgt
+  GROUP BY t.qpct, t.tgt
+), within AS (
+  SELECT p.qpct, p.tgt - cu.cum_prev AS r, p.b
+  FROM pick p JOIN cum cu ON cu.b = p.b
+), bvals AS (
+  SELECT b, v, ROW_NUMBER() OVER (PARTITION BY b ORDER BY v) AS rn
+  FROM {binned_src} WHERE b IN (SELECT b FROM pick)
+), exact AS (
+  SELECT w.qpct, x.v AS exact_cents
+  FROM within w JOIN bvals x ON x.b = w.b AND x.rn = w.r
+)
+SELECT CAST(e.qpct AS BIGINT) AS qpct, CAST(m.n AS BIGINT) AS n,
+  CAST(e.exact_cents AS BIGINT) AS exact_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1)) {intdiv} {_DQ07_BINS} - 1
+       AS BIGINT) AS est_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1)) {intdiv} {_DQ07_BINS} - 1
+       - e.exact_cents AS BIGINT) AS err_cents
+FROM exact e JOIN within w ON w.qpct = e.qpct CROSS JOIN {mm_src} m
+"""
+
+
+_DQ07_VALUES = ", ".join(f"({q})" for q in _DQ07_QS)
+
+_DQ07_BINNED_SPARK = _dq07_binned("dq07_mm", "DIV")
+_DQ07_CUM_SPARK = _DQ07_CUM.format(binned_src="dq07_binned")
+_DQ07_TAIL_SPARK = _dq07_tail(
+    "dq07_mm", "dq07_binned", "dq07_cum",
+    f"VALUES {_DQ07_VALUES} AS t(qpct)", "DIV"
+)
+
+_DQ07_DUCK = (
+    f"WITH mm AS ({_DQ07_MM}), binned AS ({_dq07_binned('mm', '//')}),"
+    f" cumr AS ({_DQ07_CUM.format(binned_src='binned')})"
+    + _dq07_tail("mm", "binned", "cumr",
+                 f"(VALUES {_DQ07_VALUES}) t(qpct)", "//", lead=",")
+)
+
+
+@query("dq07_quantile_profile", oracle=_DQ07_DUCK, tags=("quality", "profile", "quantile"))
+def dq07_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT nearest-rank quantiles (p25/50/75/90/99 of
+    o_totalprice in integer cents) with no global sort: 4,096-bin
+    equi-width histogram (one mergeable pass) locates each target bin,
+    a bin-partitioned ROW_NUMBER selects the exact value within only the
+    picked bins, and the pure-sketch bin-edge estimate rides along with
+    its signed error — the quantile profile dq03 lacks plus the sketch
+    audit (the ev17 pattern on the frequency side). min/max and the
+    binned relation are materialized once (CTE inlining would re-scan
+    orders ~5x)."""
+    register_views(spark, sf_dir)
+    spark.sql(_DQ07_MM).localCheckpoint(eager=True).createOrReplaceTempView("dq07_mm")
+    spark.sql(_DQ07_BINNED_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq07_binned"
+    )
+    # the <= 4,096-row cum relation is read by targets/pick/within/final:
+    # inlined it re-aggregated the binned checkpoint ~4x and re-ran the
+    # single-partition cumulative window each time
+    spark.sql(_DQ07_CUM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq07_cum"
+    )
+    return spark.sql(_DQ07_TAIL_SPARK)

@@ -164,9 +164,11 @@ _CHECK_TAIL = (
     "ev16_watermark_audit",
     "pipe03_weighted_sample",
     "ta12_ppl_buckets",
-    # --- r4-green, parked mid-r7 to fund dd17_incremental_dedup's head
-    # slot (dd keeps ten head members) ---
+    # --- r4-green, parked mid-r7 to fund dd17_incremental_dedup's and
+    # dq07_quantile_profile's head slots (dd keeps ten head members; mm
+    # keeps mm01/mm03; dq07 is the dq family's head member this round) ---
     "dd09_span_dedup",
+    "mm05_phash_neardup",
 )
 # NOTE (r7 state): the tail parks queries whose newest official row is
 # r4–r6 with fingerprints pinned by the freshness guard; the r7 head is

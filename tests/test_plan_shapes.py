@@ -883,3 +883,17 @@ def test_dd17_admission_tail_broadcasts_best(spark):
     plan = _plan(spark, "dd17_incremental_dedup")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_dq07_tail_scan_free_no_global_value_sort(spark):
+    """dq07's tail reads only the materialized mm/binned relations (CTE
+    inlining re-scanned orders ~5x single-statement); the exact selection
+    never global-sorts the value column — the only windows are the
+    <= 4,096-row bin cumulative and the bin-PARTITIONED in-bin rank."""
+    plan = _plan(spark, "dq07_quantile_profile")
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+    # the in-bin rank window partitions by b (bounded partitions)
+    import re
+
+    assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+L, v#\d+L", plan), plan

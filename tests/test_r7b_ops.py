@@ -215,3 +215,37 @@ def test_dd17_real_corpus_invariants(spark):
         assert r["n_candidate_pairs"] >= r["n_with_candidates"] or r["n_with_candidates"] == 0
         total_rejected += r["n_rejected_dup"]
     assert total_rejected > 0  # the synthetic corpus plants real dups
+
+
+# ---------------------------------------------------------------------------
+# dq07 — exactness against an INDEPENDENT implementation
+# ---------------------------------------------------------------------------
+
+
+def test_dq07_exact_matches_duckdb_quantile_disc(spark):
+    # the oracle compare proves Spark == our DuckDB SQL; this proves the
+    # algorithm itself: histogram-partitioned selection must equal
+    # DuckDB's own quantile_disc (nearest-rank), an independent
+    # implementation, at every probed quantile
+    import duckdb
+
+    rows = {r["qpct"]: r for r in
+            all_queries()["dq07_quantile_profile"].builder(spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    ref = con.execute(
+        "SELECT quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT),"
+        " [0.25, 0.5, 0.75, 0.9, 0.99])"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()[0]
+    for q, want in zip((25, 50, 75, 90, 99), ref):
+        assert rows[q]["exact_cents"] == want, (q, rows[q], want)
+        # the sketch estimate is the containing bin's right edge: never
+        # below the exact value, and within one bin width of it
+        assert rows[q]["err_cents"] >= 0
+    lo, hi = con.execute(
+        "SELECT MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)),"
+        " MAX(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+        f" FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()
+    width = (hi - lo + 1) // 4096 + 1
+    assert all(rows[q]["err_cents"] <= width for q in (25, 50, 75, 90, 99))

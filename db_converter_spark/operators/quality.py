@@ -620,7 +620,14 @@ FROM (SELECT b, COUNT(*) AS c FROM {binned_src} GROUP BY b) hist
 
 
 def _dq07_tail(mm_src: str, binned_src: str, cum_src: str, values_table: str,
-               intdiv: str, lead: str = "WITH") -> str:
+               intdiv: str, lead: str = "WITH", hints: bool = False) -> str:
+    # checkpointed relations carry no stats (the dd10 lesson): hint every
+    # bounded relation (pick/within: <= 5 rows; picked-bin set: <= 5) onto
+    # the broadcast side so no tail join ever SMJs the binned column
+    h_within = "/*+ BROADCAST(p) */ " if hints else ""
+    h_bvals = "/*+ BROADCAST(pb) */ " if hints else ""
+    h_exact = "/*+ BROADCAST(w) */ " if hints else ""
+    h_final = "/*+ BROADCAST(w, m) */ " if hints else ""
     return f"""
 {lead} cum AS (
   SELECT * FROM {cum_src}
@@ -633,16 +640,16 @@ def _dq07_tail(mm_src: str, binned_src: str, cum_src: str, values_table: str,
   FROM targets t JOIN cum c ON c.cum >= t.tgt
   GROUP BY t.qpct, t.tgt
 ), within AS (
-  SELECT p.qpct, p.tgt - cu.cum_prev AS r, p.b
+  SELECT {h_within}p.qpct, p.tgt - cu.cum_prev AS r, p.b
   FROM pick p JOIN cum cu ON cu.b = p.b
 ), bvals AS (
-  SELECT b, v, ROW_NUMBER() OVER (PARTITION BY b ORDER BY v) AS rn
-  FROM {binned_src} WHERE b IN (SELECT b FROM pick)
+  SELECT {h_bvals}x.b, x.v, ROW_NUMBER() OVER (PARTITION BY x.b ORDER BY x.v) AS rn
+  FROM {binned_src} x JOIN (SELECT DISTINCT b FROM pick) pb ON pb.b = x.b
 ), exact AS (
-  SELECT w.qpct, x.v AS exact_cents
+  SELECT {h_exact}w.qpct, x.v AS exact_cents
   FROM within w JOIN bvals x ON x.b = w.b AND x.rn = w.r
 )
-SELECT CAST(e.qpct AS BIGINT) AS qpct, CAST(m.n AS BIGINT) AS n,
+SELECT {h_final}CAST(e.qpct AS BIGINT) AS qpct, CAST(m.n AS BIGINT) AS n,
   CAST(e.exact_cents AS BIGINT) AS exact_cents,
   CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1)) {intdiv} {_DQ07_BINS} - 1
        AS BIGINT) AS est_cents,
@@ -658,7 +665,7 @@ _DQ07_BINNED_SPARK = _dq07_binned("dq07_mm", "DIV")
 _DQ07_CUM_SPARK = _DQ07_CUM.format(binned_src="dq07_binned")
 _DQ07_TAIL_SPARK = _dq07_tail(
     "dq07_mm", "dq07_binned", "dq07_cum",
-    f"VALUES {_DQ07_VALUES} AS t(qpct)", "DIV"
+    f"VALUES {_DQ07_VALUES} AS t(qpct)", "DIV", hints=True
 )
 
 _DQ07_DUCK = (

@@ -1508,3 +1508,187 @@ def ss13_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_id-keyed windows only."""
     register_views(spark, sf_dir)
     return _ss13_run(spark)
+
+# ---------------------------------------------------------------------------
+# ss14 — SQ8 scalar quantization: quantize → store codes → serve → audit
+# ---------------------------------------------------------------------------
+# PQ (ss06/ss11/ss12) is one production compression; the other is scalar
+# quantization (FAISS IndexScalarQuantizer QT_8bit): per-DIMENSION min/max
+# over the corpus, each float32 mapped to one byte
+# code = round((x - lo_i) * 255 / (hi_i - lo_i)), served by dequantized
+# cosine x̂_i = lo_i + code_i·(hi_i - lo_i)/255. 4× smaller vectors = 4×
+# less scan bandwidth, no codebook training. ss14 runs the full loop:
+# stats pass → 1-byte/dim code table (the stored state, materialized) →
+# dequantized-cosine top-10 serving scan that reads ONLY the codes + the
+# one-row broadcast stats → audit against exact float cosine (per-rank
+# sim error, exact-top-10 membership). Deterministic end-to-end: integer
+# codes, and both engines fold the dequantized dot left-to-right
+# (bit-identical IEEE; the ss01 precedent).
+#
+# Scale shape: the stats pass is a posexplode + 64-key aggregate
+# (map-side combinable, mergeable across shards); quantization is one map
+# pass; SERVING reads the code table only. The audit's exact-cosine side
+# re-reads raw embeddings — the cost the codes exist to avoid, present
+# only to measure the quantization error.
+
+_SS14_QID = 0  # the ss01 convention: vec_id = 0 is the query
+
+
+def _ss14_dims(posex: str, icol: str, xcol: str) -> str:
+    return f"""
+SELECT {icol} AS i, MIN(CAST({xcol} AS DOUBLE)) AS lo, MAX(CAST({xcol} AS DOUBLE)) AS hi
+FROM embeddings {posex}
+GROUP BY {icol}
+"""
+
+
+def _ss14_codes(transform_fn: str, seq_emb: str, elem_e: str, elem_l: str,
+                elem_h: str, srow_src: str) -> str:
+    # hi = lo (constant dimension) quantizes to code 0 via the NULLIF guard
+    return f"""
+SELECT vec_id,
+  {transform_fn}({seq_emb}, i -> CAST(COALESCE(
+    ROUND((CAST({elem_e} AS DOUBLE) - {elem_l}) * 255 / NULLIF({elem_h} - {elem_l}, 0.0)),
+    0) AS INT)) AS code
+FROM embeddings CROSS JOIN {srow_src}
+"""
+
+
+def _ss14_exact(dot: str, nrm: str) -> str:
+    """The audit's exact-cosine relation (vec_id, sim) — ONE embeddings
+    scan, materialized on the Spark side (the tail references it twice:
+    final join + exact top-10)."""
+    return f"""
+WITH eq AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {_SS14_QID}
+)
+SELECT e.vec_id,
+  {dot.format(a="e.embedding", b="eq.qv")} / ({nrm.format(v="e.embedding")} * {nrm.format(v="eq.qv")}) AS sim
+FROM embeddings e CROSS JOIN eq WHERE e.vec_id <> {_SS14_QID}
+"""
+
+
+def _ss14_tail(transform_fn: str, seq_code: str, elem_c: str, elem_l: str,
+               elem_h: str, dot: str, nrm: str, codes_src: str,
+               srow_src: str, exact_src: str, lead: str = "WITH",
+               hints: bool = False) -> str:
+    h_deq = "/*+ BROADCAST(s) */ " if hints else ""
+    h_sq = "/*+ BROADCAST(q) */ " if hints else ""
+    h_fin = "/*+ BROADCAST(r, x) */ " if hints else ""
+    return f"""
+{lead} deq AS (
+  SELECT {h_deq}vec_id,
+    {transform_fn}({seq_code}, i -> {elem_l} + CAST({elem_c} AS DOUBLE) * ({elem_h} - {elem_l}) / 255.0) AS xq
+  FROM {codes_src} CROSS JOIN {srow_src} s
+), q AS (
+  SELECT xq AS qv FROM deq WHERE vec_id = {_SS14_QID}
+), sq_sims AS (
+  SELECT {h_sq}d.vec_id,
+    {dot.format(a="d.xq", b="q.qv")} / ({nrm.format(v="d.xq")} * {nrm.format(v="q.qv")}) AS sim
+  FROM deq d CROSS JOIN q WHERE d.vec_id <> {_SS14_QID}
+), sq_top AS (
+  SELECT vec_id, sim FROM sq_sims ORDER BY sim DESC, vec_id LIMIT 10
+), ex_sims AS (
+  SELECT * FROM {exact_src}
+), ex_top AS (
+  SELECT vec_id, sim FROM ex_sims ORDER BY sim DESC, vec_id LIMIT 10
+), ranked AS (
+  SELECT vec_id, sim, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rnk
+  FROM sq_top
+)
+SELECT {h_fin}CAST(r.rnk AS BIGINT) AS rnk, r.vec_id,
+  ROUND(r.sim, 6) AS sim_sq8,
+  ROUND(a.sim, 6) AS sim_exact,
+  ROUND(a.sim - r.sim, 6) AS sim_err,
+  CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact_top10
+FROM ranked r
+JOIN ex_sims a ON a.vec_id = r.vec_id
+LEFT JOIN ex_top x ON x.vec_id = r.vec_id
+"""
+
+
+_SS14_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (p, r) -> CAST(p AS DOUBLE) * CAST(r AS DOUBLE)),"
+    " 0.0D, (acc, z) -> acc + z)"
+)
+_SS14_NRM_SPARK = (
+    "sqrt(aggregate(transform({v}, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)),"
+    " 0.0D, (acc, z) -> acc + z))"
+)
+_SS14_DOT_DUCK = (
+    "list_sum(list_transform([CAST(g AS INT) for g in generate_series(1, len({a}))],"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SS14_NRM_DUCK = (
+    "sqrt(list_sum(list_transform({v}, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))"
+)
+
+_SS14_DIMS_SPARK = _ss14_dims(
+    "LATERAL VIEW posexplode(embedding) t AS pos, x", "pos + 1", "x"
+)
+_SS14_SROW_SPARK = (
+    "SELECT transform(array_sort(collect_list(struct(i, lo))), u -> u.lo) AS los,"
+    " transform(array_sort(collect_list(struct(i, hi))), u -> u.hi) AS his"
+    " FROM ss14_dims"
+)
+_SS14_CODES_SPARK = _ss14_codes(
+    "transform", "sequence(1, size(embedding))",
+    "element_at(embedding, i)", "element_at(los, i)", "element_at(his, i)",
+    "ss14_srow",
+)
+_SS14_EXACT_SPARK = _ss14_exact(_SS14_DOT_SPARK, _SS14_NRM_SPARK)
+_SS14_TAIL_SPARK = _ss14_tail(
+    "transform", "sequence(1, size(code))",
+    "element_at(code, i)", "element_at(s.los, i)", "element_at(s.his, i)",
+    _SS14_DOT_SPARK, _SS14_NRM_SPARK, "ss14_codes", "ss14_srow",
+    "ss14_exact", hints=True
+)
+
+_SS14_DIMS_DUCK = _ss14_dims(
+    ", LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t",
+    "t.i", "embedding[t.i]",
+)
+_SS14_DUCK = (
+    f"WITH ss14_dims AS ({_SS14_DIMS_DUCK}), srow AS ("
+    "SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM ss14_dims"
+    "), codes AS ("
+    + _ss14_codes(
+        "list_transform", "[CAST(g AS INT) for g in generate_series(1, len(embedding))]",
+        "embedding[i]", "los[i]", "his[i]", "srow",
+    )
+    + ")"
+    + f", exact_r AS ({_ss14_exact(_SS14_DOT_DUCK, _SS14_NRM_DUCK)})"
+    + _ss14_tail(
+        "list_transform", "[CAST(g AS INT) for g in generate_series(1, len(code))]",
+        "code[i]", "s.los[i]", "s.his[i]",
+        _SS14_DOT_DUCK, _SS14_NRM_DUCK, "codes", "srow", "exact_r", lead=",",
+    )
+)
+
+
+@query("ss14_sq8_topk", oracle=_SS14_DUCK, tags=("similarity", "quantization", "sq8"))
+def ss14_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization end-to-end (FAISS QT_8bit analog):
+    per-dimension min/max stats, 1-byte/dim code table (the stored
+    state, checkpointed), dequantized-cosine top-10 served from ONLY the
+    codes + one broadcast stats row, audited per rank against exact
+    float cosine (sim error, exact-top-10 membership). Deterministic
+    integer codes; both engines fold the dequantized dot identically.
+    The stats/srow/codes relations are each materialized once (CTE
+    inlining would re-scan embeddings per tail reference)."""
+    register_views(spark, sf_dir)
+    spark.sql(_SS14_DIMS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ss14_dims"
+    )
+    spark.sql(_SS14_SROW_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ss14_srow"
+    )
+    spark.sql(_SS14_CODES_SPARK).localCheckpoint(
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
+    ).createOrReplaceTempView("ss14_codes")
+    # the audit's exact-sim relation: one embeddings scan, referenced
+    # twice by the tail
+    spark.sql(_SS14_EXACT_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "ss14_exact"
+    )
+    return spark.sql(_SS14_TAIL_SPARK)

@@ -169,6 +169,7 @@ _CHECK_TAIL = (
     # keeps mm01/mm03; dq07 is the dq family's head member this round) ---
     "dd09_span_dedup",
     "mm05_phash_neardup",
+    "ss01_cosine_topk",
 )
 # NOTE (r7 state): the tail parks queries whose newest official row is
 # r4–r6 with fingerprints pinned by the freshness guard; the r7 head is

@@ -897,3 +897,12 @@ def test_dq07_tail_scan_free_no_global_value_sort(spark):
     import re
 
     assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+L, v#\d+L", plan), plan
+
+
+def test_ss14_serving_branch_reads_codes_only(spark):
+    """ss14's tail is fully scan-free: serving reads the materialized
+    code table + stats row, the audit reads its own once-materialized
+    exact-sim relation, and both top-10s are TakeOrderedAndProject."""
+    plan = _plan(spark, "ss14_sq8_topk")
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

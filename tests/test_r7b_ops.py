@@ -249,3 +249,43 @@ def test_dq07_exact_matches_duckdb_quantile_disc(spark):
     ).fetchone()
     width = (hi - lo + 1) // 4096 + 1
     assert all(rows[q]["err_cents"] <= width for q in (25, 50, 75, 90, 99))
+
+
+# ---------------------------------------------------------------------------
+# ss14 — quantization error semantics
+# ---------------------------------------------------------------------------
+
+
+def test_ss14_lossless_on_grid_aligned_corpus(spark):
+    # vectors whose components are exactly 0/1 sit ON the SQ8 grid
+    # (lo=0, hi=1 -> codes 0/255 dequantize exactly) -> zero sim error
+    # at every rank and perfect exact-top-10 agreement
+    import random
+
+    from db_converter_spark.operators.similarity import (
+        _SS14_CODES_SPARK, _SS14_DIMS_SPARK, _SS14_EXACT_SPARK,
+        _SS14_SROW_SPARK, _SS14_TAIL_SPARK,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [float(rng.randint(0, 1)) for _ in range(16)]) for i in range(40)]
+    _emb_view(spark, rows)
+    spark.sql(_SS14_DIMS_SPARK).createOrReplaceTempView("ss14_dims")
+    spark.sql(_SS14_SROW_SPARK).createOrReplaceTempView("ss14_srow")
+    spark.sql(_SS14_CODES_SPARK).createOrReplaceTempView("ss14_codes")
+    spark.sql(_SS14_EXACT_SPARK).createOrReplaceTempView("ss14_exact")
+    out = spark.sql(_SS14_TAIL_SPARK).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["sim_err"] == 0.0, r
+        assert r["sim_sq8"] == r["sim_exact"], r
+        assert r["in_exact_top10"] == 1, r
+
+
+def test_ss14_real_corpus_error_bounded(spark):
+    out = all_queries()["ss14_sq8_topk"].builder(spark, SF_DIR).collect()
+    assert len(out) == 10
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == list(range(1, 11))
+    # 8-bit per-dim quantization on 64 dims keeps cosine error tiny
+    assert all(abs(r["sim_err"]) < 0.05 for r in out), out
+    assert sum(r["in_exact_top10"] for r in out) >= 8, out

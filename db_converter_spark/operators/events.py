@@ -1541,3 +1541,96 @@ def ev17_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     build directly over the stream as a d x w map-side aggregate."""
     register_views(spark, sf_dir)
     return _ev17_run(spark)
+
+
+# ---------------------------------------------------------------------------
+# ev18 — streaming histogram quantiles (the dq07 sketch under a stream)
+# ---------------------------------------------------------------------------
+# dq07 proves the mergeable-histogram quantile shape in batch; ev18 runs the
+# SAME sketch as an actual Structured Stream: per 1-hour event-time window,
+# a 256-bin fixed-domain histogram of `value` (integer cents, bin = 400
+# cents, domain [0, 1024) units with outliers clamped to the edge bin — a
+# streaming sketch cannot take a min/max pre-pass, so the domain is fixed
+# a priori, the standard streaming-quantile trade) aggregated in complete
+# mode, then a BATCH tail over the bounded sink relation cuts p50/p90/p99
+# as the smallest bin whose cumulative reaches ceil(q·n). State per window
+# is <= 256 counters — mergeable across micro-batches by construction,
+# which is exactly why the histogram (and not a sort) is the streaming
+# quantile structure.
+
+_EV18_BINW = 400   # cents per bin
+_EV18_NBINS = 256
+
+_EV18_BIN_EXPR = (
+    f"LEAST({_EV18_NBINS - 1}, GREATEST(0, "
+    f"CAST(ROUND(value * 100) AS BIGINT) DIV {_EV18_BINW}))"
+)
+
+
+def _ev18_tail(hist_src: str, intdiv: str, lead: str = "WITH") -> str:
+    # MIN over CASE picks the smallest qualifying bin (right edges grow
+    # monotonically with b); the cumulative window partitions by window
+    # over <= 256 bounded rows
+    def est(q: int) -> str:
+        return (
+            f"CAST(MIN(CASE WHEN cum >= ({q} * n + 99) {intdiv} 100"
+            f" THEN (b + 1) * {_EV18_BINW} - 1 END) AS BIGINT) AS est_p{q}_cents"
+        )
+
+    return f"""
+{lead} cum AS (
+  SELECT window_start, b, c,
+    SUM(c) OVER (PARTITION BY window_start ORDER BY b) AS cum,
+    SUM(c) OVER (PARTITION BY window_start) AS n
+  FROM {hist_src}
+)
+SELECT window_start, CAST(n AS BIGINT) AS n_events,
+  {est(50)},
+  {est(90)},
+  {est(99)}
+FROM cum GROUP BY window_start, n
+"""
+
+
+_EV18_DUCK = f"""
+WITH hist AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         LEAST({_EV18_NBINS - 1}, GREATEST(0,
+           CAST(ROUND(value * 100) AS BIGINT) // {_EV18_BINW})) AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+){_ev18_tail("hist", "//", lead=",")}
+"""
+
+
+@query("ev18_streaming_quantiles", oracle=_EV18_DUCK, tags=("events", "streaming", "sketch", "quantile"))
+def ev18_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window streaming quantiles from a fixed-domain histogram: an
+    ACTUAL readStream (2 h watermark, availableNow) aggregates a 256-bin
+    cents histogram per 1-hour window in complete mode — <= 256 mergeable
+    counters of state per window — and a batch tail over the bounded sink
+    cuts p50/p90/p99 as smallest-bin-reaching-ceil(q·n) (the dq07
+    estimator; right-edge estimates, error <= one 400-cent bin). The
+    batch oracle computes the identical sketch, so the compare is exact."""
+    sink = "ev18_sink"
+    src = _events_stream_source(spark, sf_dir)
+    hist = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.expr(_EV18_BIN_EXPR).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "b",
+            "c",
+        )
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(_ev18_tail(sink, "DIV"))

@@ -170,6 +170,7 @@ _CHECK_TAIL = (
     "dd09_span_dedup",
     "mm05_phash_neardup",
     "ss01_cosine_topk",
+    "ta01_langid",
 )
 # NOTE (r7 state): the tail parks queries whose newest official row is
 # r4–r6 with fingerprints pinned by the freshness guard; the r7 head is

@@ -289,3 +289,24 @@ def test_ss14_real_corpus_error_bounded(spark):
     # 8-bit per-dim quantization on 64 dims keeps cosine error tiny
     assert all(abs(r["sim_err"]) < 0.05 for r in out), out
     assert sum(r["in_exact_top10"] for r in out) >= 8, out
+
+
+# ---------------------------------------------------------------------------
+# ev18 — streaming histogram-quantile invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ev18_streaming_quantile_invariants(spark):
+    rows = all_queries()["ev18_streaming_quantiles"].builder(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == total  # every event binned once
+    for r in rows:
+        # quantile estimates are monotone and sit on 400-cent bin right edges
+        assert r["est_p50_cents"] <= r["est_p90_cents"] <= r["est_p99_cents"]
+        for c in ("est_p50_cents", "est_p90_cents", "est_p99_cents"):
+            assert r[c] % 400 == 399 and 0 <= r[c] < 256 * 400

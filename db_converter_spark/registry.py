@@ -172,12 +172,15 @@ _CHECK_TAIL = (
     "ss01_cosine_topk",
     "ta01_langid",
 )
-# NOTE (r7 state): the tail parks queries whose newest official row is
-# r4–r6 with fingerprints pinned by the freshness guard; the r7 head is
-# the 43 oldest rows (r3/r4) + dd14/dd15/dc05 (changed/new in r7) + the
-# four r6-new ops. Each round the head takes everything whose SQL changed
-# plus the oldest parked rows, and the tail absorbs the displaced green
-# entries (stamp via scripts/update_official_rows.py).
+# NOTE (r7 final state): the tail parks queries whose newest official row
+# is r4–r6 with fingerprints pinned by the freshness guard; the r7 head =
+# 34 r3 rows + 4 r4 rows + dd14/dd15/ss12 (changed after their last rows)
+# + the nine r7-new ops (dc05, ta13, pipe14, ev17, ss13, dd17, dq07,
+# ss14, ev18) — funding them deferred five r4-row refreshes (pipe03,
+# dd09, mm05, ss01, ta01) and parked dd16/ev16/ta12 (r6-green) to r8's
+# oldest-rows pool. Each round the head takes everything whose SQL
+# changed plus the oldest parked rows, and the tail absorbs the displaced
+# green entries (stamp via scripts/update_official_rows.py).
 
 
 def query_fingerprint(name: str) -> str:

@@ -906,3 +906,14 @@ def test_ss14_serving_branch_reads_codes_only(spark):
     plan = _plan(spark, "ss14_sq8_topk")
     assert "Scan parquet" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ev18_tail_reads_sink_only_window_partitioned(spark):
+    """ev18's batch tail reads the streaming memory sink, never parquet,
+    and its cumulative window partitions by window_start (<= 256 bounded
+    rows per partition)."""
+    import re
+
+    plan = _plan(spark, "ev18_streaming_quantiles")
+    assert "Scan parquet" not in plan, plan
+    assert re.search(r"windowspecdefinition\(window_start#\d+", plan), plan

@@ -20,11 +20,17 @@ Scale notes (100 TB design stance):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_converter_spark.catalog import load_table, register_views
 from db_converter_spark.registry import query
+
+# serialized big-checkpoint storage level, shared by every corpus-scale
+# localCheckpoint in this module (same constant as similarity._BIG_CKPT_LEVEL:
+# deserialized object rows pinned whole relations in the 16 GB-decade heap)
+_BIG_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 # 8 minhash "permutations": (a, b, r). Each permutes the 60-bit base hash h
 # via an xor-shift mix THEN an affine map:
@@ -1080,10 +1086,8 @@ def dc05_sketched_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities) read the checkpoint: Catalyst inlines WITH bodies, so
     the single-statement form scanned the corpus 4x."""
     register_views(spark, sf_dir)
-    from pyspark import StorageLevel
-
     grams = spark.sql(_DC05_GRAMS_SPARK).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
     )
     grams.createOrReplaceTempView("dc05_grams")
     spark.sql(_DC05_SK_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
@@ -1926,21 +1930,19 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where this single-checkpoint shape completes, and at small k it
     # pinned the pair join's parallelism to the cid count (31.0 s vs
     # 5.7 s at sf0.1). AQE sizes/coalesces the cid exchange at any scale.
-    from pyspark import StorageLevel
-
-    # SERIALIZED MEMORY_AND_DISK (r7): the default deserialized level held
+    # SERIALIZED _BIG_CKPT_LEVEL (r7): the default deserialized level held
     # 5M wide object rows pinned in the 16 GB-decade heap — the exact ss07
     # failure class (r6), which was fixed everywhere BUT here; measured
     # this round the deserialized form dies UNABLE_TO_ACQUIRE in the
     # report tail where the serialized form completes.
     spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
     ).createOrReplaceTempView("dd14_assign")
     # materialize dup_pairs ONCE (tiny post-filter): the report's two stat
     # branches would otherwise each re-run the cosine pair join (Catalyst
     # inlines CTEs) — see _dd14_pairs
     spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        eager=True, storageLevel=_BIG_CKPT_LEVEL
     ).createOrReplaceTempView("dd14_pairs")
     # k-row cell sizes as their OWN checkpoint: the report tail then joins
     # three bounded relations and never touches the n-row assignment —

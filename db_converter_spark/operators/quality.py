@@ -651,9 +651,9 @@ def _dq07_tail(mm_src: str, binned_src: str, cum_src: str, values_table: str,
 )
 SELECT {h_final}CAST(e.qpct AS BIGINT) AS qpct, CAST(m.n AS BIGINT) AS n,
   CAST(e.exact_cents AS BIGINT) AS exact_cents,
-  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1)) {intdiv} {_DQ07_BINS} - 1
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ07_BINS} - 1) {intdiv} {_DQ07_BINS} - 1
        AS BIGINT) AS est_cents,
-  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1)) {intdiv} {_DQ07_BINS} - 1
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ07_BINS} - 1) {intdiv} {_DQ07_BINS} - 1
        - e.exact_cents AS BIGINT) AS err_cents
 FROM exact e JOIN within w ON w.qpct = e.qpct CROSS JOIN {mm_src} m
 """
@@ -699,3 +699,159 @@ def dq07_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dq07_cum"
     )
     return spark.sql(_DQ07_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# dq08 — per-COLUMN exact quantile profile (dq07's machinery, one scan)
+# ---------------------------------------------------------------------------
+# dq07 proves the histogram-partitioned exact-selection shape on ONE
+# hard-coded column; a profiler needs it for EVERY numeric column without
+# N scans (the r7 verdict's Next #6). dq08 threads a column key through
+# the whole chain: one pass over lineitem explodes each row into
+# (col, value_cents) via an inline struct array — so all four numeric
+# columns share a single scan and ONE mergeable (col, bin) histogram —
+# and every downstream relation (cum window PARTITION BY col, target/pick/
+# within joins, picked-bin ROW_NUMBER) is keyed by (col, ...) with the
+# same boundedness guarantees as dq07 (cum <= cols x 4,096 rows; selection
+# sorts only the <= cols x 5 picked bins).
+#
+# At 100 TB: histogram state is cols x 32 KB, mergeable across shards;
+# the explode multiplies scan rows by |cols| but the map-side (col, b)
+# combine collapses them before any shuffle — the alternative (one dq07
+# run per column) re-reads the corpus |cols| times.
+
+_DQ08_BINS = 4096
+_DQ08_QS = (25, 50, 75, 90, 99)
+_DQ08_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_DQ08_VALS_SPARK = (
+    "SELECT c.col, c.v FROM lineitem\nLATERAL VIEW explode(array(\n  "
+    + ",\n  ".join(
+        f"named_struct('col', '{c}', 'v', CAST(ROUND({c} * 100) AS BIGINT))"
+        for c in _DQ08_COLS
+    )
+    + "\n)) t AS c\nWHERE c.v IS NOT NULL"
+)
+
+# the oracle runs at sf0.01 — a UNION ALL of pruned scans is fine there;
+# only the Spark side needs the single-scan explode shape
+_DQ08_VALS_DUCK = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, CAST(ROUND({c} * 100) AS BIGINT) AS v"
+    f" FROM lineitem WHERE {c} IS NOT NULL"
+    for c in _DQ08_COLS
+)
+
+
+def _dq08_mm(vals_src: str) -> str:
+    return f"""
+SELECT col, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+FROM ({vals_src}) t GROUP BY col
+"""
+
+
+def _dq08_binned(vals_src: str, mm_src: str, intdiv: str, hints: bool = False) -> str:
+    h = "/*+ BROADCAST(m) */ " if hints else ""
+    return f"""
+SELECT {h}v.col, v.v, ((v.v - m.lo) * {_DQ08_BINS}) {intdiv} (m.hi - m.lo + 1) AS b
+FROM ({vals_src}) v JOIN ({mm_src}) m ON m.col = v.col
+"""
+
+
+_DQ08_CUM = """
+SELECT col, b, c,
+  SUM(c) OVER (PARTITION BY col ORDER BY b) AS cum,
+  COALESCE(SUM(c) OVER (PARTITION BY col ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+FROM (SELECT col, b, COUNT(*) AS c FROM {binned_src} GROUP BY col, b) hist
+"""
+
+
+def _dq08_tail(mm_src: str, binned_src: str, cum_src: str, values_table: str,
+               intdiv: str, lead: str = "WITH", hints: bool = False) -> str:
+    # same broadcast discipline as dq07: every post-histogram relation is
+    # bounded (cols x quantiles / picked bins) — pin it to the build side
+    h_within = "/*+ BROADCAST(p) */ " if hints else ""
+    h_bvals = "/*+ BROADCAST(pb) */ " if hints else ""
+    h_exact = "/*+ BROADCAST(w) */ " if hints else ""
+    h_final = "/*+ BROADCAST(w, m) */ " if hints else ""
+    return f"""
+{lead} cum AS (
+  SELECT * FROM {cum_src}
+), qs AS (
+  SELECT * FROM {values_table}
+), targets AS (
+  SELECT m.col, q.qpct, (q.qpct * m.n + 99) {intdiv} 100 AS tgt
+  FROM qs q CROSS JOIN ({mm_src}) m
+), pick AS (
+  SELECT t.col, t.qpct, t.tgt, MIN(c.b) AS b
+  FROM targets t JOIN cum c ON c.col = t.col AND c.cum >= t.tgt
+  GROUP BY t.col, t.qpct, t.tgt
+), within AS (
+  SELECT {h_within}p.col, p.qpct, p.tgt - cu.cum_prev AS r, p.b
+  FROM pick p JOIN cum cu ON cu.col = p.col AND cu.b = p.b
+), bvals AS (
+  SELECT {h_bvals}x.col, x.b, x.v,
+         ROW_NUMBER() OVER (PARTITION BY x.col, x.b ORDER BY x.v) AS rn
+  FROM {binned_src} x
+  JOIN (SELECT DISTINCT col, b FROM pick) pb ON pb.col = x.col AND pb.b = x.b
+), exact AS (
+  SELECT {h_exact}w.col, w.qpct, x.v AS exact_cents
+  FROM within w JOIN bvals x ON x.col = w.col AND x.b = w.b AND x.rn = w.r
+)
+SELECT {h_final}e.col, CAST(e.qpct AS BIGINT) AS qpct, CAST(m.n AS BIGINT) AS n,
+  CAST(e.exact_cents AS BIGINT) AS exact_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ08_BINS} - 1) {intdiv} {_DQ08_BINS} - 1
+       AS BIGINT) AS est_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ08_BINS} - 1) {intdiv} {_DQ08_BINS} - 1
+       - e.exact_cents AS BIGINT) AS err_cents
+FROM exact e
+JOIN within w ON w.col = e.col AND w.qpct = e.qpct
+JOIN ({mm_src}) m ON m.col = e.col
+"""
+
+
+_DQ08_VALUES = ", ".join(f"({q})" for q in _DQ08_QS)
+
+_DQ08_MM_SPARK = _dq08_mm("SELECT * FROM dq08_vals")
+_DQ08_BINNED_SPARK = _dq08_binned(
+    "SELECT * FROM dq08_vals", "SELECT * FROM dq08_mm", "DIV", hints=True
+)
+_DQ08_TAIL_SPARK = _dq08_tail(
+    "SELECT * FROM dq08_mm", "dq08_binned", "dq08_cum",
+    f"VALUES {_DQ08_VALUES} AS t(qpct)", "DIV", hints=True
+)
+
+_DQ08_DUCK = (
+    f"WITH vals AS ({_DQ08_VALS_DUCK}), mm AS ({_dq08_mm('SELECT * FROM vals')}),"
+    f" binned AS ({_dq08_binned('SELECT * FROM vals', 'SELECT * FROM mm', '//')}),"
+    f" cumr AS ({_DQ08_CUM.format(binned_src='binned')})"
+    + _dq08_tail("SELECT * FROM mm", "binned", "cumr",
+                 f"(VALUES {_DQ08_VALUES}) t(qpct)", "//", lead=",")
+)
+
+
+@query("dq08_column_quantiles", oracle=_DQ08_DUCK, tags=("quality", "profile", "quantile"))
+def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column EXACT quantile profile (p25/50/75/90/99 in integer cents
+    for every numeric lineitem column) — dq07's histogram-partitioned
+    selection with a column key threaded through: ONE corpus scan explodes
+    each row into (col, cents) structs, one mergeable (col, bin) histogram
+    locates every target bin, and a (col, bin)-partitioned ROW_NUMBER
+    selects exact values inside only the picked bins. Also carries the
+    pure-sketch right-edge estimate + signed error per (col, quantile).
+    vals/binned/cum are materialized once (CTE inlining would rescan
+    lineitem per downstream reference — the dq07 lesson)."""
+    register_views(spark, sf_dir)
+    spark.sql(_DQ08_VALS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq08_vals"
+    )
+    spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq08_mm"
+    )
+    spark.sql(_DQ08_BINNED_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq08_binned"
+    )
+    spark.sql(_DQ08_CUM.format(binned_src="dq08_binned")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("dq08_cum")
+    return spark.sql(_DQ08_TAIL_SPARK)

@@ -1041,16 +1041,12 @@ def _ta13_tail(docs_src: str, nseq: str, occ_lat: str, gram: str,
                cov_lat: str, cov_pos: str, wlen_lat: str, wlen_expr: str,
                wpos_expr: str, agg_list: str, unnest_poss: str,
                lead: str = "WITH") -> str:
-    # The two rule families consume the occurrence explode differently and
-    # are SPLIT so neither pays for the other (the r7 77 GB-spill fix):
-    # n<=4 needs only per-gram COUNTS (positions pruned before the
-    # shuffle), n>=5 needs the duplicated grams' POSITIONS — aggregated
-    # into per-gram lists IN the groupBy (map-side combined), so the old
-    # occ<->gcnt join-back — which re-exploded and re-shuffled the whole
-    # 9x-token relation a second time under CTE inlining — disappears.
-    # Each branch's n-filter pushes below its explode: total explode work
-    # drops 18x->9x tokens and the token-scale shuffle halves, with the
-    # n<=4 shuffle no longer carrying positions at all.
+    # ORACLE-ONLY single-statement form (DuckDB handles it fine at the
+    # compare scale). The two rule families are split so n<=4 shuffles only
+    # per-gram counts and n>=5 aggregates positions into per-gram lists in
+    # the groupBy (no occ<->gcnt join-back). The Spark builder executes the
+    # same semantics as PER-N STAGED JOBS instead (see _TA13_TOPN_SPARK /
+    # _TA13_COVN_SPARK below) — the memory-decade fix.
     return f"""
 {lead} ns AS (
   SELECT {nseq} AS n
@@ -1108,19 +1104,93 @@ _TA13_DOCS_SPARK = _ta13_docs(
     plant="concat(w, slice(w, 1, 8), slice(w, 1, 8), slice(w, 1, 8))",
 )
 
-_TA13_TAIL_SPARK = _ta13_tail(
-    "ta13_docs",
-    nseq="explode(sequence(2, 10))",
-    occ_lat="LATERAL VIEW explode(sequence(0, n_words - n)) t AS pos",
-    gram="array_join(slice(w, pos + 1, n), ' ')",
-    cov_lat="LATERAL VIEW explode(sequence(0, n - 1)) t AS k",
-    cov_pos="pos",
-    wlen_lat="LATERAL VIEW posexplode(w) t AS wpos, word",
-    wlen_expr="length(word)",
-    wpos_expr="wpos",
-    agg_list="collect_list(pos)",
-    unnest_poss="explode(poss)",
+# ---- Spark execution: PER-N STAGED PASSES (the r7 77 GB-spill fix) ----
+# The single-statement form materialized the full Σ_n(len-n+1) ≈ 9x-token
+# occurrence relation into ONE shuffle/aggregate whose hash state blew the
+# memory decade (64.7 GB spill at sf10/16 GB in r7; a first rework that
+# carried position lists through the same single shuffle measured WORSE,
+# 76.5 GB). Instead each n runs as its own bounded job over the
+# checkpointed token relation, so the peak aggregate working set is ONE
+# n's occurrences (≈ 1x tokens), not nine stacked — and each per-n output
+# is tiny (top-1 per doc for n<=4; duplicated positions only for n>=5).
+# The n>=5 grouping key is xxhash64(gram) — identity is all the dup test
+# needs, a 16-byte fixed-width key instead of an up-to-10-word string
+# (within-doc 64-bit collisions: ~(grams/doc)²/2⁶⁵ ≈ 1e-16 per doc).
+# The DuckDB oracle keeps the exact single-statement string-keyed form —
+# results are identical absent a collision, and the oracle compare + the
+# planted fixtures re-verify that every run.
+
+# NOTE both stage outputs RETAIN their filter attributes (rn / cnt): a
+# Spark 4.1.2 optimizer bug (Union rewriteConstraints) throws
+# NoSuchElementException when a checkpointed union child carries a filter
+# constraint on an attribute pruned from its output.
+_TA13_TOPN_SPARK = """
+SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
+  SELECT doc_id, cnt, gram,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+        FROM (SELECT doc_id, array_join(slice(w, pos + 1, {n}), ' ') AS gram
+              FROM (SELECT doc_id, w, n_words FROM ta13_docs
+                    WHERE n_words >= {n}) d
+              LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+        GROUP BY doc_id, gram) g
+) r WHERE rn = 1
+"""
+
+# positions stay NON-distinct per stage (cnt retained, see note above);
+# the tail applies the union-of-positions DISTINCT over the tiny
+# duplicated-position relation
+_TA13_COVN_SPARK = """
+SELECT doc_id, {n} AS n, pos + k AS wpos, cnt
+FROM (
+  SELECT doc_id, cnt, explode(poss) AS pos FROM (
+    SELECT doc_id, COUNT(*) AS cnt, collect_list(pos) AS poss
+    FROM (SELECT doc_id, pos,
+                 xxhash64(array_join(slice(w, pos + 1, {n}), ' ')) AS gh
+          FROM (SELECT doc_id, w, n_words FROM ta13_docs
+                WHERE n_words >= {n}) d
+          LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+    GROUP BY doc_id, gh) g
+  WHERE cnt >= 2
+) dup
+LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
+"""
+
+# the tail consumes only the three checkpointed relations: the doc x n
+# domain, the per-(doc, n) top-1 rows and the duplicated-position union —
+# every join is doc-keyed and the rollup domain is (source, n, rule)
+_TA13_TAIL_STAGED_SPARK = """
+WITH ns AS (
+  SELECT explode(sequence(2, 10)) AS n
+), dom AS (
+  SELECT d.doc_id, d.source, d.n_words, d.n_wchars, ns.n
+  FROM ta13_docs d JOIN ns ON d.n_words >= ns.n
+), wlen AS (
+  SELECT doc_id, length(word) AS wlen, wpos
+  FROM ta13_docs LATERAL VIEW posexplode(w) t AS wpos, word
+), cov AS (
+  SELECT DISTINCT doc_id, n, wpos FROM ta13_covered
+), dupchars AS (
+  SELECT c.doc_id, c.n, SUM(l.wlen) AS dchars
+  FROM cov c JOIN wlen l ON l.doc_id = c.doc_id AND l.wpos = c.wpos
+  GROUP BY c.doc_id, c.n
+), scored AS (
+  SELECT d.source, d.n,
+    CASE WHEN d.n <= 4 THEN 'top_gram_cov' ELSE 'dup_gram_cov' END AS rule,
+    CASE WHEN d.n <= 4
+         THEN LEAST(1.0, CAST(t.cnt * (length(t.gram) - (d.n - 1)) AS DOUBLE) / d.n_wchars)
+         ELSE CAST(COALESCE(x.dchars, 0) AS DOUBLE) / d.n_wchars END AS frac,
+    CASE WHEN d.n <= 4 THEN (24 - 2 * d.n) / 100.0 ELSE (20 - d.n) / 100.0 END AS thr
+  FROM dom d
+  LEFT JOIN ta13_top t ON t.doc_id = d.doc_id AND t.n = d.n
+  LEFT JOIN dupchars x ON x.doc_id = d.doc_id AND x.n = d.n
 )
+SELECT source, CAST(n AS BIGINT) AS n, rule,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(AVG(frac), 6) AS avg_frac,
+  CAST(SUM(CASE WHEN frac > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM scored GROUP BY source, n, rule
+"""
 
 _TA13_DUCK = (
     "WITH docs AS ("
@@ -1148,12 +1218,39 @@ _TA13_DUCK = (
 
 
 def _ta13_run(spark: SparkSession) -> DataFrame:
-    """Materialize the tokenized doc relation once, then run the tail
-    (shared by the builder and the planted-fixture tests)."""
-    spark.sql(_TA13_DOCS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "ta13_docs"
-    )
-    return spark.sql(_TA13_TAIL_SPARK)
+    """Materialize the tokenized doc relation once, run one bounded job
+    per n (peak working set = one n's occurrences, the memory-decade fix),
+    then the checkpoint-only tail (shared by the builder and the
+    planted-fixture tests)."""
+    docs = spark.sql(_TA13_DOCS_SPARK).localCheckpoint(eager=True)
+    docs.createOrReplaceTempView("ta13_docs")
+    # Scale-adaptive stage concurrency (both points measured at r8,
+    # SCALE_PROBE_R8_MEM.json): sequential per-n checkpoint jobs bound the
+    # peak aggregate working set to ONE n's occurrences — sf10 under a
+    # 16 GB heap spills 1.1 GB vs r7's 77 GB — but cost 3x wall at sf0.1
+    # where everything fits and per-job overhead dominates; concurrent
+    # sibling stages (lazy union, one checkpoint per branch) are
+    # wall-optimal small but re-stack memory under pressure (14 GB spill
+    # at the decade). The corpus size picks the shape — the same
+    # runtime-adaptive spirit as AQE, decided on the already-materialized
+    # doc count (a metadata-scale scalar).
+    staged = docs.count() > 100_000
+
+    def _ckpt_union(sqls: list[str], view: str) -> None:
+        if staged:
+            parts = [spark.sql(q).localCheckpoint(eager=True) for q in sqls]
+        else:
+            parts = [spark.sql(q) for q in sqls]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        if not staged:
+            out = out.localCheckpoint(eager=True)
+        out.createOrReplaceTempView(view)
+
+    _ckpt_union([_TA13_TOPN_SPARK.format(n=n) for n in (2, 3, 4)], "ta13_top")
+    _ckpt_union([_TA13_COVN_SPARK.format(n=n) for n in range(5, 11)], "ta13_covered")
+    return spark.sql(_TA13_TAIL_STAGED_SPARK)
 
 
 @query("ta13_gopher_ngram_cov", oracle=_TA13_DUCK, tags=("text", "quality", "gopher"))
@@ -1165,9 +1262,11 @@ def ta13_gopher_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the count of docs breaching the paper's thresholds ((24-2n)/100
     and (20-n)/100). Deterministic planted repetition on doc_id % 7 = 0
     exercises every dup rule (no reference analog; SURVEY §6 extension).
-    One 9×-token occurrence explode over the ONCE-materialized tokenized
-    doc relation (Catalyst CTE inlining re-scanned parquet 5× in the
-    single-statement form), doc-keyed joins, bounded rollup."""
+    Executed as per-n staged jobs over the ONCE-materialized tokenized doc
+    relation: each n's occurrence explode aggregates alone (peak working
+    set 1x tokens, not 9x stacked — the r7 memory-decade fix), n>=5 groups
+    on xxhash64(gram) identity, and the tail joins only tiny checkpointed
+    relations. Doc-keyed joins, bounded rollup."""
     register_views(spark, sf_dir)
     return _ta13_run(spark)
 

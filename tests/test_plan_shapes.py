@@ -837,13 +837,18 @@ def test_dc05_pair_stage_is_sketch_only(spark):
 
 
 def test_ta13_tail_is_scan_free_and_rank_is_grouplimit(spark):
-    """ta13's tail runs over the once-materialized tokenized docs: zero
-    parquet scans (the single-statement form re-scanned documents 5x via
-    CTE inlining), and the per-(doc, n) top-1 rank compiles to
-    WindowGroupLimit (partial top-k before the exchange)."""
+    """ta13's tail runs over the once-materialized per-n stage outputs:
+    zero parquet scans (the single-statement form re-scanned documents 5x
+    via CTE inlining). The per-doc top-1 rank lives in the per-n STAGE
+    plans now (the r8 staged rework) — assert it still compiles to
+    WindowGroupLimit (partial top-k before the exchange) there."""
     plan = _plan(spark, "ta13_gopher_ngram_cov")
     assert "Scan parquet" not in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    from db_converter_spark.operators.textops import _TA13_TOPN_SPARK
+
+    stage = spark.sql(_TA13_TOPN_SPARK.format(n=2))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in stage, stage
 
 
 def test_pipe14_one_scan_bounded_window(spark):

@@ -52,3 +52,25 @@ def read_jdbc_chunked(
         predicates=chunk_predicates(lo, hi, chunk_size, key),
         properties=properties or {},
     )
+
+
+def find_jdbc_driver_jar() -> "str | None":
+    """Locate a usable JDBC driver jar on this host, if any.
+
+    The environment ships no PostgreSQL driver (reprobed every round), but
+    DuckDB's public JDBC driver (org.duckdb:duckdb_jdbc, Maven Central) may
+    be present in a local jar cache — enough to exercise the REAL
+    ``spark.read.jdbc`` path end-to-end. Searched lazily so importing this
+    module stays filesystem-free."""
+    from pathlib import Path
+
+    roots = (Path.home() / ".cache", Path("/usr/share/java"), Path("/opt/jars"))
+    for root in roots:
+        if not root.is_dir():
+            continue
+        try:
+            for jar in root.rglob("duckdb_jdbc*.jar"):
+                return str(jar)
+        except OSError:
+            continue
+    return None

@@ -58,88 +58,72 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # (which stays in the head for that reason).
 _CHECK_TAIL = (
     # =====================================================================
-    # r7 rotation: the head refreshes the 43 OLDEST official rows (all 34
-    # r3 rows + 9 r4 rows) plus everything whose SQL changed or is new in
-    # r7 (dd14, dd15, dc05) and the four r6-new operators (dd16, ev16,
-    # ss12, ta12 — per the r6 verdict's Next #5). Everything below is
-    # parked with a green official row and a pinned fingerprint
+    # r8 rotation (VERDICT r7 Next #1): the head refreshes the 38 OLDEST
+    # official rows (the whole r4 cohort flagged as 4 rounds stale:
+    # q04-q12, q18/q19, q24/q24b, q27-q29, q34-q36, ss01-ss06, ta01-ta03,
+    # ta08, ev03/ev07-ev09, mm05, pipe02-pipe04, dd09) plus everything
+    # whose source changed in r8 (dd14/dc05 — the _BIG_CKPT_LEVEL hoist,
+    # dq07 — the ceiling right-edge fix, ta13 — the staged rework) and the
+    # two r8-new operators (ta14, dq08), plus ev17/pipe14/ss12/ss13/ss14
+    # (r7-headed; their official_rows fingerprints were stamped mid-r7
+    # before later same-module edits, so parking them would trip the
+    # freshness guard - fresh r8 rows instead) and dd02 (the oldest
+    # r5 row) to fill the head to exactly 50. The leading tail
+    # entries are the next-oldest cohort (r5-green q38/dq02/
+    # dq05, then r6-green q37/dd05). Everything below is parked
+    # with a green official row and a pinned fingerprint
     # (tests/official_rows.json + the freshness guard).
     # =====================================================================
-    # --- r4-green, unchanged since (rows re-verified every session by
-    # tests/test_oracle_parity.py and the all-131 driver_sim sweeps) ---
-    "q04_left_join_counts",
-    "q05_customers_without_orders",
-    "q06_customers_with_big_order",
-    "q07_nullsafe_self_join",
-    "q08_self_join_pairs",
-    "q09_window_top2_orders",
-    "q10_window_running_sum",
-    "q11_set_ops",
-    "q12_cte_chain",
-    "q18_group_ordinal_having",
-    "q19_case_agg",
-    "q24_distinct_agg",
-    "q24b_array_agg_distinct",
-    "q27_pivot",
-    "q28_lateral_top1",
-    "q29_percentile",
-    "q34_cube_grouping_sets",
-    "q35_construct_probes",
-    "q36_recursive_cte",
-    "ta02_quality_score",
-    "ta03_token_stats",
-    "ta08_vocab_topk",
-    "ss02_lsh_buckets",
-    "ss03_ivf_assign",
-    "ss04_ivf_topk",
-    "ss05_knn_join",
-    "ss06_pq_adc_topk",
-    "pipe02_sequence_pack",
-    "pipe04_shard_assign",
-    "ev03_streaming_window",
-    "ev07_stream_dedup",
-    "ev08_stream_stream_join",
-    "ev09_stream_static_join",
-    # --- r5-green, unchanged since ---
-    "dd02_norm_fingerprint",
     "q38_unpivot",
     "dq02_rate_anomaly",
     "dq05_fk_orphans",
-    # --- r6-green, unchanged in r7: parked to fund the 43 oldest rows'
-    # head slots (every family keeps head coverage via the r7 head's
-    # dd04/dd06/dd07 + dd14/dd15/dd16, dc01/dc05, ss01/ss12, ta01/ta04/
-    # ta05/ta06/ta12, mm01/mm03/mm05, ev01/ev02/ev04/ev05/ev06/ev16,
-    # mg01/mg02, pii01, pipe03, q01–q33 relational) ---
     "q37_pivot",
     "dd05_ngram_jaccard",
-    "dd08_neardup_components",
-    "dd10_lsh_jaccard_verify",
-    "dd12_dup_substring_runs",
-    "dd13_neardup_purge",
+    "dc01_decontaminate",
     "dc02_source_overlap",
     "dc03_bloom_decontaminate",
     "dc04_benchmark_burn",
-    "ss07_kmeans_train",
-    "ss08_ivf_trained_topk",
-    "ss09_lsh_recall",
-    "ss10_ivf_balance",
-    "ss11_pq_train",
-    "ta07_trigram_lm",
-    "ta09_bpe_train",
-    "ta10_vocab_growth",
-    "ta11_tfidf_topterms",
-    "mm02_image_metadata_stub",
-    "mm04_resize_plumbing",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "dd04_minhash_lsh_bands",
+    "dd06_simhash",
+    "dd07_embedding_neardup",
+    "dd08_neardup_components",
+    "dd10_lsh_jaccard_verify",
+    "dd11_dedup_keep_best",
+    "dd12_dup_substring_runs",
+    "dd13_neardup_purge",
+    "dd15_containment",
+    "dd16_lsh_calibration",
+    "dd17_incremental_dedup",
+    "dq01_constraint_audit",
+    "dq03_column_profile",
+    "dq04_reconciliation",
+    "dq06_distribution_drift",
+    "ev01_windowed_event_stats",
+    "ev02_sessionization",
+    "ev04_asof_join",
+    "ev05_range_join",
+    "ev06_multi_rollup",
     "ev10_session_window_stream",
     "ev11_interarrival_hist",
     "ev12_funnel",
     "ev13_retention_cohorts",
     "ev14_transition_matrix",
     "ev15_load_profile",
+    "ev16_watermark_audit",
+    "ev18_streaming_quantiles",
+    "mg01_chunk_grid",
+    "mg02_incremental_diff",
     "mg03_scd2_history",
     "mg04_compaction_plan",
     "mg05_table_checksum",
     "mg06_cdc_apply",
+    "mm01_binary_decode_plumbing",
+    "mm02_image_metadata_stub",
+    "mm03_frame_sample_plumbing",
+    "mm04_resize_plumbing",
+    "pii01_pii_scrub",
     "pipe01_corpus_filter",
     "pipe05_corpus_build",
     "pipe06_token_budget",
@@ -150,37 +134,44 @@ _CHECK_TAIL = (
     "pipe11_context_fit",
     "pipe12_epoch_plan",
     "pipe13_importance_resample",
-    "dq01_constraint_audit",
-    "dq03_column_profile",
-    "dq04_reconciliation",
-    "dq06_distribution_drift",
-    # --- parked mid-r7 to fund head slots for the four r7-new operators
-    # (ta13/pipe14/ev17/ss13 — each keeps its family covered in the head):
-    # three r6-green r6-new ops (ss12 stays in the head — its source
-    # changed after its r6 row, so it needs a fresh r7 row) and pipe03
-    # (r4-green, the one oldest-row refresh deferred to r8 to keep the
-    # head at the driver's 50-query budget) ---
-    "dd16_lsh_calibration",
-    "ev16_watermark_audit",
-    "pipe03_weighted_sample",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_nation_revenue",
+    "q13_scalar_subquery",
+    "q14_in_subquery",
+    "q15_generate_series",
+    "q16_unnest_words",
+    "q17_values_inline",
+    "q20_string_funcs",
+    "q21_date_funcs",
+    "q22_math_funcs",
+    "q23_conditional_funcs",
+    "q25_rollup",
+    "q26_like_patterns",
+    "q30_json_extract",
+    "q31_array_funcs",
+    "q32_intersect_except",
+    "q33_offset_fetch",
+    "ss07_kmeans_train",
+    "ss08_ivf_trained_topk",
+    "ss09_lsh_recall",
+    "ss10_ivf_balance",
+    "ss11_pq_train",
+    "ta04_winnow_fingerprints",
+    "ta05_hll_distinct",
+    "ta06_repetition_score",
+    "ta07_trigram_lm",
+    "ta09_bpe_train",
+    "ta10_vocab_growth",
+    "ta11_tfidf_topterms",
     "ta12_ppl_buckets",
-    # --- r4-green, parked mid-r7 to fund dd17_incremental_dedup's and
-    # dq07_quantile_profile's head slots (dd keeps ten head members; mm
-    # keeps mm01/mm03; dq07 is the dq family's head member this round) ---
-    "dd09_span_dedup",
-    "mm05_phash_neardup",
-    "ss01_cosine_topk",
-    "ta01_langid",
 )
-# NOTE (r7 final state): the tail parks queries whose newest official row
-# is r4–r6 with fingerprints pinned by the freshness guard; the r7 head =
-# 34 r3 rows + 4 r4 rows + dd14/dd15/ss12 (changed after their last rows)
-# + the nine r7-new ops (dc05, ta13, pipe14, ev17, ss13, dd17, dq07,
-# ss14, ev18) — funding them deferred five r4-row refreshes (pipe03,
-# dd09, mm05, ss01, ta01) and parked dd16/ev16/ta12 (r6-green) to r8's
-# oldest-rows pool. Each round the head takes everything whose SQL
-# changed plus the oldest parked rows, and the tail absorbs the displaced
-# green entries (stamp via scripts/update_official_rows.py).
+# NOTE (r8 final state): tail parks queries whose newest official row is
+# r4-r7 with fingerprints pinned by the freshness guard; the r8 head = the
+# 38 r4-row refreshes + dd14/dc05/dq07/ta13 (source changed in r8) + the
+# two r8-new ops (ta14_bpe_encode, dq08_column_quantiles) + ev17/pipe14/
+# ss12/ss13/ss14 (mid-r7 stamps predate later same-module edits) + dd02
+# (oldest r5 row) = exactly 50.
 
 
 def query_fingerprint(name: str) -> str:

@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from db_converter_spark.benchutil import drop_leaked_views, gc_drain
+from db_converter_spark.benchutil import build_compact_line, drop_leaked_views, gc_drain
 from db_converter_spark.registry import all_queries
 from db_converter_spark.session import build_session
 
@@ -250,38 +250,22 @@ def main() -> int:
     except OSError:
         pass  # read-only checkout: stdout still carries the record
     # every registry name has a UNIQUE prefix before its first underscore
-    # (q01, dd10, q24b, ...) — key the compact line on those so the full
-    # best-of dict fits the window (~1.1 KB for 75 queries)
-    # med_hot: ONLY the queries whose median diverges from best (>1.5x and
-    # >0.3 s) — the handful that matter for "was the whole best-of slow or
-    # just one pass", small enough to ride the compact line through the
-    # capture window (the full medians dict lives in bench_verbose_last.json).
-    # Queries the churn pin already RE-MEASURED post-drain are excluded:
-    # their recorded best has a fresh verdict (the `resampled` dict), and a
-    # kept-originals merge leaves the median high by construction — listing
-    # them twice would misread as "still untrusted".
-    med_hot = {
-        k.split("_", 1)[0]: medians[k]
-        for k in timings
-        if medians[k] > max(1.5 * timings[k], timings[k] + 0.3)
-        and k.split("_", 1)[0] not in resampled
-    }
+    # (q01, dd10, q24b, ...) — key the compact line on those. Sizing and
+    # graceful degradation live in benchutil.build_compact_line (r8 verdict:
+    # 141 queries at 3 decimals + a 13-entry resampled dict overflowed the
+    # driver's 2000-char capture window and BENCH_r08 recorded parsed=null);
+    # the length guard test in tests/test_registry.py pins the worst case
+    # at the live registry size.
     print(
-        json.dumps(
-            {
-                "metric": "total_query_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {k.split("_", 1)[0]: v for k, v in timings.items()},
-                "med_hot": med_hot,
-                "resampled": resampled,
-                "total_ex_dd05_baseline": total_ex_baseline,
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "runs_per_query": max(1, runs),
-                "n_degraded_to_single_run": len(degraded),
-            },
-            separators=(",", ":"),
+        build_compact_line(
+            timings,
+            medians,
+            sorted(resampled),
+            len(degraded),
+            total,
+            total_ex_baseline,
+            sf_val,
+            max(1, runs),
         )
     )
     return 0

@@ -24,6 +24,7 @@ a changed drain had to be fixed in three places).
 
 from __future__ import annotations
 
+import json
 import time
 
 # The driver-generated base tables registered by catalog.register_views —
@@ -63,3 +64,82 @@ def gc_drain(spark, pause: float = 2.0, cycles: int = 1) -> None:
     for _ in range(max(1, cycles)):
         spark.sparkContext._jvm.System.gc()
         time.sleep(pause)
+
+
+# --- compact bench line (r8 verdict Next #1) -------------------------------
+# The driver records only the LAST ~2000 chars of bench.py stdout; the final
+# compact JSON line must fit that window or the artifact of record loses its
+# per-query map (BENCH_r08.json: parsed=null — 141 queries at 3 decimals plus
+# a 13-entry resampled dict overflowed the window r7 cleared by 14 bytes).
+# Target 1900 to keep real headroom for the trailing newline and any stderr
+# interleaving.
+COMPACT_LINE_MAX = 1900
+
+
+def build_compact_line(
+    timings: dict,
+    medians: dict,
+    resampled_names: list,
+    n_degraded: int,
+    total: float,
+    total_ex_baseline: float,
+    sf_val,
+    runs: int,
+) -> str:
+    """Serialize the final compact bench line, degrading precision and
+    optional fields until it fits :data:`COMPACT_LINE_MAX`.
+
+    The ladder (2-decimal times -> 1-decimal -> drop med_hot -> drop
+    resampled -> drop optional scalars) guarantees the REQUIRED contract
+    fields (metric/value/unit/queries/sf) always survive at full registry
+    size; everything dropped here still lands verbatim in
+    bench_verbose_last.json. ``resampled`` is names-only by design — the
+    re-measured values are already IN ``timings``; the line only needs to
+    record WHO got the post-drain verdict.
+    """
+    def _fmt(v: float, decimals: int):
+        # above 100 s the fraction is measurement noise; an int is 2 chars
+        # shorter than e.g. "103.0" and keeps the worst case bounded
+        r = round(v, decimals)
+        return int(round(v)) if r >= 100 else r
+
+    med_hot_full = {
+        k.split("_", 1)[0]: _fmt(medians[k], 2)
+        for k in timings
+        if medians[k] > max(1.5 * timings[k], timings[k] + 0.3)
+        and k.split("_", 1)[0] not in set(resampled_names)
+    }
+    line = ""
+    for decimals, with_med_hot, with_resampled, minimal in (
+        (2, True, True, False),
+        (1, True, True, False),
+        (1, False, True, False),
+        (1, False, False, False),
+        (1, False, False, True),
+    ):
+        payload = {
+            "metric": "total_query_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                k.split("_", 1)[0]: _fmt(v, decimals) for k, v in timings.items()
+            },
+            "sf": sf_val,
+            "n_queries": len(timings),
+        }
+        if with_med_hot:
+            payload["med_hot"] = med_hot_full
+        elif not minimal and med_hot_full:
+            payload["n_med_hot"] = len(med_hot_full)
+        if with_resampled:
+            payload["resampled"] = sorted(resampled_names)
+        elif not minimal and resampled_names:
+            payload["n_resampled"] = len(resampled_names)
+        if not minimal:
+            payload["total_ex_dd05_baseline"] = total_ex_baseline
+            payload["runs_per_query"] = runs
+            payload["n_degraded_to_single_run"] = n_degraded
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= COMPACT_LINE_MAX:
+            return line
+    return line

@@ -54,23 +54,52 @@ def read_jdbc_chunked(
     )
 
 
+def _is_duckdb_driver_jar(path) -> bool:
+    """Vet that a candidate jar really contains the DuckDB JDBC driver
+    class before anything puts it on ``spark.jars`` (loading a jar executes
+    its code in the JVM — a name glob alone is not enough of a gate)."""
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return "org/duckdb/DuckDBDriver.class" in zf.namelist()
+    except (OSError, zipfile.BadZipFile):
+        return False
+
+
 def find_jdbc_driver_jar() -> "str | None":
     """Locate a usable JDBC driver jar on this host, if any.
+
+    Resolution order (r8 ADVICE: don't load whatever a cache glob finds):
+
+    1. ``$JDBC_DRIVER_JAR`` — an explicit pin always wins; set it to an
+       empty string to disable JDBC jar discovery entirely.
+    2. Fallback: glob ``duckdb_jdbc*.jar`` under the known local jar-cache
+       roots, but only accept a candidate whose archive actually contains
+       ``org.duckdb.DuckDBDriver`` (content check, not just a filename).
 
     The environment ships no PostgreSQL driver (reprobed every round), but
     DuckDB's public JDBC driver (org.duckdb:duckdb_jdbc, Maven Central) may
     be present in a local jar cache — enough to exercise the REAL
     ``spark.read.jdbc`` path end-to-end. Searched lazily so importing this
     module stays filesystem-free."""
+    import os
     from pathlib import Path
 
+    pinned = os.environ.get("JDBC_DRIVER_JAR")
+    if pinned is not None:
+        pinned = pinned.strip()
+        if pinned and Path(pinned).is_file() and _is_duckdb_driver_jar(pinned):
+            return pinned
+        return None  # explicit setting (incl. empty) disables the glob
     roots = (Path.home() / ".cache", Path("/usr/share/java"), Path("/opt/jars"))
     for root in roots:
         if not root.is_dir():
             continue
         try:
             for jar in root.rglob("duckdb_jdbc*.jar"):
-                return str(jar)
+                if _is_duckdb_driver_jar(jar):
+                    return str(jar)
         except OSError:
             continue
     return None

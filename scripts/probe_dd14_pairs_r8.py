@@ -75,6 +75,7 @@ def main() -> int:
 
     shard_walls = {}
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try:
         for s in [int(x) for x in args.shards.split(",")]:
@@ -91,7 +92,7 @@ def main() -> int:
             print(f"shards={s}: {shard_walls[s]}", flush=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
 
     out = {
         "probe": "dd14 pair stage sharding at the sf100 decade",

@@ -25,7 +25,13 @@ import pytest
 
 from db_converter_spark.sources.jdbc import find_jdbc_driver_jar
 
-_JAR = find_jdbc_driver_jar()
+_JAR_CACHE: list = []  # lazy: the rglob must not run at pytest collection time
+
+
+def _jar() -> "str | None":
+    if not _JAR_CACHE:
+        _JAR_CACHE.append(find_jdbc_driver_jar())
+    return _JAR_CACHE[0]
 
 _CHILD = r"""
 import sys
@@ -91,11 +97,12 @@ print("JDBC_LIVE_OK")
 """
 
 
-@pytest.mark.skipif(_JAR is None, reason="no JDBC driver jar on this host")
 def test_live_jdbc_chunked_read_roundtrip(tmp_path):
+    if _jar() is None:
+        pytest.skip("no JDBC driver jar on this host")
     dbfile = tmp_path / "live.duckdb"
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(_JAR), str(dbfile)],
+        [sys.executable, "-c", _CHILD, str(_jar()), str(dbfile)],
         cwd=Path(__file__).resolve().parent.parent,
         capture_output=True,
         text=True,

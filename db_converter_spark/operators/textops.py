@@ -1139,19 +1139,31 @@ SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
 
 # positions stay NON-distinct per stage (cnt retained, see note above);
 # the tail applies the union-of-positions DISTINCT over the tiny
-# duplicated-position relation
+# duplicated-position relation.
+#
+# Duplicate positions emerge from a WINDOW COUNT over (doc, gram-hash),
+# not a collect_list aggregate (r8 scale fix): the list form rode an
+# ObjectHashAggregate whose per-(doc, gh) position-list state cannot spill
+# incrementally and OOMed one decade past the graded criterion
+# (SCALE_PROBE_R8_MEM.json: sf100/16 GB oom=true at ~3B occurrence rows
+# per n-pass). The window shape shuffles the SAME volume (partial
+# collect_list ships every element anyway) but executes as
+# Exchange(doc_id, gh) -> external SORT -> running count — every stage of
+# which spills to disk gracefully. The hash input includes n (r8 ADVICE):
+# gram text alone would let a cross-n collision alias two different grams
+# if a future refactor merged passes.
 _TA13_COVN_SPARK = """
 SELECT doc_id, {n} AS n, pos + k AS wpos, cnt
 FROM (
-  SELECT doc_id, cnt, explode(poss) AS pos FROM (
-    SELECT doc_id, COUNT(*) AS cnt, collect_list(pos) AS poss
+  SELECT doc_id, pos, cnt FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY doc_id, gh) AS cnt
     FROM (SELECT doc_id, pos,
-                 xxhash64(array_join(slice(w, pos + 1, {n}), ' ')) AS gh
+                 xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh
           FROM (SELECT doc_id, w, n_words FROM ta13_docs
                 WHERE n_words >= {n}) d
           LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
-    GROUP BY doc_id, gh) g
-  WHERE cnt >= 2
+  ) g WHERE cnt >= 2
 ) dup
 LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
 """
@@ -1217,6 +1229,12 @@ _TA13_DUCK = (
 )
 
 
+# Above this doc count the per-n stages run as sequential checkpoint jobs
+# (memory-decade shape); at or below, as one lazy union (wall-optimal when
+# everything fits). Patchable by tests to force the staged path.
+_TA13_STAGED_DOC_THRESHOLD = 100_000
+
+
 def _ta13_run(spark: SparkSession) -> DataFrame:
     """Materialize the tokenized doc relation once, run one bounded job
     per n (peak working set = one n's occurrences, the memory-decade fix),
@@ -1233,8 +1251,11 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
     # wall-optimal small but re-stack memory under pressure (14 GB spill
     # at the decade). The corpus size picks the shape — the same
     # runtime-adaptive spirit as AQE, decided on the already-materialized
-    # doc count (a metadata-scale scalar).
-    staged = docs.count() > 100_000
+    # doc count (a metadata-scale scalar). The threshold is a module
+    # attribute so a fixture test can force the STAGED path at test scale
+    # (r8 ADVICE: otherwise the oracle-compared path is always non-staged
+    # and the staged union is exercised only by probes/bench).
+    staged = docs.count() > _TA13_STAGED_DOC_THRESHOLD
 
     def _ckpt_union(sqls: list[str], view: str) -> None:
         if staged:
@@ -1325,12 +1346,15 @@ FROM (SELECT word, SUM(cnt) AS cnt FROM swc GROUP BY word) v
 def _ta14_tail(swc: str, enc: str, lead: str = "WITH") -> str:
     # n_sub = symbols in the final spelling; char_tokens = the pre-merge
     # baseline (letters + the </w> marker). saved_x1000 is the only ratio.
+    # The rollup total row is labeled via GROUPING(), not COALESCE: a NULL
+    # source value (or one literally named 'TOTAL') must not collide with
+    # the grand-total row (r8 ADVICE).
     return f"""
 {lead} enc AS (
   SELECT word, {enc} AS n_sub, length(word) + 1 AS n_char
   FROM {{s_final}}
 )
-SELECT COALESCE(w.source, 'TOTAL') AS source,
+SELECT CASE WHEN GROUPING(w.source) = 1 THEN 'TOTAL' ELSE w.source END AS source,
   CAST(SUM(w.cnt) AS BIGINT)            AS n_words,
   CAST(SUM(w.cnt * e.n_char) AS BIGINT) AS char_tokens,
   CAST(SUM(w.cnt * e.n_sub) AS BIGINT)  AS bpe_tokens,

@@ -59,6 +59,25 @@ def test_ta13_top_gram_coverage_and_threshold_flags(spark):
     assert rows[(2, "top_gram_cov")]["n_flagged"] == 1
 
 
+def test_ta13_staged_path_matches_unstaged_on_fixture(spark, monkeypatch):
+    # The memory-decade STAGED path (sequential per-n checkpoint jobs) is
+    # the plan actually used at scale, but the docs.count() switch means
+    # the oracle compare only ever exercises the non-staged union at test
+    # scale (r8 ADVICE). Force staged=True via the threshold hook and pin
+    # it to the non-staged result on a fixture that exercises both rules.
+    from db_converter_spark.operators import textops
+
+    _docs_view(
+        spark,
+        [(1, "s", "a a a a a a"), (2, "s", "x y x y z"), (7, "p", "w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+    )
+    baseline = sorted(map(tuple, _ta13_run(spark).collect()))
+    monkeypatch.setattr(textops, "_TA13_STAGED_DOC_THRESHOLD", 0)
+    staged = sorted(map(tuple, _ta13_run(spark).collect()))
+    assert staged == baseline
+    assert any(r[2] == "dup_gram_cov" and r[4] > 0 for r in staged)
+
+
 def test_ta13_operator_plant_fires_only_on_doc_id_mod_7(spark):
     # the operator's own deterministic repetition plant (doc_id % 7 = 0,
     # >= 8 words) must create nonzero dup coverage for the planted doc and

@@ -676,10 +676,9 @@ _DD12_W = 20  # window width in tokens (Lee et al. threshold 50 BPE tokens;
 
 def _dd12_wins(split_fn: str, explode_expr: str, slice_join: str, len_fn: str) -> str:
     """The (doc_id, i, h) window-hash table — stride-1 {W}-token window
-    md5s. The Spark builder materializes it ONCE (localCheckpoint): it
-    feeds both the corpus-wide frequency aggregate and the mark-join, and
-    left inline the split+explode+md5 pipeline runs twice (measured 4.3x
-    at the 10x scale probe; ~2x after)."""
+    hashes. The Spark one-pass form consumes it exactly once (the window
+    COUNT replaced the old freq-aggregate + mark-join pair that forced a
+    localCheckpoint); the DuckDB oracle keeps the original join shape."""
     return f"""
 SELECT doc_id, CAST(i AS BIGINT) AS i, {slice_join} AS h
 FROM (SELECT doc_id, w, {explode_expr} AS i
@@ -693,7 +692,8 @@ def _dd12(wins: str) -> str:
     # >= W tokens exists IFF some W-token window hash repeats corpus-wide
     # (md5 collisions negligible). Consecutive duplicated windows merge
     # into maximal runs via gaps-and-islands; a run of r windows covers
-    # r + W - 1 tokens.
+    # r + W - 1 tokens. (Oracle-side template: DuckDB runs this original
+    # join shape; Spark runs _DD12_SPARK_ONEPASS, same semantics.)
     return f"""
 WITH wins AS (
   SELECT * FROM {wins}
@@ -727,7 +727,12 @@ GROUP BY p.doc_id, p.n_windows, p.n_dup_windows
 _DD12_WINS_SPARK = _dd12_wins(
     "split",
     f"explode(sequence(0, size(w) - {_DD12_W}))",
-    f"md5(array_join(slice(w, CAST(i AS INT) + 1, {_DD12_W}), ' '))",
+    # unhex(md5(..)): the SAME 128-bit identity as the oracle's md5 string
+    # but as a FIXED 16-byte binary — half the shuffle/sort key bytes of
+    # the 32-char hex form at identical collision odds (64-bit hashes are
+    # NOT enough here: the frequency test is corpus-wide, and at 100 TB
+    # ~1e13 windows make 64-bit collisions certain).
+    f"unhex(md5(array_join(slice(w, CAST(i AS INT) + 1, {_DD12_W}), ' ')))",
     "size",
 )
 _DD12_WINS_DUCK = _dd12_wins(
@@ -736,7 +741,50 @@ _DD12_WINS_DUCK = _dd12_wins(
     f"md5(array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + {_DD12_W}], ' '))",
     "len",
 )
-_DD12_SPARK = _dd12("dd12_wins")
+
+# Spark execution: ONE PASS, ZERO JOINS, ZERO CHECKPOINTS (r9 memory-decade
+# rework; the ta13 lesson applied). The r8 shape materialized the full
+# (doc, i, h) window table via localCheckpoint (it fed BOTH a corpus-wide
+# GROUP BY h and a mark-join back onto itself) — at sf100/16 GB those
+# pinned blocks plus the hash-key aggregate and the h-keyed sort-merge
+# join absorbed 71.8 GB mem + 27.1 GB disk spill (SCALE_PROBE_R6_MEM).
+# Every stage below is a sort-based exchange/window/aggregate that spills
+# incrementally, and the window relation is consumed exactly once so
+# nothing is pinned:
+#   1. dup flag   = COUNT(*) OVER (PARTITION BY h) > 1   — replaces the
+#      freq aggregate AND the mark-join (same shuffle volume as either).
+#   2. islands    = i - ROW_NUMBER() OVER (PARTITION BY doc_id, dup
+#      ORDER BY i) — gaps-and-islands grouped per doc; non-dup rows get
+#      grp NULL and collapse into one bucket per doc.
+#   3. two hash aggregates (doc, grp) -> (doc) roll the run lengths and
+#      per-doc totals up without the old perdoc ⋈ runagg join.
+_DD12_SPARK_ONEPASS = f"""
+WITH marked AS (
+  SELECT doc_id, i,
+         (COUNT(*) OVER (PARTITION BY h) > 1) AS dup
+  FROM ({_DD12_WINS_SPARK}) wins
+), islands AS (
+  SELECT doc_id, dup,
+         CASE WHEN dup
+              THEN i - ROW_NUMBER() OVER (PARTITION BY doc_id, dup ORDER BY i)
+         END AS grp
+  FROM marked
+), groups AS (
+  SELECT doc_id, grp, COUNT(*) AS cnt
+  FROM islands GROUP BY doc_id, grp
+)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_windows,
+  CAST(COALESCE(SUM(CASE WHEN grp IS NOT NULL THEN cnt END), 0) AS BIGINT)
+    AS n_dup_windows,
+  CAST(COUNT(grp) AS BIGINT) AS n_dup_runs,
+  CAST(COALESCE(MAX(CASE WHEN grp IS NOT NULL THEN cnt END), 0) AS BIGINT)
+    AS max_run_windows,
+  CAST(COALESCE(SUM(CASE WHEN grp IS NOT NULL THEN cnt + {_DD12_W} - 1 END), 0)
+       AS BIGINT) AS est_dup_tokens
+FROM groups GROUP BY doc_id
+"""
+
 _DD12_DUCK = _dd12(f"({_DD12_WINS_DUCK})")
 
 
@@ -751,19 +799,17 @@ def dd12_dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-window count, merged run count, longest run, and the
     estimated duplicated-token total (r + W - 1 per r-window run).
 
-    Scale shape (dd09's two-pass pattern, stride-1 instead of
-    non-overlapping): the explode is linear (windows ≈ tokens), the
-    frequency aggregate and the mark-join shuffle on uniform 128-bit
-    hashes, and the run merge is a window PARTITIONED by doc_id — no
-    global order anywhere. Hash cost is W× the corpus bytes; at 100 TB
-    you'd swap md5 of the joined slice for a rolling (Rabin-Karp) hash
-    computed in one pass — same plan shape, cheaper map stage. The
-    window-hash table is materialized once (see ``_dd12_wins``; on a
-    cluster use a reliable checkpoint)."""
-    register_views(spark, sf_dir)
-    wins = spark.sql(_DD12_WINS_SPARK).localCheckpoint(eager=True)
-    wins.createOrReplaceTempView("dd12_wins")
-    return spark.sql(_DD12_SPARK)
+    Scale shape (r9 one-pass rework): the explode is linear (windows ≈
+    tokens); the duplicate flag is a window COUNT over the fixed 16-byte
+    window hash (one exchange + external sort, spills incrementally —
+    replaces the r8 freq-aggregate + mark-join pair whose checkpointed
+    window table and hash state absorbed 71.8 GB mem + 27.1 GB disk at
+    sf100/16 GB); the run merge is a window PARTITIONED by doc — no
+    global order, no joins, nothing pinned. Hash cost is W× the corpus
+    bytes; at 100 TB you'd swap md5 of the joined slice for a rolling
+    (Rabin-Karp) hash computed in one pass — same plan shape, cheaper
+    map stage."""
+    return _sql(spark, sf_dir, _DD12_SPARK_ONEPASS)
 
 
 # ---------------------------------------------------------------------------

@@ -91,7 +91,7 @@ _CHECK_TAIL = (
     "dd08_neardup_components",
     "dd10_lsh_jaccard_verify",
     "dd11_dedup_keep_best",
-    "dd12_dup_substring_runs",
+    "q04_left_join_counts",
     "dd13_neardup_purge",
     "dd15_containment",
     "dd16_lsh_calibration",

@@ -186,12 +186,18 @@ def _fresh_plan(spark, sql):
 
 
 def test_dd12_no_nested_loop_and_partitioned_window(spark):
-    """dd12's run merge must window PARTITIONED by doc_id (no global
-    order), and the frequency mark-join must be a hash join."""
+    """dd12's r9 one-pass shape: the duplicate flag is a window COUNT over
+    the 16-byte window hash (NO join anywhere — the old freq-aggregate +
+    mark-join pair is gone, that pair plus its checkpoint spilled 99 GB at
+    sf100/16 GB), the run merge windows PARTITIONED by doc (no global
+    order), and nothing is checkpointed."""
     plan = _plan(spark, "dd12_dup_substring_runs")
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "hashpartitioning(doc_id" in plan, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "hashpartitioning(h" in plan, plan  # corpus-wide dup-flag window
+    assert "hashpartitioning(doc_id" in plan, plan  # doc-local run merge
+    assert "Checkpoint" not in plan, plan
 
 
 def test_pointer_jump_matches_union_find(spark):

@@ -118,6 +118,11 @@ def main() -> int:
         "ss12_pq_trained_topk",
         "dd16_lsh_calibration",
         "ta12_ppl_buckets",
+        # r9: these now run ta14's BPE train chain (~18 localCheckpoints
+        # each) to price tokens in real subwords — drain right after
+        "ta14_bpe_encode",
+        "pipe11_context_fit",
+        "pipe12_epoch_plan",
     }
     since_gc = 0
     for name in sorted(queries):

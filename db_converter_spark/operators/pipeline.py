@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from db_converter_spark.catalog import register_views
-from db_converter_spark.operators.textops import LANG_PROFILES, _sql
+from db_converter_spark.operators.textops import (
+    LANG_PROFILES,
+    _TA14_DUCK_VOCAB_CTE,
+    _sql,
+    _ta14_duck_ctes,
+    ta14_vocab_view,
+)
 from db_converter_spark.registry import query
 
 _ALL_STOPWORDS = sorted({w for ws in LANG_PROFILES.values() for w in ws})
@@ -426,17 +432,23 @@ _PIPE06_BUDGET = 100_000  # tokens — FIXED absolute budget: at any corpus
                           # (the "train on the best N tokens" decision)
 
 
-def _pipe06_metrics(size_fn: str, filter_fn: str) -> str:
-    # quality = stopword density x1000 (integer — deterministic ordering
-    # across engines); zero-token docs excluded by the guard
+def _pipe06_metrics(unnest: str, vocab: str, hint: str = "") -> str:
+    # n_tok = REAL model tokens: per-word BPE subword counts from ta14's
+    # trained encode map, broadcast-joined onto the one word explode (r8
+    # verdict Next #6 — the budget is spent in the unit the model trains
+    # on, not the whitespace proxy). quality = stopword density x1000
+    # (integer — deterministic ordering across engines; stays in the WORD
+    # domain: stopword density is a word-level signal). Zero-word docs
+    # produce no group — the old n_tok > 0 guard by construction.
     return f"""
-SELECT doc_id, source,
-  {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) AS n_tok,
-  CAST(ROUND(1000.0 * {size_fn}({filter_fn}(string_split(text, ' '),
-        w -> w IN ({_STOPLIST})))
-       / {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS q
-FROM documents
-WHERE {size_fn}({filter_fn}(string_split(text, ' '), w -> w <> '')) > 0
+SELECT {hint}d.doc_id, d.source,
+  CAST(SUM(v.n_sub) AS BIGINT) AS n_tok,
+  CAST(ROUND(1000.0 * SUM(CASE WHEN d.w IN ({_STOPLIST}) THEN 1 ELSE 0 END)
+       / COUNT(*)) AS BIGINT) AS q
+FROM (SELECT doc_id, source, {unnest} AS w FROM documents) d
+JOIN {vocab} v ON v.word = d.w
+WHERE d.w <> ''
+GROUP BY d.doc_id, d.source
 """
 
 
@@ -450,7 +462,9 @@ FROM sel GROUP BY source
 """
 
 _PIPE06_DUCK = f"""
-WITH m AS ({_pipe06_metrics("len", "list_filter")}),
+WITH {", ".join(_ta14_duck_ctes())},
+{_TA14_DUCK_VOCAB_CTE},
+m AS ({_pipe06_metrics("unnest(string_split(text, ' '))", "vocab")}),
 c AS (
   SELECT *, SUM(n_tok) OVER (ORDER BY q DESC, doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum
@@ -459,8 +473,8 @@ c AS (
 {_PIPE06_ROLLUP}
 """
 
-_PIPE06_METRICS_SPARK = _pipe06_metrics("size", "filter").replace(
-    "string_split", "split"
+_PIPE06_METRICS_SPARK = _pipe06_metrics(
+    "explode(split(text, ' '))", "ta14_vocab", hint="/*+ BROADCAST(v) */ "
 )
 
 
@@ -470,7 +484,9 @@ def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-density score, deterministic integer) until a FIXED token
     budget is filled — the "train on the best N tokens" decision every
     budget-constrained data mix makes (no reference analog; SURVEY §6
-    extension).
+    extension). The budget is priced in REAL model tokens: ta14's trained
+    BPE encode map broadcast-joins onto the one word explode, so n_tok is
+    subword count, not the whitespace proxy (r8 verdict Next #6).
 
     The core is a cumulative sum over a GLOBAL quality ordering — the
     same scale trap as pipe02, solved the same way: range-partition by
@@ -485,6 +501,7 @@ def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_converter_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    ta14_vocab_view(spark)
     m = spark.sql(_PIPE06_METRICS_SPARK)
     nparts = max(2, spark.sparkContext.defaultParallelism // 2)
     parts = m.repartitionByRange(
@@ -787,14 +804,21 @@ def pipe10_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in INTEGER arithmetic (dialect DIV vs //); candidate lengths are powers
 # of two so no float division appears anywhere.
 #
-# Scale shape: per-doc token counts come from ONE documents scan (no
-# explode — size(split())); the 4-row candidate-length relation fans out
-# via a broadcast nested-loop join (bounded 4x multiplier, the Expand
-# shape); the report is a bounded-key (L) aggregate, map-side combined.
+# Scale shape: per-doc token counts are REAL model tokens — ONE word
+# explode broadcast-joined to ta14's trained (word → n_sub) encode map,
+# one doc-keyed aggregate (r8 verdict Next #6: max_seq_len is chosen in
+# the unit the model trains on, not the whitespace proxy); the 4-row
+# candidate-length relation fans out via a broadcast nested-loop join
+# (bounded 4x multiplier, the Expand shape); the report is a bounded-key
+# (L) aggregate, map-side combined.
 
 _PIPE11 = """
-WITH doc_tokens AS (
-  SELECT {ntok} AS n FROM documents
+{lead} doc_tokens AS (
+  SELECT {hint}CAST(SUM(v.n_sub) AS BIGINT) AS n
+  FROM (SELECT doc_id, {unnest} AS w FROM documents) d
+  JOIN {vocab} v ON v.word = d.w
+  WHERE d.w <> ''
+  GROUP BY d.doc_id
 ), fit AS (
   SELECT L, n,
     CASE WHEN n > L THEN n - L ELSE 0 END AS truncated,
@@ -817,10 +841,22 @@ GROUP BY L
 """
 
 _PIPE11_SPARK = _PIPE11.format(
-    ntok="size(filter(split(text, ' '), w -> w <> ''))", idiv="DIV"
+    lead="WITH",
+    unnest="explode(split(text, ' '))",
+    vocab="ta14_vocab",
+    hint="/*+ BROADCAST(v) */ ",
+    idiv="DIV",
 )
-_PIPE11_DUCK = _PIPE11.format(
-    ntok="len(list_filter(string_split(text, ' '), w -> w <> ''))", idiv="//"
+_PIPE11_DUCK = (
+    "WITH "
+    + ", ".join(_ta14_duck_ctes())
+    + ",\n"
+    + _TA14_DUCK_VOCAB_CTE
+    + ",\n"
+    + _PIPE11.format(
+        lead="", unnest="unnest(string_split(text, ' '))", vocab="vocab",
+        hint="", idiv="//",
+    )
 )
 
 
@@ -829,9 +865,14 @@ def pipe11_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length fit report: per candidate max_seq_len (64..512),
     token loss under truncate-at-L, sequence count under split-at-L, and
     the split padding cost — the table that picks the length pipe02 packs
-    at. ONE documents scan (no explode), a bounded 4-row length fan-out,
-    one bounded-key aggregate."""
-    return _sql(spark, sf_dir, _PIPE11_SPARK)
+    at, priced in ta14's real BPE subword tokens (one word explode +
+    broadcast encode-map join), a bounded 4-row length fan-out, one
+    bounded-key aggregate."""
+    from db_converter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ta14_vocab_view(spark)
+    return spark.sql(_PIPE11_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -848,17 +889,20 @@ def pipe11_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All arithmetic is 64-bit integer (targets via integer DIV, ceil as
 # (n + d - 1) DIV d); the only ratio is the final x1000 shortfall.
 #
-# Scale shape: ONE documents scan -> per-source token aggregate
-# (bounded keys, map-side combined); the weight table is an inline
-# VALUES broadcast; totals are OVER () windows on the |sources|-row
-# relation — nothing after the first aggregate touches corpus-scale
-# data.
+# Scale shape: per-source token totals come STRAIGHT from ta14's serving
+# artifacts — the (source, word, cnt) aggregate joined to the (word →
+# n_sub) encode map, both vocab-bounded (r8 verdict Next #6: epoch budgets
+# are planned in real model tokens, and unlike pipe06/pipe11 this needs
+# no per-doc explode at all — source totals are Σ cnt·n_sub over the
+# vocabulary); the weight table is an inline VALUES broadcast; totals are
+# OVER () windows on the |sources|-row relation — nothing after ta14's
+# one corpus scan touches corpus-scale data.
 
 _PIPE12 = """
-WITH src AS (
-  SELECT source, SUM(ntok) AS toks
-  FROM (SELECT source, {ntok} AS ntok FROM documents) d
-  GROUP BY source
+{lead} src AS (
+  SELECT {hint}c.source, CAST(SUM(c.cnt * v.n_sub) AS BIGINT) AS toks
+  FROM {swc} c JOIN {vocab} v ON v.word = c.word
+  GROUP BY c.source
 ), planned AS (
   SELECT s.source, s.toks, w.keep_x1000 AS w_x1000,
     SUM(s.toks) OVER ()       AS total_toks,
@@ -880,14 +924,27 @@ FROM t
 """
 
 _PIPE12_SPARK = _PIPE12.format(
-    ntok="size(filter(split(text, ' '), x -> x <> ''))",
+    lead="WITH",
+    swc="ta14_swc",
+    vocab="ta14_vocab",
+    hint="/*+ BROADCAST(v) */ ",
     values_table=f"(VALUES {_weight_values()}) AS w(wsource, keep_x1000)",
     idiv="DIV",
 )
-_PIPE12_DUCK = _PIPE12.format(
-    ntok="len(list_filter(string_split(text, ' '), x -> x <> ''))",
-    values_table=f"(VALUES {_weight_values()}) w(wsource, keep_x1000)",
-    idiv="//",
+_PIPE12_DUCK = (
+    "WITH "
+    + ", ".join(_ta14_duck_ctes())
+    + ",\n"
+    + _TA14_DUCK_VOCAB_CTE
+    + ",\n"
+    + _PIPE12.format(
+        lead="",
+        swc="swc",
+        vocab="vocab",
+        hint="",
+        values_table=f"(VALUES {_weight_values()}) w(wsource, keep_x1000)",
+        idiv="//",
+    )
 )
 
 
@@ -897,9 +954,14 @@ def pipe12_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of a 4x-corpus budget demands, the epochs that requires, the
     achievable tokens under the ~4-epoch usefulness ceiling (Muennighoff
     et al. 2023) and the remaining shortfall — the repeat-vs-acquire
-    table for mixture planning. ONE scan, one bounded-key aggregate;
-    everything downstream is |sources|-row metadata."""
-    return _sql(spark, sf_dir, _PIPE12_SPARK)
+    table for mixture planning, priced in ta14's real BPE tokens via the
+    vocab-bounded (source, word, cnt) ⋈ encode-map join; everything
+    downstream is |sources|-row metadata."""
+    from db_converter_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ta14_vocab_view(spark)
+    return spark.sql(_PIPE12_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -1124,16 +1124,30 @@ _TA13_DOCS_SPARK = _ta13_docs(
 # Spark 4.1.2 optimizer bug (Union rewriteConstraints) throws
 # NoSuchElementException when a checkpointed union child carries a filter
 # constraint on an attribute pruned from its output.
+#
+# NO hash aggregate anywhere (r9 sf100 fix): the r8 shape's
+# `GROUP BY doc_id, gram` partial aggregate held one map entry per
+# nearly-unique (doc, gram) string key, so the per-task hash map grew to
+# the task's input size and 32 concurrent map tasks exhausted the 16 GB
+# decade heap (SCALE_PROBE_R9_MEM first run: AGGREGATE_OUT_OF_MEMORY in
+# the stage-11 codegen partial agg). Counts now come from a window COUNT
+# over (doc, xxhash64(gram, n)) — exchange + external sort, spills
+# incrementally — and the top-1 ROW_NUMBER over the occurrence rows picks
+# the identical (cnt DESC, gram) winner (duplicate occurrence rows don't
+# change which gram sorts first) while Spark 4's WindowGroupLimit prunes
+# to one row per doc per map partition BEFORE the second exchange.
 _TA13_TOPN_SPARK = """
 SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
   SELECT doc_id, cnt, gram,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
-  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
-        FROM (SELECT doc_id, array_join(slice(w, pos + 1, {n}), ' ') AS gram
-              FROM (SELECT doc_id, w, n_words FROM ta13_docs
-                    WHERE n_words >= {n}) d
-              LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
-        GROUP BY doc_id, gram) g
+  FROM (
+    SELECT doc_id, gram,
+           COUNT(*) OVER (PARTITION BY doc_id, xxhash64(gram, {n})) AS cnt
+    FROM (SELECT doc_id, array_join(slice(w, pos + 1, {n}), ' ') AS gram
+          FROM (SELECT doc_id, w, n_words FROM ta13_docs
+                WHERE n_words >= {n}) d
+          LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+  ) g
 ) r WHERE rn = 1
 """
 
@@ -1365,7 +1379,10 @@ GROUP BY ROLLUP(w.source)
 """
 
 
-def _ta14_duck() -> str:
+def _ta14_duck_ctes() -> "list[str]":
+    """The DuckDB spelling of the full BPE train chain (swc, s0,
+    p/b/s per merge) — shared by ta14's oracle and by the pipe06/11/12
+    oracles that consume BPE-derived token counts."""
     ctes = [f"swc AS ({_TA14_SWC_DUCK})", f"s0 AS ({_TA14_S0_DUCK})"]
     for i in range(1, _TA09_N_MERGES + 1):
         pairs = f"""
@@ -1386,6 +1403,19 @@ def _ta14_duck() -> str:
             f"b{i} AS (SELECT pa, pb, total FROM p{i} ORDER BY total DESC, pa, pb LIMIT 1)"
         )
         ctes.append(f"s{i} AS ({apply})")
+    return ctes
+
+
+# DuckDB spelling of the trained (word → n_sub) encode map; append after
+# _ta14_duck_ctes() in any oracle that prices documents in BPE tokens
+_TA14_DUCK_VOCAB_CTE = (
+    f"vocab AS (SELECT word, len(string_split(sp, '··')) AS n_sub"
+    f" FROM s{_TA09_N_MERGES})"
+)
+
+
+def _ta14_duck() -> str:
+    ctes = _ta14_duck_ctes()
     tail = _ta14_tail("swc", "len(string_split(sp, '··'))", lead=",")
     return ("WITH " + ",\n".join(ctes) + tail).format(s_final=f"s{_TA09_N_MERGES}")
 
@@ -1397,17 +1427,14 @@ _TA14_TAIL_SPARK = _ta14_tail(
 ).format(s_final=f"ta14_s{_TA09_N_MERGES}")
 
 
-@query("ta14_bpe_encode", oracle=_TA14_DUCK, tags=("text", "tokenizer", "encode", "serve"))
-def ta14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-scale BPE ENCODE: train ta09's 8 merges, apply them to the
-    distinct-word vocabulary, and report per-source (+ TOTAL rollup) real
-    subword token counts vs the character baseline (Sennrich et al. 2016
-    applied at serving time). The corpus is scanned exactly ONCE — the
-    (source, word) count aggregate — and both training iterations and the
-    encode join are vocab-bounded; at deployment scale nothing token-sized
-    is ever re-shuffled. Closes the train→apply loop the r7 verdict flagged
-    (ta09 trained merges nothing consumed; ss11→ss12 is the PQ analog)."""
-    register_views(spark, sf_dir)
+def ta14_vocab_view(spark: SparkSession) -> None:
+    """Train ta09's merge table over the ONE corpus-scale (source, word)
+    aggregate and register the serving artifacts as checkpointed temp
+    views: ``ta14_swc`` (source, word, cnt) and ``ta14_vocab`` (word,
+    n_sub — the encode map). Everything past the first scan is
+    vocab-bounded; consumers (ta14's report tail, pipe06/pipe11/pipe12's
+    BPE token pricing) broadcast-join these instead of re-touching
+    token-scale data."""
     spark.sql(_TA14_SWC_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "ta14_swc"
     )
@@ -1422,4 +1449,21 @@ def ta14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(
             _ta09_apply_spark(f"ta14_s{i-1}", f"SELECT * FROM ta14_b{i}")
         ).localCheckpoint(eager=True).createOrReplaceTempView(f"ta14_s{i}")
+    spark.sql(
+        f"SELECT word, size(split(sp, '··')) AS n_sub FROM ta14_s{_TA09_N_MERGES}"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("ta14_vocab")
+
+
+@query("ta14_bpe_encode", oracle=_TA14_DUCK, tags=("text", "tokenizer", "encode", "serve"))
+def ta14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE ENCODE: train ta09's 8 merges, apply them to the
+    distinct-word vocabulary, and report per-source (+ TOTAL rollup) real
+    subword token counts vs the character baseline (Sennrich et al. 2016
+    applied at serving time). The corpus is scanned exactly ONCE — the
+    (source, word) count aggregate — and both training iterations and the
+    encode join are vocab-bounded; at deployment scale nothing token-sized
+    is ever re-shuffled. Closes the train→apply loop the r7 verdict flagged
+    (ta09 trained merges nothing consumed; ss11→ss12 is the PQ analog)."""
+    register_views(spark, sf_dir)
+    ta14_vocab_view(spark)
     return spark.sql(_TA14_TAIL_SPARK)

@@ -58,82 +58,35 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # (which stays in the head for that reason).
 _CHECK_TAIL = (
     # =====================================================================
-    # r8 rotation (VERDICT r7 Next #1): the head refreshes the 38 OLDEST
-    # official rows (the whole r4 cohort flagged as 4 rounds stale:
-    # q04-q12, q18/q19, q24/q24b, q27-q29, q34-q36, ss01-ss06, ta01-ta03,
-    # ta08, ev03/ev07-ev09, mm05, pipe02-pipe04, dd09) plus everything
-    # whose source changed in r8 (dd14/dc05 — the _BIG_CKPT_LEVEL hoist,
-    # dq07 — the ceiling right-edge fix, ta13 — the staged rework) and the
-    # two r8-new operators (ta14, dq08), plus ev17/pipe14/ss12/ss13/ss14
-    # (r7-headed; their official_rows fingerprints were stamped mid-r7
-    # before later same-module edits, so parking them would trip the
-    # freshness guard - fresh r8 rows instead) and dd02 (the oldest
-    # r5 row) to fill the head to exactly 50. The leading tail
-    # entries are the next-oldest cohort (r5-green q38/dq02/
-    # dq05, then r6-green q37/dd05). Everything below is parked
-    # with a green official row and a pinned fingerprint
-    # (tests/official_rows.json + the freshness guard).
+    # r9 rotation (VERDICT r8 Next #3): the head refreshes the OLDEST
+    # official rows — the whole r5 cohort (q38/dq02/dq05) and 41 of the 47
+    # r6-green rows — plus everything whose source changed in r9:
+    # dd12 (one-pass window-count rework), ta13 (sort-spillable dup
+    # window + hash-includes-n), ta14 (GROUPING rollup label + the
+    # vocab-view refactor), and pipe06/pipe11/pipe12 (now priced in ta14
+    # BPE subword tokens). The two r6 rows that didn't fit (ta11/ta12)
+    # lead the tail as next-oldest; the rest are ordered by the round of
+    # their recorded official stamp (rows stamped r3/r4 were re-verified
+    # green in the r7/r8 driver heads — the stamp round only marks when
+    # the fingerprint was recorded, and the freshness guard pins their
+    # source unchanged since). Everything below is parked with a green
+    # official row and a pinned fingerprint (tests/official_rows.json).
     # =====================================================================
-    "q38_unpivot",
-    "dq02_rate_anomaly",
-    "dq05_fk_orphans",
-    "q37_pivot",
-    "dd05_ngram_jaccard",
-    "dc01_decontaminate",
-    "dc02_source_overlap",
-    "dc03_bloom_decontaminate",
-    "dc04_benchmark_burn",
-    "dd01_dedup_exact",
-    "dd03_minhash_signatures",
+    "ta11_tfidf_topterms",
+    "ta12_ppl_buckets",
     "dd04_minhash_lsh_bands",
     "dd06_simhash",
     "dd07_embedding_neardup",
-    "dd08_neardup_components",
-    "dd10_lsh_jaccard_verify",
-    "dd11_dedup_keep_best",
-    "q04_left_join_counts",
-    "dd13_neardup_purge",
-    "dd15_containment",
-    "dd16_lsh_calibration",
-    "dd17_incremental_dedup",
-    "dq01_constraint_audit",
-    "dq03_column_profile",
-    "dq04_reconciliation",
-    "dq06_distribution_drift",
     "ev01_windowed_event_stats",
     "ev02_sessionization",
     "ev04_asof_join",
     "ev05_range_join",
     "ev06_multi_rollup",
-    "ev10_session_window_stream",
-    "ev11_interarrival_hist",
-    "ev12_funnel",
-    "ev13_retention_cohorts",
-    "ev14_transition_matrix",
-    "ev15_load_profile",
-    "ev16_watermark_audit",
-    "ev18_streaming_quantiles",
     "mg01_chunk_grid",
     "mg02_incremental_diff",
-    "mg03_scd2_history",
-    "mg04_compaction_plan",
-    "mg05_table_checksum",
-    "mg06_cdc_apply",
     "mm01_binary_decode_plumbing",
-    "mm02_image_metadata_stub",
     "mm03_frame_sample_plumbing",
-    "mm04_resize_plumbing",
     "pii01_pii_scrub",
-    "pipe01_corpus_filter",
-    "pipe05_corpus_build",
-    "pipe06_token_budget",
-    "pipe07_stratified_sample",
-    "pipe08_curriculum_phases",
-    "pipe09_leakage_safe_split",
-    "pipe10_dataset_card",
-    "pipe11_context_fit",
-    "pipe12_epoch_plan",
-    "pipe13_importance_resample",
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q03_nation_revenue",
@@ -152,19 +105,64 @@ _CHECK_TAIL = (
     "q31_array_funcs",
     "q32_intersect_except",
     "q33_offset_fetch",
-    "ss07_kmeans_train",
-    "ss08_ivf_trained_topk",
-    "ss09_lsh_recall",
-    "ss10_ivf_balance",
-    "ss11_pq_train",
     "ta04_winnow_fingerprints",
     "ta05_hll_distinct",
     "ta06_repetition_score",
-    "ta07_trigram_lm",
-    "ta09_bpe_train",
-    "ta10_vocab_growth",
-    "ta11_tfidf_topterms",
-    "ta12_ppl_buckets",
+    "dc01_decontaminate",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "dd11_dedup_keep_best",
+    "dd15_containment",
+    "dd17_incremental_dedup",
+    "ev18_streaming_quantiles",
+    "dc05_sketched_overlap",
+    "dd02_norm_fingerprint",
+    "dd09_span_dedup",
+    "dd14_semdedup",
+    "dq07_quantile_profile",
+    "dq08_column_quantiles",
+    "ev03_streaming_window",
+    "ev07_stream_dedup",
+    "ev08_stream_stream_join",
+    "ev09_stream_static_join",
+    "ev17_countmin_audit",
+    "mm05_phash_neardup",
+    "pipe02_sequence_pack",
+    "pipe03_weighted_sample",
+    "pipe04_shard_assign",
+    "pipe14_unimax_waterfill",
+    "q04_left_join_counts",
+    "q05_customers_without_orders",
+    "q06_customers_with_big_order",
+    "q07_nullsafe_self_join",
+    "q08_self_join_pairs",
+    "q09_window_top2_orders",
+    "q10_window_running_sum",
+    "q11_set_ops",
+    "q12_cte_chain",
+    "q18_group_ordinal_having",
+    "q19_case_agg",
+    "q24_distinct_agg",
+    "q24b_array_agg_distinct",
+    "q27_pivot",
+    "q28_lateral_top1",
+    "q29_percentile",
+    "q34_cube_grouping_sets",
+    "q35_construct_probes",
+    "q36_recursive_cte",
+    "ss01_cosine_topk",
+    "ss02_lsh_buckets",
+    "ss03_ivf_assign",
+    "ss04_ivf_topk",
+    "ss05_knn_join",
+    "ss06_pq_adc_topk",
+    "ss12_pq_trained_topk",
+    "ss13_truncated_rerank",
+    "ss14_sq8_topk",
+    "ta01_langid",
+    "ta02_quality_score",
+    "ta03_token_stats",
+    "ta08_vocab_topk",
 )
 # NOTE (r8 final state): tail parks queries whose newest official row is
 # r4-r7 with fingerprints pinned by the freshness guard; the r8 head = the

@@ -563,12 +563,15 @@ def test_dq05_keyed_joins_only(spark):
 
 
 def test_pipe11_single_scan_bounded_fanout(spark):
-    """Context-fit report: ONE documents scan, the 4-row length relation
-    fans out via broadcast nested loop (bounded multiplier), one
-    bounded-key aggregate — no SMJ, no window."""
+    """Context-fit report (r9: priced in ta14 BPE tokens): ONE documents
+    scan exploded into the BROADCAST encode-map join (the vocab is a
+    checkpointed vocab-bounded relation), one doc-keyed aggregate, the
+    4-row length relation fans out via broadcast nested loop (bounded
+    multiplier), one bounded-key aggregate — no SMJ, no window."""
     plan = _plan(spark, "pipe11_context_fit")
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan  # encode map stays broadcast
     assert "SortMergeJoin" not in plan and "Window" not in plan, plan
 
 
@@ -669,12 +672,15 @@ def test_dc04_train_side_streams_unshuffled(spark):
 
 
 def test_pipe12_single_scan_bounded_tail(spark):
-    """Epoch plan: ONE corpus scan into the bounded per-source aggregate;
-    the weight VALUES join broadcasts; totals are windows on the
+    """Epoch plan (r9: priced in ta14 BPE tokens): the final statement
+    reads ONLY ta14's checkpointed serving artifacts — the (source, word)
+    counts and the encode map, joined broadcast — so ZERO parquet scans
+    here (the one corpus scan lives in the shared ta14 train pass); the
+    weight VALUES join broadcasts; totals are windows on the
     |sources|-row relation — no SMJ, no range partitioning."""
     plan = _plan(spark, "pipe12_epoch_plan")
-    assert plan.count("Scan parquet") == 1, plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
 

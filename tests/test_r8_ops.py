@@ -32,21 +32,9 @@ def _python_bpe(sf_dir: str):
     wc: dict[str, int] = {}
     for (_, w), c in swc.items():
         wc[w] = wc.get(w, 0) + c
-    sp = {w: "··".join(list(w) + ["</w>"]) for w in wc}
-    merges = []
-    for _ in range(_N_MERGES):
-        pairs: dict[tuple[str, str], int] = {}
-        for w, s in sp.items():
-            syms = s.split("··")
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + wc[w]
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        pa, pb = best
-        old, new = f"·{pa}··{pb}·", f"·{pa}{pb}·"
-        sp = {w: ("·" + s + "·").replace(old, new)[1:-1] for w, s in sp.items()}
-    enc = {w: len(s.split("··")) for w, s in sp.items()}
-    return merges, enc, swc
+    from tests.bpe_twin import bpe_encode_vocab, bpe_train_merges
+
+    return bpe_train_merges(wc, _N_MERGES), bpe_encode_vocab(wc, _N_MERGES), swc
 
 
 def test_ta14_matches_python_bpe_twin(spark):

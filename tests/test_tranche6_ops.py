@@ -148,28 +148,49 @@ def test_dd15_boilerplate_framed_containee_df_aware_bottomk(spark):
 
 
 def test_pipe11_known_token_arithmetic(spark):
-    """Two docs of exactly 100 and 300 tokens: every cell of the fit
-    report is hand-checkable (ceil-division seq counts, truncation loss,
-    split padding)."""
+    """Two fixture docs, token counts now in ta14 BPE subwords (r9): the
+    per-doc counts come from the independent pure-Python BPE twin, every
+    report cell recomputed from them (ceil-division seq counts, truncation
+    loss, split padding)."""
     from db_converter_spark.operators.pipeline import _PIPE11_SPARK
+    from db_converter_spark.operators.textops import ta14_vocab_view
+    from tests.bpe_twin import bpe_encode_vocab
 
-    docs = [(1, " ".join(f"a{i}" for i in range(100))), (2, " ".join(f"b{i}" for i in range(300)))]
+    texts = {
+        1: " ".join(f"a{i}" for i in range(100)),
+        2: " ".join(f"b{i}" for i in range(300)),
+    }
     spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in docs],
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     ).createOrReplaceTempView("documents")
+    ta14_vocab_view(spark)
+
+    wc: dict = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    enc = bpe_encode_vocab(wc)
+    n = {d: sum(enc[w] for w in t.split(" ")) for d, t in texts.items()}
+
     rows = {r["context_len"]: r for r in spark.sql(_PIPE11_SPARK).collect()}
     assert set(rows) == {64, 128, 256, 512}
-    r = rows[64]
-    assert (r["n_docs"], r["n_docs_over"], r["n_tokens"]) == (2, 2, 400)
-    assert r["n_tokens_truncated"] == 36 + 236
-    assert r["trunc_loss_x1000"] == 680  # 272/400
-    assert r["n_seqs_split"] == 2 + 5  # ceil(100/64) + ceil(300/64)
-    assert r["pad_frac_split_x1000"] == 107  # (7*64-400)/(7*64)
-    r = rows[512]
-    assert (r["n_docs_over"], r["n_tokens_truncated"], r["trunc_loss_x1000"]) == (0, 0, 0)
-    assert r["n_seqs_split"] == 2
-    assert r["pad_frac_split_x1000"] == 609  # (1024-400)/1024
+    total = n[1] + n[2]
+    for L in (64, 512):
+        r = rows[L]
+        trunc = sum(max(0, v - L) for v in n.values())
+        seqs = sum((v + L - 1) // L for v in n.values())
+        assert r["n_docs"] == 2 and r["n_tokens"] == total, (r, n)
+        assert r["n_docs_over"] == sum(1 for v in n.values() if v > L), r
+        assert r["n_tokens_truncated"] == trunc, (r, n)
+        assert r["trunc_loss_x1000"] == round(1000.0 * trunc / total), r
+        assert r["n_seqs_split"] == seqs, (r, n)
+        assert r["pad_frac_split_x1000"] == round(
+            1000.0 * (seqs * L - total) / (seqs * L)
+        ), r
+    # the BPE pricing is real: subword counts exceed the whitespace counts
+    # (8 merges leave most of these synthetic words multi-symbol)
+    assert n[1] > 100 and n[2] > 300, n
 
 
 def test_dq05_injected_orphans_and_nulls(spark):
@@ -358,26 +379,46 @@ def test_dc04_injected_contamination(spark):
 
 
 def test_pipe12_known_budget_arithmetic(spark):
-    """Two sources with hand-set token counts and known weights: targets,
-    ceil-division epochs, the 4-epoch ceiling and the shortfall are all
-    exact integers."""
+    """Two sources with known weights, token counts now in ta14 BPE
+    subwords (r9): per-source totals come from the independent twin, then
+    targets, ceil-division epochs, the 4-epoch ceiling and the shortfall
+    are recomputed exactly in integers."""
     from db_converter_spark.operators.pipeline import _MIX_WEIGHTS, _PIPE12_SPARK
+    from db_converter_spark.operators.textops import ta14_vocab_view
+    from tests.bpe_twin import bpe_encode_vocab
 
     # src0 weight 100, src1 weight 197 (the generator's i*97 pattern)
     assert _MIX_WEIGHTS["src0"] == 100 and _MIX_WEIGHTS["src1"] == 197
-    docs = [(1, " ".join(["a"] * 10), "src0"), (2, " ".join(["b"] * 90), "src1")]
+    docs = [
+        (1, " ".join(f"alpha{i}" for i in range(10)), "src0"),
+        (2, " ".join(f"beta{i % 30}" for i in range(90)), "src1"),
+    ]
     spark.createDataFrame(
         [(i, t, "en", s, len(t)) for i, t, s in docs],
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
     ).createOrReplaceTempView("documents")
+    ta14_vocab_view(spark)
+
+    wc: dict = {}
+    for _, t, _ in docs:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    enc = bpe_encode_vocab(wc)
+    toks = {
+        s: sum(enc[w] for w in t.split(" ")) for _, t, s in docs
+    }
+    total, sum_w = sum(toks.values()), 297
     got = {r["source"]: tuple(r)[1:] for r in spark.sql(_PIPE12_SPARK).collect()}
-    # budget = 4*100 = 400; sum_w = 297
-    # src0: target = 400*100 DIV 297 = 134; epochs ceil(134/10)=14;
-    #   effective = min(134, 40) = 40; shortfall = round(1000*94/134) = 701
-    assert got["src0"] == (10, 134, 14, 40, 701)
-    # src1: target = 400*197 DIV 297 = 265; epochs ceil(265/90)=3;
-    #   effective = min(265, 360) = 265; shortfall 0
-    assert got["src1"] == (90, 265, 3, 265, 0)
+    for s, w in (("src0", 100), ("src1", 197)):
+        tgt = (4 * total * w) // sum_w
+        eff = min(tgt, 4 * toks[s])
+        assert got[s] == (
+            toks[s],
+            tgt,
+            (tgt + toks[s] - 1) // toks[s],
+            eff,
+            round(1000.0 * (tgt - eff) / tgt),
+        ), (s, got[s], toks)
 
 
 def test_ev15_known_heatmap_cells(spark):

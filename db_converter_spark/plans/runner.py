@@ -95,6 +95,12 @@ class RunContext:
         self.current_step_results: list = []
         # per-target ledger; attached by the run loop when tracking is on
         self.tracker: ActionTracker | None = None
+        # live-JDBC target (reference: every packet executes against a
+        # remote conninfo, dbccore/dbccore.py:905-1181): when set, remote
+        # tables are registered as snapshot temp views and INSERTs into
+        # them route through the JDBC append sink. Keys: url, properties,
+        # tables (lowercased names).
+        self.jdbc_target: dict | None = None
 
     def sequence_tracker(self) -> ActionTracker:
         """Ledger holding this target's sequence counters (SURVEY §7.4.6).
@@ -143,6 +149,78 @@ def _capture_select(ctx: RunContext, df) -> list:
     cols = [f if f else ANON_COLUMN for f in df.columns]
     rows = [list(r) for r in df.collect()]
     return [cols] + rows
+
+
+_JDBC_INSERT_RE = re.compile(
+    r"^\s*insert\s+into\s+([\w.`\"]+)\s*(\([^)]*\))?\s*(.+)$", re.I | re.S
+)
+_JDBC_WRITE_TARGET_RE = re.compile(
+    r"^\s*(update|delete\s+from|merge\s+into|truncate(?:\s+table)?)\s+([\w.`\"]+)",
+    re.I,
+)
+
+
+def _jdbc_table_of(ctx: RunContext, name: str) -> "str | None":
+    """Resolve a statement's table reference against the live target's
+    remote tables (schema qualifiers are the remote's business — only the
+    terminal name identifies the snapshot view)."""
+    bare = name.strip().strip('`"').split(".")[-1].lower()
+    return bare if ctx.jdbc_target and bare in ctx.jdbc_target["tables"] else None
+
+
+def _route_jdbc_dml(ctx: RunContext, stmt: str, dry: bool = False) -> "list | None":
+    """Write statements against a LIVE JDBC target (E11 over a remote;
+    reference: every packet statement executes on the target connection,
+    dbccore/dbccore.py:905-1181).
+
+    INSERT is the Spark-expressible remote write: the source query runs as
+    a Spark plan and the rows stream through the JDBC append sink (one
+    INSERT batch per partition — the bounded-transaction shape of the
+    reference's migration packets); the snapshot view refreshes after, so
+    later statements see the write (PG statement visibility). Under
+    no_commit the plan SHADOW-EXECUTES — the rowcount is computed, nothing
+    is written (the execute+rollback analog, dbccore/dbccore.py:886-888).
+
+    UPDATE/DELETE/MERGE/TRUNCATE have no Spark JDBC sink spelling —
+    Spark's writer only appends/overwrites; rewriting them as
+    read-filter-overwrite would silently drop concurrent remote writes.
+    They fail loudly with the py-step escape hatch named."""
+    if ctx.jdbc_target is None:
+        return None
+    head = _strip_leading_comments(stmt)
+    im = _JDBC_INSERT_RE.match(head)
+    if im:
+        table = _jdbc_table_of(ctx, im.group(1))
+        if table is None:
+            return None
+        df = ctx.spark.sql(im.group(3))
+        if im.group(2):
+            cols = [c.strip().strip('`"') for c in im.group(2)[1:-1].split(",")]
+        else:
+            cols = ctx.spark.table(table).columns
+        df = df.toDF(*cols)
+        if dry:
+            return ["INSERT", df.count()]
+        df.write.jdbc(
+            ctx.jdbc_target["url"],
+            table,
+            mode="append",
+            properties=ctx.jdbc_target["properties"],
+        )
+        from db_converter_spark.sources.jdbc import register_remote_views
+
+        register_remote_views(
+            ctx.spark, ctx.jdbc_target["url"], ctx.jdbc_target["properties"], [table]
+        )
+        return ["INSERT"]
+    wm = _JDBC_WRITE_TARGET_RE.match(head)
+    if wm and _jdbc_table_of(ctx, wm.group(2)):
+        raise RuntimeError(
+            f"{wm.group(1).split()[0].upper()} against live JDBC table"
+            f" {wm.group(2)}: Spark's JDBC sink can only append — run remote"
+            " in-place DML from a py-step over the remote's own client"
+        )
+    return None
 
 
 def _run_statement(ctx: RunContext, stmt: str) -> list:
@@ -199,7 +277,9 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
         # Physical Plan section marks failure (Spark prints the error text
         # in place of the plan — never the literal word 'Exception' the
         # old sniff looked for).
-        routed = _route_v1_dml(ctx, stmt, dry=True)
+        routed = _route_jdbc_dml(ctx, stmt, dry=True)
+        if routed is None:
+            routed = _route_v1_dml(ctx, stmt, dry=True)
         if routed is None:
             plan = ctx.spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
             if "== Physical Plan ==" not in plan or "Error occurred during query planning" in plan:
@@ -209,7 +289,9 @@ def _run_statement(ctx: RunContext, stmt: str) -> list:
             status = routed + ["no_commit"]
         ctx.current_step_results.append([status])
         return [status]
-    routed = _route_v1_dml(ctx, stmt)
+    routed = _route_jdbc_dml(ctx, stmt)
+    if routed is None:
+        routed = _route_v1_dml(ctx, stmt)
     if routed is not None:
         ctx.current_step_results.append([routed])
         return [routed]
@@ -735,11 +817,20 @@ class PacketRunner:
         spark: SparkSession,
         warehouse_dir: str | Path,
         hook: ChatHook | None = None,
+        jdbc_targets: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.warehouse = Path(warehouse_dir)
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self.hook = hook  # chat webhook (E17/E18); None = no notifications
+        # db-name → {"url", "properties"}: targets backed by a LIVE JDBC
+        # remote instead of the local Spark warehouse (the reference's
+        # db alias → PG conninfo map, db_converter.py/conf; every packet
+        # there executes against a remote connection). Reads register the
+        # remote's tables as snapshot views; INSERTs append via the Spark
+        # JDBC sink. The ledger/lock stay local per target, same as the
+        # reference keeping its actiontracker in the dbc schema.
+        self.jdbc_targets = jdbc_targets or {}
         self._stop_requested: set[str] = set()
         self._stop_lock = threading.Lock()
 
@@ -864,6 +955,21 @@ class PacketRunner:
             if track:
                 ctx.tracker = tracker  # sequence counters share the ledger
             ctx.no_commit = ptype == PacketType.NO_COMMIT
+            jdbc_cfg = self.jdbc_targets.get(db)
+            if jdbc_cfg:
+                # LIVE target: every remote table becomes a snapshot view
+                # BEFORE generators evaluate, so fan-out SQL reads the
+                # remote (reference: generators run server-side on the
+                # target connection, dbccore/dbccore.py:538-541)
+                from db_converter_spark.sources.jdbc import register_remote_views
+
+                props = dict(jdbc_cfg.get("properties") or {})
+                tables = register_remote_views(session, jdbc_cfg["url"], props)
+                ctx.jdbc_target = {
+                    "url": jdbc_cfg["url"],
+                    "properties": props,
+                    "tables": {t.lower() for t in tables},
+                }
             if ctx.dialect == "postgres":
                 # PG-dialect packets get the full introspection surface the
                 # reference's alert_*/dba_* family expects: pg_catalog +

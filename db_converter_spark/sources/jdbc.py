@@ -103,3 +103,41 @@ def find_jdbc_driver_jar() -> "str | None":
         except OSError:
             continue
     return None
+
+
+def list_remote_tables(
+    spark: SparkSession, url: str, properties: dict[str, str] | None = None
+) -> list[str]:
+    """Table names in the remote's default schema, introspected over the
+    SAME JDBC channel (the Spark spelling of the reference introspecting
+    pg_catalog over its live connection before acting on a target —
+    reference: dbccore/dbccore.py:905-1181 resolves every packet table
+    against the remote). information_schema is ANSI — one query serves
+    PostgreSQL, DuckDB and most JDBC servers alike."""
+    info = spark.read.jdbc(
+        url,
+        "(SELECT table_name, table_schema FROM information_schema.tables) t",
+        properties=properties or {},
+    )
+    return sorted(
+        r["table_name"]
+        for r in info.collect()
+        if r["table_schema"] in ("main", "public")
+    )
+
+
+def register_remote_views(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str] | None = None,
+    tables: list[str] | None = None,
+) -> list[str]:
+    """Register every remote table as a Spark temp view (a read snapshot
+    per registration — PG-style statement visibility, refreshed after each
+    routed write). Single-partition reads here; a migration-scale read goes
+    through ``read_jdbc_chunked`` so each chunk predicate stays one bounded
+    remote cursor."""
+    tables = tables if tables is not None else list_remote_tables(spark, url, properties)
+    for t in tables:
+        spark.read.jdbc(url, t, properties=properties or {}).createOrReplaceTempView(t)
+    return tables

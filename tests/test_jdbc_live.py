@@ -109,3 +109,112 @@ def test_live_jdbc_chunked_read_roundtrip(tmp_path):
         timeout=300,
     )
     assert "JDBC_LIVE_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+_CHILD_PACKET = r"""
+import json
+import sys
+jar, dbfile, pdir, whdir = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+
+import duckdb
+con = duckdb.connect(dbfile)
+con.execute("CREATE TABLE src AS SELECT i AS id, i * 3 AS v FROM range(0, 30) r(i)")
+con.execute("CREATE TABLE dst (id BIGINT, v BIGINT)")
+con.close()
+
+from pathlib import Path
+p = Path(pdir)
+p.mkdir(parents=True, exist_ok=True)
+# the canonical chunked-migration shape over a LIVE remote: the generator
+# reads the remote to enumerate key ranges, each action INSERTs one bounded
+# chunk (reference: packets/test_int4_to_int8/02_gen_obj.sql)
+(p / "01_step.sql").write_text(
+    "INSERT INTO dst SELECT id, v FROM src"
+    " WHERE id >= GEN_OBJ_FLD_1 AND id < GEN_OBJ_FLD_1 + 10"
+)
+(p / "01_gen_obj.sql").write_text(
+    "SELECT CAST(NULL AS STRING) AS maint, lo FROM"
+    " (SELECT DISTINCT CAST(id - id % 10 AS BIGINT) AS lo FROM src) t ORDER BY lo"
+)
+(p / "02_step.sql").write_text(
+    "SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM dst"
+)
+(p / "meta_data.json").write_text(json.dumps({"type": "maintenance"}))
+
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.jars", jar)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", whdir + "/sw")
+    .getOrCreate()
+)
+sys.path.insert(0, ".")
+from db_converter_spark.plans.model import ResultCode
+from db_converter_spark.plans.runner import PacketRunner
+
+expect = (30, sum(3 * i for i in range(30)))
+runner = PacketRunner(
+    spark,
+    whdir,
+    jdbc_targets={
+        "live_db": {
+            "url": f"jdbc:duckdb:{dbfile}",
+            "properties": {"driver": "org.duckdb.DuckDBDriver"},
+        }
+    },
+)
+res = runner.run(p, dbs=["live_db"])
+assert res.result_code["live_db"] == ResultCode.SUCCESS, res.result_data
+cap = res.result_data["live_db"]["02_step.sql"][0]
+assert cap[0] == ["n", "s"] and cap[1] == list(expect), cap
+
+# E6 over JDBC: the ledger skips every applied action on re-run — no
+# duplicate rows land on the remote
+res2 = runner.run(p, dbs=["live_db"])
+assert res2.result_code["live_db"] == ResultCode.SUCCESS, res2.result_data
+assert "already applied" in repr(res2.result_data), res2.result_data
+
+# remote in-place DML has no Spark JDBC sink spelling: loud failure naming
+# the py-step escape hatch (never a silent local rewrite)
+(p / "01_step.sql").write_text("DELETE FROM dst WHERE id = 0")
+res3 = runner.run(p, dbs=["live_db"], force=True)
+assert res3.result_code["live_db"] == ResultCode.FAIL, res3.result_code
+# the step's EXCEPTION capture carries the escape-hatch message
+assert "py-step" in repr(res3.result_data["live_db"]), res3.result_data
+
+spark.stop()
+con = duckdb.connect(dbfile)
+n, s = con.execute("SELECT COUNT(*), SUM(v) FROM dst").fetchone()
+assert (n, s) == expect, (n, s)
+print("JDBC_PACKET_OK")
+"""
+
+
+def test_live_jdbc_packet_runner_end_to_end(tmp_path):
+    """E11 + E6 + E14 over a LIVE JDBC target (r8 verdict Next #5): a
+    ported-shape packet executes through plans/runner.py with its tables
+    backed by a real JDBC remote — generator fan-out enumerates key ranges
+    by READING the remote, each action streams one bounded chunk through
+    the JDBC append sink, the ledger dedups actions across re-runs, and
+    the capture step reads the refreshed remote snapshot (reference: every
+    packet executes against a live connection, dbccore/dbccore.py:905-1181)."""
+    if _jar() is None:
+        pytest.skip("no JDBC driver jar on this host")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _CHILD_PACKET,
+            str(_jar()),
+            str(tmp_path / "live_pkt.duckdb"),
+            str(tmp_path / "pkt"),
+            str(tmp_path / "wh"),
+        ],
+        cwd=Path(__file__).resolve().parent.parent,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "JDBC_PACKET_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-3000:]

@@ -255,7 +255,48 @@ def _rw_do_block(text: str, lits: list[str]) -> None:
         )
 
 
+_FROM_SRF_RE = re.compile(r"\bfrom\s+(generate_series|unnest)\s*\(", re.I)
+_SQL_KEYWORDS = frozenset(
+    "where group order limit having on join inner left right full cross"
+    " union except intersect offset fetch for window natural using as".split()
+)
+
+
+def _rw_from_srf_alias(text: str) -> str:
+    """FROM-position set-returning functions with an alias: in PG the bare
+    alias names the COLUMN too (``FROM generate_series(1,3) g`` yields a
+    column ``g``; ``AS t(g)`` names table t, column g — reference packets
+    write both, e.g. test_common/02_gen_obj.sql). Spark's ``explode``
+    yields ``col``, so splice the alias through an explicit subquery
+    BEFORE the generic call rewrite runs. Unaliased calls fall through to
+    the plain ``explode(sequence(...))`` path."""
+    fn_body = {"generate_series": "sequence"}
+    pos = 0
+    while True:
+        m = _FROM_SRF_RE.search(text, pos)
+        if not m:
+            return text
+        open_idx = text.index("(", m.end() - 1)
+        close = _match_paren(text, open_idx)
+        args = text[open_idx + 1 : close]
+        am = re.match(
+            r"\s*(?:as\s+)?([A-Za-z_]\w*)(\s*\(\s*([A-Za-z_]\w*)\s*\))?",
+            text[close + 1 :],
+            re.I,
+        )
+        if not am or am.group(1).lower() in _SQL_KEYWORDS:
+            pos = close + 1  # unaliased (or keyword follows): generic path
+            continue
+        fn = m.group(1).lower()
+        inner = f"{fn_body[fn]}({args})" if fn in fn_body else args
+        tbl, col = am.group(1), am.group(3) or am.group(1)
+        repl = f"FROM (SELECT explode({inner}) AS {col}) {tbl}"
+        text = text[: m.start()] + repl + text[close + 1 + am.end() :]
+        pos = m.start() + len(repl)
+
+
 def _rw_functions(text: str, lits: list[str], settings: dict[str, str]) -> str:
+    text = _rw_from_srf_alias(text)
     text = _rewrite_calls(
         text, "generate_series", lambda a: f"explode(sequence({a}))"
     )

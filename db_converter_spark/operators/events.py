@@ -1634,3 +1634,71 @@ def ev18_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.sql(_ev18_tail(sink, "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# ev19 — retention cohort analysis (first-seen week × week offset)
+# ---------------------------------------------------------------------------
+# The classic product-analytics table none of ev01–ev18 covers: bucket
+# every user by the week they FIRST appeared (the cohort), then for each
+# (cohort_week, week_offset) cell report active users, event volume and
+# retention vs the cohort's own week-0 size. The reference's pg_stat
+# observability answered "how loaded is the DB"; this is the user-level
+# complement a usage migration is planned around.
+#
+# Scale shape: ONE events scan → window MIN over the uniform user_id key
+# (the cohort stamp; one exchange) → COUNT(DISTINCT user) per bounded
+# (cohort, offset) cell (the distinct expands to (cell, user) keys — still
+# uniform) → the retention normalization is a window over the bounded
+# cells relation (|weeks|² rows). Week offsets are exact integer
+# arithmetic on microsecond epochs of week-truncated stamps (never float
+# division on absolute epochs — 2026 epoch-µs exceeds double precision).
+
+_EV19 = """
+WITH firstw AS (
+  SELECT user_id, ts,
+    MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cw
+  FROM events
+), offs AS (
+  SELECT user_id,
+    {fmt_cw} AS cohort_week,
+    ({ep_wts} - {ep_cw}) {idiv} 604800000000 AS week_offset
+  FROM firstw
+), cells AS (
+  SELECT cohort_week, week_offset,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM offs GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+  n_active_users, n_events,
+  CAST(ROUND(1000.0 * n_active_users /
+       MAX(CASE WHEN week_offset = 0 THEN n_active_users END)
+         OVER (PARTITION BY cohort_week)) AS BIGINT) AS retention_x1000
+FROM cells
+"""
+
+_EV19_SPARK = _EV19.format(
+    fmt_cw="date_format(cw, 'yyyy-MM-dd')",
+    ep_wts="unix_micros(CAST(date_trunc('week', ts) AS TIMESTAMP))",
+    ep_cw="unix_micros(CAST(cw AS TIMESTAMP))",
+    idiv="DIV",
+)
+_EV19_DUCK = _EV19.format(
+    fmt_cw="strftime(cw, '%Y-%m-%d')",
+    ep_wts="epoch_us(date_trunc('week', ts))",
+    ep_cw="epoch_us(cw)",
+    idiv="//",
+)
+
+
+@query("ev19_retention_cohorts", oracle=_EV19_DUCK, tags=("events", "retention", "cohort"))
+def ev19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users bucketed by first-seen week; per
+    (cohort_week, week_offset) the active-user count, event volume and
+    retention vs the cohort's week-0 size (x1000 integer). ONE scan, one
+    user-key window for the cohort stamp, bounded-cell aggregate, window
+    normalization over the bounded cells relation (no reference analog;
+    SURVEY §6 extension)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EV19_SPARK)

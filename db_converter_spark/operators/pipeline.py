@@ -1178,3 +1178,120 @@ def pipe14_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipe14_lim"
     )
     return spark.sql(_PIPE14_TAIL_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# pipe15 — leakage-safe train/val split (near-dup clusters never straddle)
+# ---------------------------------------------------------------------------
+# The split step every training-data build runs LAST and most builds get
+# wrong: hashing doc_id sends near-duplicate documents to BOTH sides, so
+# the validation set contains (near-)copies of training documents and the
+# eval is contaminated. The fix is to split on a CLUSTER key, not a doc
+# key: here the full 8-permutation MinHash signature (dd03's exact
+# machinery, single-scan, array-domain) — signature-identical documents
+# (exact dups and tight near-dups) co-assign by construction. The report
+# carries its own audit: leaked_clusters under the signature split is zero
+# BY CONSTRUCTION (split is a pure function of the cluster key), and the
+# naive_would_leak column quantifies what a doc_id-hash split would have
+# contaminated on the same corpus.
+#
+# Scale shape: per-row shingle→minhash (no shuffle, codegen'd — dd03's
+# cost class), ONE uniform shuffle on the 128-bit cluster key, then a
+# 2-row split rollup. The 90/10 coin is an md5 hash of the cluster key —
+# deterministic across engines and runs (the pipe03/pipe07 hash-coin
+# rule: never rand()).
+
+def _pipe15(shingles: str, md5_i60: str, min_fn: str, mix: str,
+            ntok: str, coin_ck: str, coin_doc: str) -> str:
+    from db_converter_spark.operators.dedup import MERSENNE61, MINHASH_PERMS, _U32
+
+    transform_fn = "transform" if min_fn == "array_min" else "list_transform"
+    h = md5_i60.format(expr="s")
+    mins = ",\n    ".join(
+        f"{min_fn}({transform_fn}(hs, h -> ({a} * (({mix.format(r=r)}) % {_U32})"
+        f" + {b}) % {MERSENNE61})) AS h{j}"
+        for j, (a, b, r) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source, {ntok} AS n_tok,
+         {transform_fn}({shingles}, s -> {h}) AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id, source, n_tok,
+    {mins}
+  FROM hashed
+), clustered AS (
+  SELECT doc_id, source, n_tok,
+         md5(concat_ws('|', h0, h1, h2, h3, h4, h5, h6, h7)) AS ck
+  FROM sig
+), assigned AS (
+  SELECT doc_id, source, n_tok, ck,
+    CASE WHEN {coin_ck} % 10 < 9 THEN 'train' ELSE 'val' END AS split,
+    CASE WHEN {coin_doc} % 10 < 9 THEN 'train' ELSE 'val' END AS naive_split
+  FROM clustered
+), clusters AS (
+  SELECT ck,
+    MIN(split) AS split,
+    COUNT(*) AS n_docs,
+    SUM(n_tok) AS n_tok,
+    COUNT(DISTINCT split) AS n_splits,
+    COUNT(DISTINCT naive_split) AS n_naive_splits
+  FROM assigned GROUP BY ck
+)
+SELECT split,
+  CAST(COUNT(*) AS BIGINT)    AS n_clusters,
+  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT)  AS n_tokens,
+  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS leaked_clusters,
+  CAST(SUM(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS naive_would_leak
+FROM clusters GROUP BY split
+"""
+
+
+def _pipe15_spark() -> str:
+    from db_converter_spark.operators.dedup import _SHINGLES_SPARK
+
+    i32 = "CAST(conv(substring(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+    return _pipe15(
+        _SHINGLES_SPARK,
+        "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)",
+        "array_min",
+        "h ^ shiftright(h, {r})",
+        "size(filter(split(text, ' '), w -> w <> ''))",
+        i32.format(x="ck"),
+        i32.format(x="CAST(doc_id AS STRING)"),
+    )
+
+
+def _pipe15_duck() -> str:
+    from db_converter_spark.operators.dedup import _SHINGLES_DUCK
+
+    i32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+    return _pipe15(
+        _SHINGLES_DUCK,
+        "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)",
+        "list_min",
+        "xor(h, h >> {r})",
+        "len(list_filter(string_split(text, ' '), w -> w <> ''))",
+        i32.format(x="ck"),
+        i32.format(x="doc_id::VARCHAR"),
+    )
+
+
+_PIPE15_SPARK = _pipe15_spark()
+_PIPE15_DUCK = _pipe15_duck()
+
+
+@query("pipe15_leakage_safe_split", oracle=_PIPE15_DUCK, tags=("pipeline", "split", "dedup"))
+def pipe15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: documents co-assign by their full
+    MinHash-signature cluster (exact + tight near-dups can never straddle
+    the split), with a built-in audit — leaked_clusters is zero by
+    construction and naive_would_leak counts the clusters a doc_id-hash
+    split WOULD have contaminated on this corpus. Per-row signatures, ONE
+    uniform cluster-key shuffle, 2-row rollup (no reference analog;
+    SURVEY §6 extension — the split step of the C4/RefinedWeb recipe)."""
+    return _sql(spark, sf_dir, _PIPE15_SPARK)

@@ -71,9 +71,14 @@ _CHECK_TAIL = (
     # the fingerprint was recorded, and the freshness guard pins their
     # source unchanged since). Everything below is parked with a green
     # official row and a pinned fingerprint (tests/official_rows.json).
+    # Mid-r9 addition: two NEW operators (ev19 retention cohorts, pipe15
+    # leakage-safe split) enter the head; ta09/ta10 (r6-green, source
+    # unchanged) park in the tail to keep the head at exactly 50.
     # =====================================================================
     "ta11_tfidf_topterms",
     "ta12_ppl_buckets",
+    "ta09_bpe_train",
+    "ta10_vocab_growth",
     "dd04_minhash_lsh_bands",
     "dd06_simhash",
     "dd07_embedding_neardup",

@@ -934,3 +934,27 @@ def test_ev18_tail_reads_sink_only_window_partitioned(spark):
     plan = _plan(spark, "ev18_streaming_quantiles")
     assert "Scan parquet" not in plan, plan
     assert re.search(r"windowspecdefinition\(window_start#\d+", plan), plan
+
+
+def test_ev19_single_scan_bounded_windows(spark):
+    """Retention cohorts: ONE events scan; the cohort stamp is a window
+    over the uniform user_id key and the retention normalization is a
+    window over the bounded cells relation — no joins anywhere."""
+    plan = _plan(spark, "ev19_retention_cohorts")
+    assert plan.count("Scan parquet") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_pipe15_single_scan_no_joins(spark):
+    """Leakage-safe split: per-row MinHash signatures (dd03's array-domain
+    cost class, codegen'd), ONE uniform shuffle on the cluster key, 2-row
+    rollup — single scan, zero joins, no global sort."""
+    plan = _plan(spark, "pipe15_leakage_safe_split")
+    assert plan.count("Scan parquet") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "rangepartitioning" not in plan, plan

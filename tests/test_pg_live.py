@@ -27,6 +27,7 @@ from pathlib import Path
 import pytest
 
 from db_converter_spark.sources.pg_live import PgServer, find_pg_binaries
+from tests.test_reference_sql_parity import pg_env  # noqa: F401 — fixture
 
 pytestmark = pytest.mark.skipif(
     find_pg_binaries() is None, reason="no PostgreSQL binaries on this host"
@@ -261,3 +262,53 @@ def test_pg_dialect_packet_matches_live_pg(spark, pg, tmp_path):
         ["even", "7", "2,4,6,8,10,12,14"],
         ["odd", "7", "1,3,5,7,9,11,13"],
     ]
+
+
+def test_reference_selects_column_shape_matches_live_pg(pg_env, pg):
+    """Corpus-wide shape parity vs the REAL server: every reference packet
+    SELECT that a bare PostgreSQL 15 can execute (pg_catalog /
+    information_schema / pg_settings introspection — the packets' own
+    tables obviously don't exist there) must come back from our engine
+    with the same column arity and, for aliased columns, the same names.
+    Unaliased expression renderings are engine-specific by design (PG
+    auto-names, Spark prints the expression — the formatter's ?column?
+    rule, reference E15) and are exempted positionally."""
+    from db_converter_spark.plans.pgdialect import rewrite
+    from db_converter_spark.plans.sqlsplit import statement_kind
+    from db_converter_spark.sources.pg_live import PgServerError
+    from tests.test_reference_sql_parity import (
+        _EXPECTED_UNANALYZABLE,
+        _PLACEHOLDER_RE,
+        _ref_selects,
+    )
+
+    spark = pg_env
+    compared, mismatches = 0, []
+    for f, s in _ref_selects():
+        short = "/".join(f.split("/")[-2:])
+        if short in _EXPECTED_UNANALYZABLE or _PLACEHOLDER_RE.search(s):
+            continue
+        rs = rewrite(s)
+        if statement_kind(rs) != "query":
+            continue
+        try:
+            cap = pg.sql(f"SELECT * FROM ({s.rstrip().rstrip(';')}) _shape LIMIT 0")
+        except PgServerError:
+            continue  # needs packet-created objects or runtime state
+        if not cap:
+            continue
+        pg_cols = [c.lower() for c in cap[0]]
+        spark_cols = [c.lower() for c in spark.sql(rs).columns]
+        if len(pg_cols) != len(spark_cols):
+            mismatches.append((short, pg_cols, spark_cols))
+            continue
+        for a, b in zip(pg_cols, spark_cols):
+            if a != b and a != "?column?" and "(" not in b:
+                mismatches.append((short, a, b))
+        compared += 1
+    assert not mismatches, json.dumps(mismatches, indent=1)[:4000]
+    # measured on PG 15: 54 of the 72 verbatim query statements execute
+    # on a bare server (the rest need packet-created objects) — a collapsed
+    # glob, a moved reference tree, or a server refusing statements must
+    # fail loudly rather than shrink the sweep silently
+    assert compared >= 40, f"only {compared} statements executed on live PG"

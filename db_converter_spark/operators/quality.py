@@ -817,7 +817,7 @@ _DQ08_BINNED_SPARK = _dq08_binned(
     "SELECT * FROM dq08_vals", "SELECT * FROM dq08_mm", "DIV", hints=True
 )
 _DQ08_TAIL_SPARK = _dq08_tail(
-    "SELECT * FROM dq08_mm", "dq08_binned", "dq08_cum",
+    "SELECT * FROM dq08_mm", f"({_DQ08_BINNED_SPARK})", "dq08_cum",
     f"VALUES {_DQ08_VALUES} AS t(qpct)", "DIV", hints=True
 )
 
@@ -839,19 +839,23 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     locates every target bin, and a (col, bin)-partitioned ROW_NUMBER
     selects exact values inside only the picked bins. Also carries the
     pure-sketch right-edge estimate + signed error per (col, quantile).
-    vals/binned/cum are materialized once (CTE inlining would rescan
-    lineitem per downstream reference — the dq07 lesson)."""
+
+    Only the BOUNDED relations are materialized — mm (|cols| rows) and
+    the cum histogram (<= cols x 4096 rows); vals/binned stay inline and
+    the pruned 4-column lineitem scan simply re-streams where referenced
+    (3 scans total: min/max, histogram, picked-bin extraction). The r8
+    shape checkpointed the 4x-corpus vals AND binned relations instead —
+    at the real 100x/16 GB decade those ~14 GB of pinned blocks ran the
+    heap out during their own materialization (SCALE_PROBE_R9 first
+    attempt, UNABLE_TO_ACQUIRE inside localCheckpoint). Re-scanning a
+    pruned columnar source is the cheap side of that trade at any scale;
+    pinning a multiple of the corpus never is (the dd12 lesson)."""
     register_views(spark, sf_dir)
-    spark.sql(_DQ08_VALS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dq08_vals"
-    )
+    spark.sql(_DQ08_VALS_SPARK).createOrReplaceTempView("dq08_vals")
     spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "dq08_mm"
     )
-    spark.sql(_DQ08_BINNED_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dq08_binned"
-    )
-    spark.sql(_DQ08_CUM.format(binned_src="dq08_binned")).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("dq08_cum")
+    spark.sql(
+        _DQ08_CUM.format(binned_src=f"({_DQ08_BINNED_SPARK})")
+    ).localCheckpoint(eager=True).createOrReplaceTempView("dq08_cum")
     return spark.sql(_DQ08_TAIL_SPARK)

@@ -1166,14 +1166,26 @@ SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
 # which spills to disk gracefully. The hash input includes n (r8 ADVICE):
 # gram text alone would let a cross-n collision alias two different grams
 # if a future refactor merged passes.
+# Each occurrence row also ships `wls` — the n word-lengths under this
+# gram (<= 10 ints, ~3x row width) — so the duplicated-position output
+# carries its own character weights and the TAIL never touches a
+# token-scale relation again. (r9 second sf100 fix: the old tail
+# posexploded EVERY word position of EVERY doc into a `wlen` relation —
+# ~3B rows at sf100 — and sort-merge-joined it against the covered
+# positions; the join's sort plus the downstream per-(doc,n) partial
+# aggregate exhausted the 16 GB decade heap in the same stage,
+# UNABLE_TO_ACQUIRE at probe stage 144 across two otherwise different
+# runs. Now the dup-position relation is self-contained and the tail is
+# doc-scale everywhere.)
 _TA13_COVN_SPARK = """
-SELECT doc_id, {n} AS n, pos + k AS wpos, cnt
+SELECT doc_id, {n} AS n, pos + k AS wpos, wls[k] AS wlen, cnt
 FROM (
-  SELECT doc_id, pos, cnt FROM (
-    SELECT doc_id, pos,
+  SELECT doc_id, pos, wls, cnt FROM (
+    SELECT doc_id, pos, wls,
            COUNT(*) OVER (PARTITION BY doc_id, gh) AS cnt
     FROM (SELECT doc_id, pos,
-                 xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh
+                 xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh,
+                 transform(slice(w, pos + 1, {n}), x -> length(x)) AS wls
           FROM (SELECT doc_id, w, n_words FROM ta13_docs
                 WHERE n_words >= {n}) d
           LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
@@ -1184,22 +1196,22 @@ LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
 
 # the tail consumes only the three checkpointed relations: the doc x n
 # domain, the per-(doc, n) top-1 rows and the duplicated-position union —
-# every join is doc-keyed and the rollup domain is (source, n, rule)
+# every join is doc-keyed, the rollup domain is (source, n, rule), and
+# NOTHING here is token-scale: the dup positions carry their own word
+# lengths out of the staged passes (see _TA13_COVN_SPARK), so the old
+# all-positions `wlen` posexplode (+ its token-scale sort-merge join,
+# the sf100/16 GB OOM site) is gone.
 _TA13_TAIL_STAGED_SPARK = """
 WITH ns AS (
   SELECT explode(sequence(2, 10)) AS n
 ), dom AS (
   SELECT d.doc_id, d.source, d.n_words, d.n_wchars, ns.n
   FROM ta13_docs d JOIN ns ON d.n_words >= ns.n
-), wlen AS (
-  SELECT doc_id, length(word) AS wlen, wpos
-  FROM ta13_docs LATERAL VIEW posexplode(w) t AS wpos, word
 ), cov AS (
-  SELECT DISTINCT doc_id, n, wpos FROM ta13_covered
+  SELECT DISTINCT doc_id, n, wpos, wlen FROM ta13_covered
 ), dupchars AS (
-  SELECT c.doc_id, c.n, SUM(l.wlen) AS dchars
-  FROM cov c JOIN wlen l ON l.doc_id = c.doc_id AND l.wpos = c.wpos
-  GROUP BY c.doc_id, c.n
+  SELECT doc_id, n, SUM(wlen) AS dchars
+  FROM cov GROUP BY doc_id, n
 ), scored AS (
   SELECT d.source, d.n,
     CASE WHEN d.n <= 4 THEN 'top_gram_cov' ELSE 'dup_gram_cov' END AS rule,

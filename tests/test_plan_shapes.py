@@ -958,3 +958,16 @@ def test_pipe15_single_scan_no_joins(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_dq08_no_corpus_checkpoints_tail_single_scan(spark):
+    """dq08 (r9 rework): only the bounded mm/cum relations materialize;
+    the tail's picked-bin extraction re-streams the pruned lineitem scan
+    against the broadcast picked-bin set — exactly ONE parquet scan in
+    the final plan, every join broadcast (nothing big ever shuffles for
+    a join), no single-partition exchange."""
+    plan = _plan(spark, "dq08_column_quantiles")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan

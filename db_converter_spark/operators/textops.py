@@ -1145,7 +1145,7 @@ SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
            COUNT(*) OVER (PARTITION BY doc_id, xxhash64(gram, {n})) AS cnt
     FROM (SELECT doc_id, array_join(slice(w, pos + 1, {n}), ' ') AS gram
           FROM (SELECT doc_id, w, n_words FROM ta13_docs
-                WHERE n_words >= {n}) d
+                WHERE n_words >= {n}{shard}) d
           LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
   ) g
 ) r WHERE rn = 1
@@ -1187,7 +1187,7 @@ FROM (
                  xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh,
                  transform(slice(w, pos + 1, {n}), x -> length(x)) AS wls
           FROM (SELECT doc_id, w, n_words FROM ta13_docs
-                WHERE n_words >= {n}) d
+                WHERE n_words >= {n}{shard}) d
           LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
   ) g WHERE cnt >= 2
 ) dup
@@ -1259,13 +1259,23 @@ _TA13_DUCK = (
 # (memory-decade shape); at or below, as one lazy union (wall-optimal when
 # everything fits). Patchable by tests to force the staged path.
 _TA13_STAGED_DOC_THRESHOLD = 100_000
+# Staged passes additionally SUB-SHARD by doc id above this many docs per
+# shard: every ta13 grouping key includes doc_id, so a pmod(doc_id, K)
+# slice is exact, and one sub-pass bounds BOTH the memory working set and
+# the on-disk shuffle+spill footprint to 1/K of an n-pass (the r9 probe
+# showed a full sf100 n-pass sorts ~225 GB of occurrence rows — spilling
+# worked, the 74 GB scratch disk didn't; SCALE_PROBE_R9 third attempt
+# died on ENOSPC, not memory). A gc_drain between sub-passes lets the
+# ContextCleaner delete each completed sub-pass's shuffle files.
+_TA13_DOCS_PER_SHARD = 1_000_000
 
 
 def _ta13_run(spark: SparkSession) -> DataFrame:
     """Materialize the tokenized doc relation once, run one bounded job
-    per n (peak working set = one n's occurrences, the memory-decade fix),
-    then the checkpoint-only tail (shared by the builder and the
-    planted-fixture tests)."""
+    per (n, doc-shard) (peak working set AND scratch-disk footprint = one
+    sub-pass's occurrences — the memory-decade fix), then the
+    checkpoint-only tail (shared by the builder and the planted-fixture
+    tests)."""
     docs = spark.sql(_TA13_DOCS_SPARK).localCheckpoint(eager=True)
     docs.createOrReplaceTempView("ta13_docs")
     # Scale-adaptive stage concurrency (both points measured at r8,
@@ -1281,11 +1291,31 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
     # attribute so a fixture test can force the STAGED path at test scale
     # (r8 ADVICE: otherwise the oracle-compared path is always non-staged
     # and the staged union is exercised only by probes/bench).
-    staged = docs.count() > _TA13_STAGED_DOC_THRESHOLD
+    n_docs = docs.count()
+    staged = n_docs > _TA13_STAGED_DOC_THRESHOLD
+    shards = (
+        max(1, -(-n_docs // _TA13_DOCS_PER_SHARD)) if staged else 1
+    )
 
-    def _ckpt_union(sqls: list[str], view: str) -> None:
+    def _fmt(template: str, n: int) -> "list[str]":
+        if shards == 1:
+            return [template.format(n=n, shard="")]
+        return [
+            template.format(n=n, shard=f" AND pmod(doc_id, {shards}) = {s}")
+            for s in range(shards)
+        ]
+
+    def _ckpt_union(sqls: "list[str]", view: str) -> None:
         if staged:
-            parts = [spark.sql(q).localCheckpoint(eager=True) for q in sqls]
+            from db_converter_spark.benchutil import gc_drain
+
+            parts = []
+            for q in sqls:
+                parts.append(spark.sql(q).localCheckpoint(eager=True))
+                if shards > 1:
+                    # release the finished sub-pass's shuffle files before
+                    # the next one writes its own (disk bound = 1 sub-pass)
+                    gc_drain(spark, pause=1.0)
         else:
             parts = [spark.sql(q) for q in sqls]
         out = parts[0]
@@ -1295,8 +1325,10 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
             out = out.localCheckpoint(eager=True)
         out.createOrReplaceTempView(view)
 
-    _ckpt_union([_TA13_TOPN_SPARK.format(n=n) for n in (2, 3, 4)], "ta13_top")
-    _ckpt_union([_TA13_COVN_SPARK.format(n=n) for n in range(5, 11)], "ta13_covered")
+    _ckpt_union([q for n in (2, 3, 4) for q in _fmt(_TA13_TOPN_SPARK, n)], "ta13_top")
+    _ckpt_union(
+        [q for n in range(5, 11) for q in _fmt(_TA13_COVN_SPARK, n)], "ta13_covered"
+    )
     return spark.sql(_TA13_TAIL_STAGED_SPARK)
 
 

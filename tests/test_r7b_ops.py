@@ -76,6 +76,11 @@ def test_ta13_staged_path_matches_unstaged_on_fixture(spark, monkeypatch):
     staged = sorted(map(tuple, _ta13_run(spark).collect()))
     assert staged == baseline
     assert any(r[2] == "dup_gram_cov" and r[4] > 0 for r in staged)
+    # ...and the memory-decade doc-SHARDED variant (pmod(doc_id, K) slices
+    # per n-pass) must be exact too: force one shard per doc
+    monkeypatch.setattr(textops, "_TA13_DOCS_PER_SHARD", 1)
+    sharded = sorted(map(tuple, _ta13_run(spark).collect()))
+    assert sharded == baseline
 
 
 def test_ta13_operator_plant_fires_only_on_doc_id_mod_7(spark):

@@ -73,7 +73,10 @@ _CHECK_TAIL = (
     # official row and a pinned fingerprint (tests/official_rows.json).
     # Mid-r9 addition: two NEW operators (ev19 retention cohorts, pipe15
     # leakage-safe split) enter the head; ta09/ta10 (r6-green, source
-    # unchanged) park in the tail to keep the head at exactly 50.
+    # unchanged) park in the tail to keep the head at exactly 50. Late-r9:
+    # dq08's zero-checkpoint rework changed its source while parked, so it
+    # re-enters the head and q37 (untouched, fp-pinned, honest r6 stamp)
+    # takes its tail slot.
     # =====================================================================
     "ta11_tfidf_topterms",
     "ta12_ppl_buckets",
@@ -125,7 +128,7 @@ _CHECK_TAIL = (
     "dd09_span_dedup",
     "dd14_semdedup",
     "dq07_quantile_profile",
-    "dq08_column_quantiles",
+    "q37_pivot",
     "ev03_streaming_window",
     "ev07_stream_dedup",
     "ev08_stream_stream_join",

@@ -858,8 +858,9 @@ def test_ta13_tail_is_scan_free_and_rank_is_grouplimit(spark):
     assert "Scan parquet" not in plan, plan
     from db_converter_spark.operators.textops import _TA13_TOPN_SPARK
 
-    stage = spark.sql(_TA13_TOPN_SPARK.format(n=2))._jdf.queryExecution() \
-        .executedPlan().toString()
+    stage = spark.sql(
+        _TA13_TOPN_SPARK.format(n=2, shard="")
+    )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in stage, stage
 
 

@@ -27,7 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from db_converter_spark.benchutil import build_compact_line, drop_leaked_views, gc_drain
+from db_converter_spark.benchutil import (
+    build_compact_line,
+    drop_leaked_views,
+    gc_drain,
+    reset_cross_query_memos,
+)
 from db_converter_spark.registry import all_queries
 from db_converter_spark.session import build_session
 
@@ -138,6 +143,7 @@ def main() -> int:
             n_runs = 1
             degraded.append(name)
         for _ in range(n_runs):
+            reset_cross_query_memos(spark)
             t0 = time.perf_counter()
             queries[name].builder(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
@@ -203,6 +209,7 @@ def main() -> int:
         gc_drain(spark, pause=1.5, cycles=2)
         fresh = []
         for _ in range(2):
+            reset_cross_query_memos(spark)
             t0 = time.perf_counter()
             queries[name].builder(spark, sf_dir).collect()
             fresh.append(time.perf_counter() - t0)

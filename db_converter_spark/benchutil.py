@@ -38,6 +38,22 @@ BASE_VIEWS = frozenset(
 )
 
 
+def reset_cross_query_memos(spark) -> None:
+    """Clear session-scoped serving-artifact memos (r10: ta14's trained
+    vocab keyed on sf_dir) before a TIMED sample. The memo is a real
+    multi-query-session win — pipe06→pipe11→pipe12→ta14 train BPE once —
+    but bench's contract is the cold end-to-end cost of each query, and
+    without this reset samples 2..n of a best-of-3 would price only the
+    serve-after-training tail."""
+    from db_converter_spark.operators.textops import TA14_MEMO_ATTR
+
+    for attr in (TA14_MEMO_ATTR,):
+        try:
+            delattr(spark, attr)
+        except AttributeError:
+            pass
+
+
 def drop_leaked_views(spark) -> int:
     """Drop every temporary view that is not a base table; returns the
     number dropped. Releases the localCheckpoint blocks the views pin so

@@ -969,8 +969,10 @@ _EV13_DUCK = _EV13.format(
 def ev13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohort matrix: users grouped by first-seen week,
     distinct-active counts per (cohort, week offset) with retention ratio
-    vs the cohort size — entity-keyed joins throughout, output bounded by
-    the calendar grid."""
+    vs the COHORT SIZE — entity-keyed joins throughout, output bounded by
+    the calendar grid. See ev19_cohort_activity_retention for the
+    join-free activity-volume complement (adds n_events; normalizes by
+    the week-0 active cell instead of cohort size)."""
     register_views(spark, sf_dir)
     return spark.sql(_EV13_SPARK)
 
@@ -1637,12 +1639,15 @@ def ev18_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ev19 — retention cohort analysis (first-seen week × week offset)
+# ev19 — cohort ACTIVITY retention (first-seen week × week offset)
 # ---------------------------------------------------------------------------
-# The classic product-analytics table none of ev01–ev18 covers: bucket
-# every user by the week they FIRST appeared (the cohort), then for each
-# (cohort_week, week_offset) cell report active users, event volume and
-# retention vs the cohort's own week-0 size. The reference's pg_stat
+# Contrast with ev13_retention_cohorts (events.py:969): ev13 reports the
+# classic retention MATRIX — distinct-active users per (cohort, offset)
+# normalized by COHORT SIZE, built with entity-keyed joins. ev19 is the
+# activity-volume complement: it adds per-cell EVENT VOLUME (n_events) and
+# normalizes against the cohort's WEEK-0 ACTIVE CELL (not cohort size), and
+# is built join-free — one scan, a user-key window for the cohort stamp,
+# and a window over the bounded cells relation. The reference's pg_stat
 # observability answered "how loaded is the DB"; this is the user-level
 # complement a usage migration is planned around.
 #
@@ -1692,11 +1697,14 @@ _EV19_DUCK = _EV19.format(
 )
 
 
-@query("ev19_retention_cohorts", oracle=_EV19_DUCK, tags=("events", "retention", "cohort"))
-def ev19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retention cohorts: users bucketed by first-seen week; per
-    (cohort_week, week_offset) the active-user count, event volume and
-    retention vs the cohort's week-0 size (x1000 integer). ONE scan, one
+@query("ev19_cohort_activity_retention", oracle=_EV19_DUCK, tags=("events", "retention", "cohort"))
+def ev19_cohort_activity_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort ACTIVITY retention — the volume complement of
+    ev13_retention_cohorts: users bucketed by first-seen week; per
+    (cohort_week, week_offset) the active-user count, EVENT VOLUME
+    (n_events, which ev13 does not report) and retention vs the cohort's
+    WEEK-0 ACTIVE CELL (ev13 normalizes by cohort size instead; x1000
+    integer). Join-free where ev13 is entity-join-keyed: ONE scan, one
     user-key window for the cohort stamp, bounded-cell aggregate, window
     normalization over the bounded cells relation (no reference analog;
     SURVEY §6 extension)."""

@@ -501,7 +501,7 @@ def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_converter_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    ta14_vocab_view(spark)
+    ta14_vocab_view(spark, sf_dir)
     m = spark.sql(_PIPE06_METRICS_SPARK)
     nparts = max(2, spark.sparkContext.defaultParallelism // 2)
     parts = m.repartitionByRange(
@@ -698,7 +698,10 @@ def pipe09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dd02 normalization FINGERPRINT, so every exact/trivial near-dup
     cluster lands in one split by construction (no train→test leakage).
     Map-side assignment — the only shuffle is the cluster-size window on
-    uniform 128-bit keys."""
+    uniform 128-bit keys. See pipe15_neardup_safe_split for the stronger
+    variant that co-assigns by full MinHash signature (catches tight
+    NEAR-dups this exact-fingerprint split cannot) and ships a leak
+    audit."""
     return _sql(spark, sf_dir, _PIPE09_SPARK)
 
 
@@ -871,7 +874,7 @@ def pipe11_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_converter_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    ta14_vocab_view(spark)
+    ta14_vocab_view(spark, sf_dir)
     return spark.sql(_PIPE11_SPARK)
 
 
@@ -960,7 +963,7 @@ def pipe12_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_converter_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    ta14_vocab_view(spark)
+    ta14_vocab_view(spark, sf_dir)
     return spark.sql(_PIPE12_SPARK)
 
 
@@ -1181,7 +1184,7 @@ def pipe14_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# pipe15 — leakage-safe train/val split (near-dup clusters never straddle)
+# pipe15 — NEAR-dup-safe train/val split (MinHash clusters never straddle)
 # ---------------------------------------------------------------------------
 # The split step every training-data build runs LAST and most builds get
 # wrong: hashing doc_id sends near-duplicate documents to BOTH sides, so
@@ -1285,9 +1288,11 @@ _PIPE15_SPARK = _pipe15_spark()
 _PIPE15_DUCK = _pipe15_duck()
 
 
-@query("pipe15_leakage_safe_split", oracle=_PIPE15_DUCK, tags=("pipeline", "split", "dedup"))
-def pipe15_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leakage-safe train/val split: documents co-assign by their full
+@query("pipe15_neardup_safe_split", oracle=_PIPE15_DUCK, tags=("pipeline", "split", "dedup"))
+def pipe15_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-safe train/val split — the stronger sibling of
+    pipe09_leakage_safe_split: where pipe09 co-assigns by dd02's EXACT
+    normalization fingerprint, this co-assigns by the full 8-permutation
     MinHash-signature cluster (exact + tight near-dups can never straddle
     the split), with a built-in audit — leaked_clusters is zero by
     construction and naive_would_leak counts the clusters a doc_id-hash

@@ -1194,6 +1194,63 @@ FROM (
 LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
 """
 
+# ---- r10 staged COVN: split the one wide exchange into a NARROW count
+# pass + a shuffle-free broadcast re-explode (the disk-margin fix) ----
+# The r9 sub-pass exchanged EVERY occurrence row carrying its (pos, wls)
+# payload (~80 B/row with the <=10-int word-length array) just to learn
+# which (doc, gram) keys occur twice — at sf100 that sorted ~225 GB and
+# the per-sub-pass spill footprint peaked at 77 GB against 74 GB of free
+# scratch disk (SCALE_PROBE_R9_MEM.json; completion depended on the GC
+# drain winning a race). Duplicated keys are a tiny fraction of
+# occurrences, so the staged path now runs each sub-pass in two phases:
+#
+#   A. the dup-key pass — occurrence rows shrunk to (doc_id, gh) 16-byte
+#      pairs through the same sort-spillable window-COUNT shape (the hash
+#      aggregate stays banned: keys are nearly unique per task and the
+#      partial-agg map OOMs, the r9 lesson); ROW_NUMBER over the same
+#      partition spec dedups keys without a second exchange. The ONLY
+#      wide exchange of the sub-pass now ships ~4-5x fewer bytes.
+#   B. the payload pass — re-explode the SAME occurrences map-side
+#      (recompute beats re-shuffle: the explode is codegen'd CPU, the
+#      exchange was the disk hog) and broadcast-hash-join them against
+#      the checkpointed dup keys; only surviving (duplicated) rows ever
+#      materialize their word-length payload, and NOTHING wide is
+#      exchanged at all.
+#
+# Phase B is safe to broadcast because dup keys are candidates-bounded;
+# a pathological corpus (everything duplicated) falls back to the r9
+# single-pass shape per sub-pass, gated on the checkpointed key count —
+# same adaptive spirit as the staged/non-staged switch below. The
+# non-staged (small-corpus) path keeps the single-statement shape: two
+# phases pay off only when the exchange is disk-bound.
+_TA13_DUPKEYS_SPARK = """
+SELECT doc_id, gh, cnt FROM (
+  SELECT doc_id, gh, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, gh ORDER BY gh) AS rn
+  FROM (
+    SELECT doc_id, gh, COUNT(*) OVER (PARTITION BY doc_id, gh) AS cnt
+    FROM (SELECT doc_id,
+                 xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh
+          FROM (SELECT doc_id, w, n_words FROM ta13_docs
+                WHERE n_words >= {n}{shard}) d
+          LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+  ) c WHERE cnt >= 2
+) r WHERE rn = 1
+"""
+
+_TA13_COVN_FROM_KEYS_SPARK = """
+SELECT /*+ BROADCAST(d) */
+       o.doc_id, {n} AS n, o.pos + k AS wpos, o.wls[k] AS wlen, d.cnt
+FROM (SELECT doc_id, pos,
+             xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh,
+             transform(slice(w, pos + 1, {n}), x -> length(x)) AS wls
+      FROM (SELECT doc_id, w, n_words FROM ta13_docs
+            WHERE n_words >= {n}{shard}) dd
+      LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+JOIN {kv} d ON o.doc_id = d.doc_id AND o.gh = d.gh
+LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
+"""
+
 # the tail consumes only the three checkpointed relations: the doc x n
 # domain, the per-(doc, n) top-1 rows and the duplicated-position union —
 # every join is doc-keyed, the rollup domain is (source, n, rule), and
@@ -1268,6 +1325,10 @@ _TA13_STAGED_DOC_THRESHOLD = 100_000
 # died on ENOSPC, not memory). A gc_drain between sub-passes lets the
 # ContextCleaner delete each completed sub-pass's shuffle files.
 _TA13_DOCS_PER_SHARD = 1_000_000
+# Phase-B broadcast ceiling: dup keys above this row count (per sub-pass)
+# fall back to the r9 single-pass wide shape — 20M (doc_id, gh, cnt) rows
+# is ~500 MB hashed, the edge of sane executor broadcast.
+_TA13_DUP_BROADCAST_ROWS = 20_000_000
 
 
 def _ta13_run(spark: SparkSession) -> DataFrame:
@@ -1297,27 +1358,24 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
         max(1, -(-n_docs // _TA13_DOCS_PER_SHARD)) if staged else 1
     )
 
-    def _fmt(template: str, n: int) -> "list[str]":
-        if shards == 1:
-            return [template.format(n=n, shard="")]
-        return [
-            template.format(n=n, shard=f" AND pmod(doc_id, {shards}) = {s}")
-            for s in range(shards)
-        ]
+    shard_preds = (
+        [""]
+        if shards == 1
+        else [f" AND pmod(doc_id, {shards}) = {s}" for s in range(shards)]
+    )
 
-    def _ckpt_union(sqls: "list[str]", view: str) -> None:
-        if staged:
+    def _fmt(template: str, n: int) -> "list[str]":
+        return [template.format(n=n, shard=sh) for sh in shard_preds]
+
+    def _drain() -> None:
+        if shards > 1:
+            # release the finished sub-pass's shuffle files before the
+            # next one writes its own (disk bound = 1 sub-pass)
             from db_converter_spark.benchutil import gc_drain
 
-            parts = []
-            for q in sqls:
-                parts.append(spark.sql(q).localCheckpoint(eager=True))
-                if shards > 1:
-                    # release the finished sub-pass's shuffle files before
-                    # the next one writes its own (disk bound = 1 sub-pass)
-                    gc_drain(spark, pause=1.0)
-        else:
-            parts = [spark.sql(q) for q in sqls]
+            gc_drain(spark, pause=1.0)
+
+    def _publish(parts: "list[DataFrame]", view: str) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)
@@ -1325,10 +1383,42 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
             out = out.localCheckpoint(eager=True)
         out.createOrReplaceTempView(view)
 
+    def _ckpt_union(sqls: "list[str]", view: str) -> None:
+        if staged:
+            parts = []
+            for q in sqls:
+                parts.append(spark.sql(q).localCheckpoint(eager=True))
+                _drain()
+        else:
+            parts = [spark.sql(q) for q in sqls]
+        _publish(parts, view)
+
     _ckpt_union([q for n in (2, 3, 4) for q in _fmt(_TA13_TOPN_SPARK, n)], "ta13_top")
-    _ckpt_union(
-        [q for n in range(5, 11) for q in _fmt(_TA13_COVN_SPARK, n)], "ta13_covered"
-    )
+
+    if staged:
+        # two-phase sub-passes (see the r10 note above _TA13_DUPKEYS_SPARK):
+        # narrow dup-key exchange, then a shuffle-free broadcast re-explode
+        parts = []
+        for n in range(5, 11):
+            for si, sh in enumerate(shard_preds):
+                dk = spark.sql(
+                    _TA13_DUPKEYS_SPARK.format(n=n, shard=sh)
+                ).localCheckpoint(eager=True)
+                kv = f"ta13_dk_{n}_{si}"
+                dk.createOrReplaceTempView(kv)
+                if dk.count() <= _TA13_DUP_BROADCAST_ROWS:
+                    q = _TA13_COVN_FROM_KEYS_SPARK.format(n=n, shard=sh, kv=kv)
+                else:  # pathological corpus: keys not broadcastable
+                    q = _TA13_COVN_SPARK.format(n=n, shard=sh)
+                parts.append(spark.sql(q).localCheckpoint(eager=True))
+                spark.catalog.dropTempView(kv)
+                _drain()
+        _publish(parts, "ta13_covered")
+    else:
+        _ckpt_union(
+            [q for n in range(5, 11) for q in _fmt(_TA13_COVN_SPARK, n)],
+            "ta13_covered",
+        )
     return spark.sql(_TA13_TAIL_STAGED_SPARK)
 
 
@@ -1471,14 +1561,37 @@ _TA14_TAIL_SPARK = _ta14_tail(
 ).format(s_final=f"ta14_s{_TA09_N_MERGES}")
 
 
-def ta14_vocab_view(spark: SparkSession) -> None:
+# session attribute carrying the sf_dir the ta14 serving views were trained
+# on (the memo key); benchutil clears it between timed samples so bench
+# keeps pricing the FULL train+serve cost
+TA14_MEMO_ATTR = "_dbc_ta14_vocab_sf_dir"
+
+
+def ta14_vocab_view(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Train ta09's merge table over the ONE corpus-scale (source, word)
     aggregate and register the serving artifacts as checkpointed temp
     views: ``ta14_swc`` (source, word, cnt) and ``ta14_vocab`` (word,
     n_sub — the encode map). Everything past the first scan is
     vocab-bounded; consumers (ta14's report tail, pipe06/pipe11/pipe12's
     BPE token pricing) broadcast-join these instead of re-touching
-    token-scale data."""
+    token-scale data.
+
+    Memoized per (session, sf_dir): when ``sf_dir`` is given and this
+    session's ta14 views were already trained on the SAME sf_dir (and the
+    checkpointed views still exist), the call is a metadata no-op — a
+    multi-query session (pipe06→pipe11→pipe12→ta14) pays the ~30-job
+    training once instead of four times. ``sf_dir=None`` (tests that
+    register a hand-built ``documents`` view) always retrains, since the
+    corpus identity is unknowable then."""
+    memo_attr = TA14_MEMO_ATTR
+    if (
+        sf_dir is not None
+        and getattr(spark, memo_attr, None) == sf_dir
+        and spark.catalog.tableExists("ta14_vocab")
+        and spark.catalog.tableExists("ta14_swc")
+    ):
+        return
+    setattr(spark, memo_attr, None)
     spark.sql(_TA14_SWC_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "ta14_swc"
     )
@@ -1496,6 +1609,7 @@ def ta14_vocab_view(spark: SparkSession) -> None:
     spark.sql(
         f"SELECT word, size(split(sp, '··')) AS n_sub FROM ta14_s{_TA09_N_MERGES}"
     ).localCheckpoint(eager=True).createOrReplaceTempView("ta14_vocab")
+    setattr(spark, memo_attr, sf_dir)
 
 
 @query("ta14_bpe_encode", oracle=_TA14_DUCK, tags=("text", "tokenizer", "encode", "serve"))
@@ -1509,5 +1623,5 @@ def ta14_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ever re-shuffled. Closes the train→apply loop the r7 verdict flagged
     (ta09 trained merges nothing consumed; ss11→ss12 is the PQ analog)."""
     register_views(spark, sf_dir)
-    ta14_vocab_view(spark)
+    ta14_vocab_view(spark, sf_dir)
     return spark.sql(_TA14_TAIL_SPARK)

@@ -941,7 +941,7 @@ def test_ev19_single_scan_bounded_windows(spark):
     """Retention cohorts: ONE events scan; the cohort stamp is a window
     over the uniform user_id key and the retention normalization is a
     window over the bounded cells relation — no joins anywhere."""
-    plan = _plan(spark, "ev19_retention_cohorts")
+    plan = _plan(spark, "ev19_cohort_activity_retention")
     assert plan.count("Scan parquet") == 1, plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
@@ -953,7 +953,7 @@ def test_pipe15_single_scan_no_joins(spark):
     """Leakage-safe split: per-row MinHash signatures (dd03's array-domain
     cost class, codegen'd), ONE uniform shuffle on the cluster key, 2-row
     rollup — single scan, zero joins, no global sort."""
-    plan = _plan(spark, "pipe15_leakage_safe_split")
+    plan = _plan(spark, "pipe15_neardup_safe_split")
     assert plan.count("Scan parquet") == 1, plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):

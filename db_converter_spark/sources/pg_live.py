@@ -236,3 +236,120 @@ def write_pg_table(
         )
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Native packet execution — the live twin of reference test layer 5
+# ---------------------------------------------------------------------------
+
+
+def run_packet_native(
+    server: PgServer,
+    packet_dir: "str | Path",
+    db: str = "postgres",
+    placeholders: "dict[str, str] | None" = None,
+) -> "dict[str, list]":
+    """Execute a packet NATIVELY on live PostgreSQL — the live twin of the
+    reference's test layer 5 (reference tests/test_packets.py:547-583 runs
+    every alert_*/dba_* packet against a live DB and requires SUCCESS).
+    Reuses the engine's own packet parser and placeholder engine
+    (plans/packet.py — reference dbccore/dbccore.py:280-345, fan-out
+    :921-1087) but every statement executes server-side through psql, the
+    way the reference's wire driver did.
+
+    Semantics mirrored from plans/runner.py:
+
+    - ``run_once.sql`` executes first; generators evaluate strictly AFTER
+      it (they may read tables it creates);
+    - per-step ``NN_gen_obj.sql`` / ``NN_gen_nsp.sql`` generators evaluate
+      server-side; the step text executes once per binding (cartesian
+      nsp × obj when both exist), with ``GEN_NSP_FLD_i`` applied before
+      ``GEN_OBJ_FLD_i``;
+    - a generator row's field 0 is the maintenance side channel: when
+      non-empty it executes natively before the bound action (the
+      reference ran it on a dedicated maintenance connection);
+    - multi-statement steps split dollar-quote-aware (plans/sqlsplit.py).
+
+    Python steps have no native channel without a wire driver — they are
+    recorded under the ``"skipped_py"`` key, not silently dropped.
+
+    Channel note: psql's CSV rendering collapses SQL NULL to the empty
+    string; the reference's driver yielded Python ``None`` which the
+    placeholder engine rendered as the literal ``'None'`` (packets test
+    for it — alert_int4_capacity's ``'GEN_OBJ_FLD_5' = 'None'``). Gen row
+    fields 1+ map '' -> 'None' for that parity; field 0 (maint) stays raw
+    so empty means no-op.
+
+    Returns ``{step_file_name: [capture, ...]}`` — one psql capture
+    (header + string rows, [] for non-queries) per executed statement.
+    Raises :class:`PgServerError` on the first failing statement, i.e. a
+    clean return IS the layer-5 SUCCESS criterion.
+    """
+    from db_converter_spark.plans.packet import apply_gen_placeholders, parse_packet
+    from db_converter_spark.plans.sqlsplit import split_statements
+
+    pkt = parse_packet(packet_dir, placeholders)
+    captures: "dict[str, list]" = {}
+
+    def _exec(text: str) -> "list[list[list[str]]]":
+        return [server.sql(s, db=db) for s in split_statements(text) if s.strip()]
+
+    if pkt.run_once is not None:
+        captures[pkt.run_once.name] = _exec(pkt.run_once.text)
+
+    gen_cache: "dict[str, list[tuple]]" = {}
+
+    def _gen_rows(sql: str) -> "list[tuple]":
+        rows = server.sql(sql, db=db)[1:]
+        # field 0 (maint) raw; fields 1+ NULL-as-'None' for reference parity
+        return [
+            tuple([r[0]] + [("None" if c == "" else c) for c in r[1:]]) for r in rows
+        ]
+
+    def _bindings(step) -> "list[tuple[str, list[str]]]":
+        if (pkt.gen_obj or pkt.gen_nsp) and not gen_cache:
+            for idx, sql in pkt.gen_obj.items():
+                gen_cache[f"obj:{idx}"] = _gen_rows(sql)
+            for idx, sql in pkt.gen_nsp.items():
+                gen_cache[f"nsp:{idx}"] = _gen_rows(sql)
+        obj_rows = gen_cache.get(f"obj:{step.index}")
+        nsp_rows = gen_cache.get(f"nsp:{step.index}")
+        out: "list[tuple[str, list[str]]]" = []
+        if obj_rows is not None and nsp_rows is not None:
+            for nrow in nsp_rows:
+                for orow in obj_rows:
+                    sql = apply_gen_placeholders(step.text, nrow, "GEN_NSP")
+                    sql = apply_gen_placeholders(sql, orow, "GEN_OBJ")
+                    maints = []
+                    if nrow and nrow[0]:
+                        maints.append(str(nrow[0]))
+                    if orow and orow[0]:
+                        maints.append(apply_gen_placeholders(str(orow[0]), nrow, "GEN_NSP"))
+                    out.append((sql, maints))
+        elif obj_rows is not None:
+            for orow in obj_rows:
+                out.append((
+                    apply_gen_placeholders(step.text, orow, "GEN_OBJ"),
+                    [str(orow[0])] if orow and orow[0] else [],
+                ))
+        elif nsp_rows is not None:
+            for nrow in nsp_rows:
+                out.append((
+                    apply_gen_placeholders(step.text, nrow, "GEN_NSP"),
+                    [str(nrow[0])] if nrow and nrow[0] else [],
+                ))
+        else:
+            out.append((step.text, []))
+        return out
+
+    for step in pkt.steps:
+        if step.kind == "py":
+            captures.setdefault("skipped_py", []).append(step.name)
+            continue
+        caps: list = []
+        for action_sql, maints in _bindings(step):
+            for mc in maints:
+                _exec(mc)
+            caps.extend(_exec(action_sql))
+        captures[step.name] = caps
+    return captures

@@ -312,3 +312,312 @@ def test_reference_selects_column_shape_matches_live_pg(pg_env, pg):
     # glob, a moved reference tree, or a server refusing statements must
     # fail loudly rather than shrink the sweep silently
     assert compared >= 40, f"only {compared} statements executed on live PG"
+
+
+# ---------------------------------------------------------------------------
+# reference test layer 5, LIVE: every alert_*/dba_* packet natively on PG
+# ---------------------------------------------------------------------------
+# The reference's fifth test layer runs every alert/dba observability packet
+# against a live database and requires SUCCESS (reference:
+# tests/test_packets.py:547-583). Until r9 this class ran only against the
+# pg_catalog EMULATION (the ports under packets/ are Spark-dialect by
+# design — Spark-side coverage lives in test_packet_corpus.py); with a real
+# server the native half finally executes: the reference ORIGINALS run
+# server-side through run_packet_native (generators, fan-out, maint channel
+# and dollar-quoted DO blocks included), against a cluster the test first
+# LOADS so pg_stat_* captures are non-trivial — inserts, updates, seq scans,
+# an index, a held transaction and a blocked lock, all made right here.
+
+_REF_PACKETS = Path("/root/reference/packets")
+
+_ALERT_DBA = sorted(
+    p.name
+    for p in _REF_PACKETS.iterdir()
+    if p.is_dir() and (p.name.startswith("alert_") or p.name.startswith("dba_"))
+) if _REF_PACKETS.is_dir() else []
+
+
+@pytest.fixture(scope="module")
+def pg_loaded(pg):
+    """The live cluster with generated load: two user tables in schema
+    ``obs`` (5k and 2k rows — past alert_stat's reltuples>1000 and
+    dba_top_tables' relpages>10 gates), an index, UPDATE churn
+    (n_dead_tup / n_tup_upd), seq scans, and VACUUM ANALYZE so pg_class
+    planner stats and pg_stat timestamps are all populated."""
+    pg.sql("CREATE SCHEMA IF NOT EXISTS obs")
+    pg.sql("DROP TABLE IF EXISTS obs.docs")
+    pg.sql("DROP TABLE IF EXISTS obs.tags")
+    pg.sql("CREATE TABLE obs.docs (id int4 PRIMARY KEY, body text, score float8)")
+    pg.sql(
+        "INSERT INTO obs.docs SELECT g, repeat('x', 40) || g, g / 7.0"
+        " FROM generate_series(1, 5000) g"
+    )
+    pg.sql("CREATE TABLE obs.tags (doc_id int4, tag text)")
+    pg.sql(
+        "INSERT INTO obs.tags SELECT g % 2000 + 1, 'tag_' || (g % 11)"
+        " FROM generate_series(1, 2000) g"
+    )
+    pg.sql("CREATE INDEX tags_doc_idx ON obs.tags (doc_id)")
+    pg.sql("UPDATE obs.docs SET score = score + 1 WHERE id % 5 = 0")  # 20% churn
+    pg.sql("SELECT count(*), max(length(body)) FROM obs.docs")  # seq scan
+    pg.sql("SELECT count(DISTINCT tag) FROM obs.tags")
+    pg.sql("VACUUM ANALYZE obs.docs")
+    pg.sql("VACUUM ANALYZE obs.tags")
+    return pg
+
+
+def test_live_pg_stats_are_nonzero_after_load(pg_loaded):
+    """The premise the emulation routing argued against ('a throwaway
+    cluster shows zeros'): after the fixture's load, the live pg_stat
+    surface is NOT zeros."""
+    rows = pg_loaded.sql(
+        "SELECT relname, n_live_tup, n_dead_tup, n_tup_ins, n_tup_upd, seq_scan"
+        " FROM pg_stat_user_tables WHERE schemaname = 'obs' ORDER BY relname"
+    )
+    stats = {r[0]: [int(x) for x in r[1:]] for r in rows[1:]}
+    assert stats["docs"][0] == 5000  # n_live_tup
+    assert stats["docs"][3] >= 1000  # n_tup_upd: the 20% churn
+    assert stats["docs"][2] == 5000  # n_tup_ins
+    assert stats["docs"][4] >= 1  # seq_scan: the count(*) above
+    assert stats["tags"][0] == 2000
+    # reltuples (planner stats) populated by the VACUUM ANALYZE
+    rel = pg_loaded.sql(
+        "SELECT relname, reltuples::bigint, relpages FROM pg_class c"
+        " JOIN pg_namespace n ON n.oid = c.relnamespace"
+        " WHERE n.nspname = 'obs' AND c.relkind = 'r' ORDER BY relname"
+    )
+    rel = {r[0]: (int(r[1]), int(r[2])) for r in rel[1:]}
+    assert rel["docs"][0] == 5000 and rel["docs"][1] > 10
+    # pg_stat_activity has at least the querying session itself
+    act = pg_loaded.sql("SELECT count(*) FROM pg_stat_activity")
+    assert int(act[1][0]) >= 1
+
+
+def test_all_reference_alert_dba_packets_run_native(pg_loaded):
+    """Layer 5 itself: every reference alert_*/dba_* packet executes
+    natively on the live loaded cluster — run_packet_native raises on the
+    first failing statement, so a clean sweep IS the reference's
+    SUCCESS-for-all criterion. Captures spot-checked non-trivial."""
+    from db_converter_spark.sources.pg_live import run_packet_native
+
+    assert len(_ALERT_DBA) >= 17, _ALERT_DBA  # the full reference class
+    # a database the dba_find_db packet's '%some_db%' pattern will find
+    pg_loaded.sql("DROP DATABASE IF EXISTS probe_some_db_x")
+    pg_loaded.sql("CREATE DATABASE probe_some_db_x")
+
+    caps = {}
+    for name in _ALERT_DBA:
+        caps[name] = run_packet_native(pg_loaded, _REF_PACKETS / name)
+
+    # non-trivial captures (the load made them so):
+    ver = caps["dba_get_version"]["01_step.sql"][0]
+    assert "PostgreSQL 15" in ver[1][0], ver
+    conf = caps["dba_get_conf"]["01_step.sql"][0]
+    # the packet's curated parameter list (autovacuum/checkpoint family)
+    assert len(conf) > 10 and conf[0][0] == "name", conf[:3]
+    top = caps["dba_top_tables"]["01_step.sql"][0]
+    assert any("docs" in r[1] for r in top[1:]), top  # our loaded table
+    found = caps["dba_find_db"]["01_step.sql"][0]
+    assert ["probe_some_db_x"] in found[1:], found
+    xage = caps["dba_xact_age"]["01_step.sql"]
+    # second statement: every database with its frozen-xid age (>0 rows)
+    assert len(xage[1]) > 1 and xage[1][0] == ["datname", "age"], xage
+    diag = caps["dba_idx_diag"]
+    assert sum(1 for k in diag if k.endswith(".sql")) == 10  # all ten steps
+    # every diag step ran both its statements (banner + check query)
+    assert all(len(diag[k]) == 2 for k in diag if k.endswith(".sql")), {
+        k: len(v) for k, v in diag.items()
+    }
+    # step 03 (missing pk/unique) must flag obs.tags — we created it bare
+    assert ["obs", "tags"] in diag["03_step.sql"][1][1:], diag["03_step.sql"]
+
+
+def test_dba_locks_and_long_queries_see_live_contention(pg_loaded):
+    """pg_locks / pg_stat_activity are only non-trivial with real
+    contention — so make some: one session holds ACCESS EXCLUSIVE on
+    obs.docs inside pg_sleep, another blocks behind it; the dba_locks
+    packet must report the blocked/blocker pair and dba_long_queries must
+    see the held transaction."""
+    import subprocess
+    import time
+
+    from db_converter_spark.sources.pg_live import run_packet_native
+
+    psql = [
+        pg_loaded.bins["psql"], "-h", str(pg_loaded.base), "-U", "postgres",
+        "-d", "postgres", "-X", "-q",
+    ]
+    holder = subprocess.Popen(
+        psql + ["-c", "BEGIN; LOCK TABLE obs.docs IN ACCESS EXCLUSIVE MODE;"
+                " SELECT pg_sleep(25);"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    blocked = None
+    try:
+        for _ in range(50):  # wait until the holder owns the lock
+            time.sleep(0.1)
+            got = pg_loaded.sql(
+                "SELECT count(*) FROM pg_locks l JOIN pg_class c ON c.oid = l.relation"
+                " WHERE c.relname = 'docs' AND l.mode = 'AccessExclusiveLock' AND l.granted"
+            )
+            if int(got[1][0]) >= 1:
+                break
+        else:
+            raise AssertionError("holder never acquired the lock")
+        blocked = subprocess.Popen(
+            psql + ["-c", "SELECT count(*) FROM obs.docs;"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for _ in range(50):  # wait until the reader is visibly waiting
+            time.sleep(0.1)
+            got = pg_loaded.sql("SELECT count(*) FROM pg_locks WHERE NOT granted")
+            if int(got[1][0]) >= 1:
+                break
+        else:
+            raise AssertionError("reader never blocked")
+
+        locks = run_packet_native(pg_loaded, _REF_PACKETS / "dba_locks")
+        cap = locks["01_step.sql"][0]
+        assert len(cap) >= 2, cap  # header + at least the one blocked pair
+        hdr = cap[0]
+        assert "blocker_pid" in hdr and "blocked_pid" in hdr
+        row = dict(zip(hdr, cap[1]))
+        assert row["blocker_pid"] != row["blocked_pid"]
+        assert "pg_sleep" in row["blocker_statement"] or "LOCK TABLE" in row["blocker_statement"]
+
+        longq = run_packet_native(pg_loaded, _REF_PACKETS / "dba_long_queries")
+        qcap = longq["01_step.sql"][0]
+        # the sleeping holder (active, in-tx) and/or the blocked reader
+        assert len(qcap) >= 2, qcap
+    finally:
+        pg_loaded.sql(
+            "SELECT pg_terminate_backend(pid) FROM pg_stat_activity"
+            " WHERE pid <> pg_backend_pid() AND (query ILIKE '%pg_sleep%'"
+            " OR query ILIKE '%FROM obs.docs%')"
+        )
+        holder.wait(timeout=10)
+        if blocked is not None:
+            blocked.wait(timeout=10)
+
+
+def test_alert_stat_fires_on_stale_stats(pg_loaded):
+    """alert_stat's contract: report big tables whose vacuum/analyze
+    recency is unknown or stale. pg_stat_reset() nulls the collector
+    timestamps while pg_class.reltuples (planner stats) survives — exactly
+    the 'attention!' branch — so after a reset the loaded tables MUST be
+    reported. Runs LAST in this module's stat lifecycle (it destroys the
+    counters the other tests assert on)."""
+    from db_converter_spark.sources.pg_live import run_packet_native
+
+    pg_loaded.sql("SELECT pg_stat_reset()")
+    caps = run_packet_native(pg_loaded, _REF_PACKETS / "alert_stat")
+    cap = caps["01_step.sql"][0]
+    names = [r[1] for r in cap[1:]]
+    assert "docs" in names and "tags" in names, cap
+
+
+def test_alert_check_autovacuum_raises_when_disabled(pg_loaded):
+    """The autovacuum alert both ways: silent on a healthy cluster, and the
+    RAISE fires (the reference's alert channel) once a table disables
+    autovacuum."""
+    from db_converter_spark.sources.pg_live import PgServerError, run_packet_native
+
+    run_packet_native(pg_loaded, _REF_PACKETS / "alert_check_autovacuum")  # healthy: no raise
+
+    pg_loaded.sql("ALTER TABLE obs.tags SET (autovacuum_enabled = false)")
+    try:
+        with pytest.raises(PgServerError, match="autovacuum_enabled=false"):
+            run_packet_native(pg_loaded, _REF_PACKETS / "alert_check_autovacuum")
+    finally:
+        pg_loaded.sql("ALTER TABLE obs.tags RESET (autovacuum_enabled)")
+
+
+def test_catalog_emulation_matches_live_catalog_for_same_objects(spark, pg_loaded):
+    """The cross-check the emulation routing owed (r9 VERDICT Next #1):
+    mirror the SAME logical tables into a Spark database, and the
+    engine's pg_catalog emulation must agree with the LIVE catalog on the
+    object inventory (relname set), the column inventory (names, ordinal
+    order) and the table statistics surface (n_live_tup per table — the
+    emulation derives it from storage, live PG from the stats collector;
+    same data, same number)."""
+    from db_converter_spark.catalog import create_information_schema_views
+    from db_converter_spark.pg_catalog import create_pg_catalog_views
+
+    # repopulate the collector's n_live_tup — alert_stat's test resets the
+    # stats, and this test must not depend on running before it
+    pg_loaded.sql("VACUUM ANALYZE obs.docs")
+    pg_loaded.sql("VACUUM ANALYZE obs.tags")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS obs")
+    spark.sql("DROP TABLE IF EXISTS obs.docs")
+    spark.sql("DROP TABLE IF EXISTS obs.tags")
+    spark.sql("CREATE TABLE obs.docs (id int, body string, score double) USING parquet")
+    spark.sql("CREATE TABLE obs.tags (doc_id int, tag string) USING parquet")
+    try:
+        spark.sql(
+            "INSERT INTO obs.docs SELECT id, concat(repeat('x', 40), id), id / 7.0"
+            " FROM range(1, 5001) t(id)"
+        )
+        spark.sql(
+            "INSERT INTO obs.tags SELECT CAST(id % 2000 + 1 AS INT),"
+            " concat('tag_', id % 11) FROM range(1, 2001) t(id)"
+        )
+        # the Spark-side analog of the fixture's VACUUM ANALYZE: catalog
+        # statistics feed the emulation's reltuples/n_live_tup exactly as
+        # the stats collector feeds live PG's
+        spark.sql("ANALYZE TABLE obs.docs COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE obs.tags COMPUTE STATISTICS")
+        create_pg_catalog_views(spark, dbs=["obs"])
+
+        # object inventory: same relnames for relkind='r' in schema obs
+        live = pg_loaded.sql(
+            "SELECT c.relname FROM pg_class c JOIN pg_namespace n"
+            " ON n.oid = c.relnamespace WHERE n.nspname = 'obs'"
+            " AND c.relkind = 'r' ORDER BY 1"
+        )
+        emu = spark.sql(
+            "SELECT c.relname FROM pg_class c JOIN pg_namespace n"
+            " ON n.oid = c.relnamespace WHERE n.nspname = 'obs'"
+            " AND c.relkind = 'r' ORDER BY 1"
+        ).collect()
+        assert [r[0] for r in live[1:]] == [r[0] for r in emu] == ["docs", "tags"]
+
+        # column inventory through information_schema on both sides — the
+        # Spark side goes through the SAME rewriter path packets use (it
+        # maps information_schema.columns onto the emulation view)
+        from db_converter_spark.plans.pgdialect import rewrite
+
+        create_information_schema_views(spark, "obs")
+        for t in ("docs", "tags"):
+            live_cols = [c for c, _ in pg_loaded.columns(t)]
+            emu_cols = [
+                r[0]
+                for r in spark.sql(
+                    rewrite(
+                        "SELECT column_name FROM information_schema.columns"
+                        f" WHERE table_name = '{t}' ORDER BY ordinal_position"
+                    )
+                ).collect()
+            ]
+            assert emu_cols == live_cols, (t, emu_cols, live_cols)
+
+        # statistics surface: n_live_tup per table, emulation vs collector
+        live_tup = {
+            r[0]: int(r[1])
+            for r in pg_loaded.sql(
+                "SELECT relname, n_live_tup FROM pg_stat_user_tables"
+                " WHERE schemaname = 'obs' ORDER BY relname"
+            )[1:]
+        }
+        emu_tup = {
+            r[0]: r[1]
+            for r in spark.sql(
+                "SELECT relname, n_live_tup FROM pg_stat_all_tables"
+                " WHERE schemaname = 'obs' ORDER BY relname"
+            ).collect()
+        }
+        assert emu_tup == live_tup == {"docs": 5000, "tags": 2000}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS obs.docs")
+        spark.sql("DROP TABLE IF EXISTS obs.tags")
+        spark.sql("DROP DATABASE IF EXISTS obs")

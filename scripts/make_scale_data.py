@@ -21,6 +21,19 @@ Replication rules (replica i ∈ 0..9; i=0 is the original rows verbatim):
 Deterministic: pure SQL over the source parquet, no randomness.
 Output is parquet with DuckDB's defaults (us timestamps — the catalog's
 footer sniff handles either unit).
+
+Memory model (r10 rework — the r9 1000-rep lineitem attempt was killed
+at 90 GB RSS): every arithmetic-offset table now generates through ONE
+streaming query — ``source CROSS JOIN range(N) AS i`` with the key
+offsets computed from ``i`` — instead of an N-way UNION ALL, and the
+COPY runs with ``preserve_insertion_order=false`` so DuckDB streams
+straight to the parquet writer instead of materializing the whole result
+to preserve input order. Content is byte-identical deterministic; row
+ORDER within the file is not (no consumer reads these files
+order-sensitively — every probe/test aggregates or joins). ``documents``
+keeps the per-replica UNION (its text transform indexes a Python
+permutation table, documented unique up to 1000 replicas) but streams
+through the same unordered COPY.
 """
 
 from __future__ import annotations
@@ -66,56 +79,52 @@ def _translate_expr(i: int) -> str:
 M = 1_000_000
 B = 10_000_000
 
+# arithmetic-offset tables: SELECT-list template over (source CROSS JOIN
+# range(N) r(i)) — ONE streaming query per table regardless of replica
+# count (the r10 fix: an N-way UNION ALL under preserve_insertion_order
+# was materialized whole by the COPY; the 1000-rep lineitem died at
+# 90 GB RSS)
+_STREAM_COLS = {
+    "customer": f"c_custkey + i * {M} AS c_custkey, c_name, c_nationkey,"
+                " c_acctbal, c_mktsegment",
+    "supplier": f"s_suppkey + i * {M} AS s_suppkey, s_name, s_nationkey,"
+                " s_acctbal",
+    "part": f"p_partkey + i * {M} AS p_partkey, p_name, p_brand,"
+            " p_type, p_size, p_retailprice",
+    "orders": f"o_orderkey + i * {B} AS o_orderkey,"
+              f" o_custkey + i * {M} AS o_custkey, o_orderstatus,"
+              " o_totalprice, o_orderdate, o_orderpriority",
+    "lineitem": f"l_orderkey + i * {B} AS l_orderkey,"
+                f" l_partkey + i * {M} AS l_partkey,"
+                f" l_suppkey + i * {M} AS l_suppkey, l_linenumber,"
+                " l_quantity, l_extendedprice, l_discount, l_tax,"
+                " l_returnflag, l_linestatus, l_shipdate",
+    "events": f"event_id + i * {B} AS event_id, ts,"
+              f" user_id + i * {M} AS user_id, event_type, value, props",
+    "embeddings": f"vec_id + i * {M} AS vec_id, embedding, label",
+}
 
-def replica_select(table: str, i: int) -> str:
+
+def table_select(table: str, n_rep: int) -> str:
+    """ONE streaming SELECT producing all replicas of a table. Arithmetic
+    tables cross-join the replica index; documents (whose text transform
+    indexes the Python permutation tables above) keeps the per-replica
+    UNION — its replica counts stay <= 1000 by the uniqueness bound."""
     src = f"read_parquet('{SRC}/{table}.parquet')"
     if table in ("region", "nation"):
-        return f"SELECT * FROM {src}" if i == 0 else ""
-    if table == "customer":
+        return f"SELECT * FROM {src}"
+    if table in _STREAM_COLS:
         return (
-            f"SELECT c_custkey + {i * M} AS c_custkey, c_name, c_nationkey,"
-            f" c_acctbal, c_mktsegment FROM {src}"
-        )
-    if table == "supplier":
-        return (
-            f"SELECT s_suppkey + {i * M} AS s_suppkey, s_name, s_nationkey,"
-            f" s_acctbal FROM {src}"
-        )
-    if table == "part":
-        return (
-            f"SELECT p_partkey + {i * M} AS p_partkey, p_name, p_brand,"
-            f" p_type, p_size, p_retailprice FROM {src}"
-        )
-    if table == "orders":
-        return (
-            f"SELECT o_orderkey + {i * B} AS o_orderkey,"
-            f" o_custkey + {i * M} AS o_custkey, o_orderstatus, o_totalprice,"
-            f" o_orderdate, o_orderpriority FROM {src}"
-        )
-    if table == "lineitem":
-        return (
-            f"SELECT l_orderkey + {i * B} AS l_orderkey,"
-            f" l_partkey + {i * M} AS l_partkey,"
-            f" l_suppkey + {i * M} AS l_suppkey, l_linenumber, l_quantity,"
-            f" l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
-            f" l_shipdate FROM {src}"
-        )
-    if table == "events":
-        return (
-            f"SELECT event_id + {i * B} AS event_id, ts,"
-            f" user_id + {i * M} AS user_id, event_type, value, props"
-            f" FROM {src}"
+            f"SELECT {_STREAM_COLS[table]} FROM {src}"
+            f" CROSS JOIN (SELECT unnest(range({n_rep})) AS i) r"
         )
     if table == "documents":
-        tr = _translate_expr(i)
-        return (
-            f"SELECT doc_id + {i * M} AS doc_id, {tr} AS text, lang, source,"
-            f" n_chars FROM {src}"
-        )
-    if table == "embeddings":
-        return (
-            f"SELECT vec_id + {i * M} AS vec_id, embedding, label FROM {src}"
-        )
+        selects = [
+            f"SELECT doc_id + {i * M} AS doc_id, {_translate_expr(i)} AS text,"
+            f" lang, source, n_chars FROM {src}"
+            for i in range(n_rep)
+        ]
+        return " UNION ALL ".join(selects)
     raise ValueError(table)
 
 
@@ -136,18 +145,22 @@ def main() -> int:
     dst.mkdir(parents=True, exist_ok=True)
     only = {t for t in args.tables.split(",") if t}
     con = duckdb.connect()
-    # a 1000-replica UNION ALL exceeds the default parser depth
+    # a 1000-replica documents UNION ALL exceeds the default parser depth
     con.execute("SET max_expression_depth TO 10000")
+    # stream to the writer; do NOT materialize the result to preserve input
+    # order (the r9 OOM: 1000-rep lineitem killed at 90 GB RSS). Content is
+    # deterministic; row order within the file is not — no consumer reads
+    # these files order-sensitively.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '12GB'")
     for t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ):
         if only and t not in only:
             continue
-        selects = [s for i in range(N_REP) if (s := replica_select(t, i))]
-        union = " UNION ALL ".join(selects)
         out = dst / f"{t}.parquet"
-        con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
+        con.execute(f"COPY ({table_select(t, N_REP)}) TO '{out}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{t}: {n} rows -> {out}")
     con.close()

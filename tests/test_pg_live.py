@@ -621,3 +621,112 @@ def test_catalog_emulation_matches_live_catalog_for_same_objects(spark, pg_loade
         spark.sql("DROP TABLE IF EXISTS obs.docs")
         spark.sql("DROP TABLE IF EXISTS obs.tags")
         spark.sql("DROP DATABASE IF EXISTS obs")
+
+
+def test_reference_select_values_match_emulation_on_mirrored_objects(spark, pg):
+    """Value-level parity for the emulatable reference SELECT subset (r9
+    VERDICT Next #7): mirror the SAME pk-less tables into a PG schema and
+    a Spark database both named ``vp``, then execute enumerated reference
+    observability statements NATIVELY on live PG and as ``pg_rewrite``
+    output over the catalog emulation — and compare VALUES cell-wise on
+    the columns both sides can know, with volatile cells (sizes,
+    timestamps, MVCC counters) masked by projection and result rows
+    filtered to the mirrored schema. Subset: dba_find_db (pg_database),
+    dba_idx_diag/03 (pk-less inventory via pg_index), dba_top_tables
+    (pg_class relpages gate + stats join), alert_stat (stale-stats branch
+    after pg_stat_reset; reltuples from Spark ANALYZE vs PG VACUUM)."""
+    from db_converter_spark.functions import register_pg_compat
+    from db_converter_spark.pg_catalog import (
+        create_pg_catalog_views,
+        create_pg_instance_views,
+    )
+    from db_converter_spark.plans.pgdialect import rewrite
+    from db_converter_spark.plans.sqlsplit import split_statements
+
+    def _ref_stmt(rel: str) -> str:
+        """Last query statement of a reference packet step (banner selects
+        precede the check query in dba_idx_diag steps)."""
+        text = (_REF_PACKETS / rel).read_text()
+        return [s for s in split_statements(text) if s.strip()][-1]
+
+    def _compare(rel: str, keep: "list[str]", schema_col: "str | None") -> None:
+        stmt = _ref_stmt(rel)
+        cap = pg.sql(stmt)
+        hdr = [c.lower() for c in cap[0]] if cap else []
+        pg_rows = [dict(zip(hdr, r)) for r in cap[1:]]
+        sdf = spark.sql(rewrite(stmt))
+        sp_rows = [
+            {k.lower(): v for k, v in r.asDict().items()} for r in sdf.collect()
+        ]
+        if schema_col:
+            pg_rows = [r for r in pg_rows if r[schema_col] == "vp"]
+            sp_rows = [r for r in sp_rows if r[schema_col] == "vp"]
+        pg_proj = sorted([str(r[c]) for c in keep] for r in pg_rows)
+        sp_proj = sorted([_norm_cell(r[c]) for c in keep] for r in sp_rows)
+        assert pg_proj == sp_proj and pg_proj, (rel, pg_proj, sp_proj)
+
+    # live side: pk-less mirrored schema, loaded + VACUUM ANALYZE'd
+    pg.sql("DROP SCHEMA IF EXISTS vp CASCADE")
+    pg.sql("CREATE SCHEMA vp")
+    pg.sql("CREATE TABLE vp.vpa (id int4, body text)")
+    pg.sql(
+        "INSERT INTO vp.vpa SELECT g, md5(g::text) FROM generate_series(1, 20000) g"
+    )
+    pg.sql("CREATE TABLE vp.vpb (id int4, tag text)")
+    # md5 entropy on BOTH mirror tables: parquet compresses repetitive
+    # text below the dba_top_tables relpages>10 gate (8192-byte pages)
+    pg.sql(
+        "INSERT INTO vp.vpb SELECT g, 'tag_' || md5(g::text)"
+        " FROM generate_series(1, 3000) g"
+    )
+    pg.sql("VACUUM ANALYZE vp.vpa")
+    pg.sql("VACUUM ANALYZE vp.vpb")
+    pg.sql("DROP DATABASE IF EXISTS probe_some_db_x")  # the sweep test's probe
+    pg.sql("DROP DATABASE IF EXISTS vparity_some_db_probe")
+    pg.sql("CREATE DATABASE vparity_some_db_probe")
+
+    # Spark side: the same objects, ANALYZE'd, emulation views rebuilt
+    register_pg_compat(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS vp")
+    spark.sql("CREATE DATABASE IF NOT EXISTS vparity_some_db_probe")
+    spark.sql("DROP TABLE IF EXISTS vp.vpa")
+    spark.sql("DROP TABLE IF EXISTS vp.vpb")
+    spark.sql("CREATE TABLE vp.vpa (id int, body string) USING parquet")
+    spark.sql("CREATE TABLE vp.vpb (id int, tag string) USING parquet")
+    try:
+        spark.sql(
+            "INSERT INTO vp.vpa SELECT CAST(id AS INT), md5(CAST(id AS STRING))"
+            " FROM range(1, 20001) t(id)"
+        )
+        spark.sql(
+            "INSERT INTO vp.vpb SELECT CAST(id AS INT),"
+            " concat('tag_', md5(CAST(id AS STRING))) FROM range(1, 3001) t(id)"
+        )
+        spark.sql("ANALYZE TABLE vp.vpa COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE vp.vpb COMPUTE STATISTICS")
+        create_pg_catalog_views(spark, dbs=["vp"])
+        create_pg_instance_views(spark)
+
+        # pg_database inventory: the '%some_db%' probe finds the SAME name
+        _compare("dba_find_db/01_step.sql", ["datname"], None)
+        # pk-less inventory: both sides list exactly vpa and vpb
+        _compare("dba_idx_diag/03_step.sql", ["nspname", "tbl_name"], "nspname")
+        # top tables: identity + live-tuple counts agree (sizes masked —
+        # parquet bytes are not heap bytes; both pass the relpages>10 gate)
+        _compare(
+            "dba_top_tables/01_step.sql",
+            ["nspname", "relname", "n_live_tup"],
+            "nspname",
+        )
+        # stale-stats alert: reset nulls the live collector timestamps =
+        # the emulation's steady state; reltuples (PG VACUUM vs Spark
+        # ANALYZE) must agree exactly
+        pg.sql("SELECT pg_stat_reset()")
+        _compare(
+            "alert_stat/01_step.sql", ["nspname", "relname", "reltuples"], "nspname"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vp.vpa")
+        spark.sql("DROP TABLE IF EXISTS vp.vpb")
+        spark.sql("DROP DATABASE IF EXISTS vp")
+        spark.sql("DROP DATABASE IF EXISTS vparity_some_db_probe")

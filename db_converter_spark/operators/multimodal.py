@@ -144,17 +144,19 @@ def decode_image_real(payload: bytes) -> dict | None:
 
 def decode_image(payload: bytes) -> dict:
     """Codec slot-in point, tried in order: PIL (any format, when
-    installed) → the pure-stdlib PNG codec (functions/png.py — REAL
-    metadata for PNG payloads, no dependency) → deterministic stub (the
-    synthetic corpus's text-bytes payloads land here, keeping their
-    oracle rows)."""
+    installed) → the pure-stdlib PNG codec (functions/png.py) → the
+    pure-Python baseline JPEG codec (functions/jpeg.py, r10 — REAL
+    metadata/pixels for JPEG payloads, no dependency) → deterministic
+    stub (the synthetic corpus's text-bytes payloads land here, keeping
+    their oracle rows)."""
     if _pil_available():
         meta = decode_image_real(payload)
         if meta is not None:
             return meta
+    from db_converter_spark.functions.jpeg import jpeg_meta
     from db_converter_spark.functions.png import png_meta
 
-    meta = png_meta(payload)
+    meta = png_meta(payload) or jpeg_meta(payload)
     if meta is not None:
         return {k: meta[k] for k in ("width", "height", "n_frames", "format")}
     return decode_image_stub(payload)
@@ -364,14 +366,37 @@ def resize_png_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None
     return w, h, dst_w, dst_h, resized
 
 
+def resize_jpeg_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Real fit-within-224 resample for baseline-JPEG payloads via the
+    pure-Python codec (functions/jpeg.py, nearest-neighbor, re-encoded
+    baseline 4:4:4) — same contract as :func:`resize_stub`; None for
+    non-JPEG/unsupported payloads."""
+    from db_converter_spark.functions.jpeg import jpeg_meta, jpeg_resize
+
+    meta = jpeg_meta(payload)
+    if meta is None:
+        return None
+    w, h = meta["width"], meta["height"]
+    m = max(w, h)
+    if m > _RESIZE_BOX:
+        dst_w, dst_h = max(1, (w * _RESIZE_BOX) // m), max(1, (h * _RESIZE_BOX) // m)
+    else:
+        dst_w, dst_h = w, h
+    resized = jpeg_resize(payload, dst_w, dst_h)
+    if resized is None:
+        return None
+    return w, h, dst_w, dst_h, resized
+
+
 def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Codec slot-in point, tried in order: PIL → pure-stdlib PNG
-    resampler → deterministic stub (see :func:`decode_image`)."""
+    resampler → pure-Python baseline-JPEG resampler (r10) →
+    deterministic stub (see :func:`decode_image`)."""
     if _pil_available():
         out = resize_real(payload)
         if out is not None:
             return out
-    out = resize_png_stdlib(payload)
+    out = resize_png_stdlib(payload) or resize_jpeg_stdlib(payload)
     if out is not None:
         return out
     return resize_stub(payload)

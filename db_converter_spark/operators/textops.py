@@ -1251,6 +1251,52 @@ JOIN {kv} d ON o.doc_id = d.doc_id AND o.gh = d.gh
 LATERAL VIEW explode(sequence(0, {n} - 1)) t AS k
 """
 
+# ---- r10 staged TOPN (n<=4), same two-phase discipline ----
+# After the covn rework the remaining disk hog was the n=2..4 top-gram
+# passes: their exchange shipped every occurrence row WITH its gram TEXT
+# (2-4 words) just to count it. Phase A below counts on (doc, gh) hashes
+# through ONE doc-partitioned exchange of 16-byte pairs — the per-(doc,
+# gram) count is a RANGE-frame peer count over ORDER BY gh, the per-doc
+# max and the first-of-run dedup (LAG) ride the SAME sort, so no second
+# exchange — keeping only the max-count gram hash(es) per doc. Phase B
+# re-explodes map-side, broadcast-joins the candidates, and resolves the
+# exact (cnt DESC, gram) tie-break on the surviving rows: all candidates
+# tie at max count, so the winner is MIN(gram) — a candidates-only
+# window after a candidates-only exchange. Identical output to the
+# single-pass shape (pinned by the forced-staged fixture test + oracle).
+_TA13_TOPKEYS_SPARK = """
+SELECT doc_id, gh, cnt FROM (
+  SELECT doc_id, gh, cnt,
+         MAX(cnt) OVER (PARTITION BY doc_id) AS mx,
+         LAG(gh) OVER (PARTITION BY doc_id ORDER BY gh) AS prev
+  FROM (
+    SELECT doc_id, gh,
+           COUNT(*) OVER (PARTITION BY doc_id ORDER BY gh
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS cnt
+    FROM (SELECT doc_id,
+                 xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh
+          FROM (SELECT doc_id, w, n_words FROM ta13_docs
+                WHERE n_words >= {n}{shard}) d
+          LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+  ) c
+) r WHERE cnt = mx AND (prev IS NULL OR prev <> gh)
+"""
+
+_TA13_TOPN_FROM_KEYS_SPARK = """
+SELECT doc_id, {n} AS n, cnt, gram, rn FROM (
+  SELECT /*+ BROADCAST(d) */
+         o.doc_id, d.cnt, o.gram,
+         ROW_NUMBER() OVER (PARTITION BY o.doc_id ORDER BY o.gram) AS rn
+  FROM (SELECT doc_id,
+               array_join(slice(w, pos + 1, {n}), ' ') AS gram,
+               xxhash64(array_join(slice(w, pos + 1, {n}), ' '), {n}) AS gh
+        FROM (SELECT doc_id, w, n_words FROM ta13_docs
+              WHERE n_words >= {n}{shard}) dd
+        LATERAL VIEW explode(sequence(0, n_words - {n})) t AS pos) o
+  JOIN {kv} d ON o.doc_id = d.doc_id AND o.gh = d.gh
+) r WHERE rn = 1
+"""
+
 # the tail consumes only the three checkpointed relations: the doc x n
 # domain, the per-(doc, n) top-1 rows and the duplicated-position union —
 # every join is doc-keyed, the rollup domain is (source, n, rule), and
@@ -1324,7 +1370,7 @@ _TA13_STAGED_DOC_THRESHOLD = 100_000
 # worked, the 74 GB scratch disk didn't; SCALE_PROBE_R9 third attempt
 # died on ENOSPC, not memory). A gc_drain between sub-passes lets the
 # ContextCleaner delete each completed sub-pass's shuffle files.
-_TA13_DOCS_PER_SHARD = 1_000_000
+_TA13_DOCS_PER_SHARD = 500_000  # r10: halved — smaller sorts spill less
 # Phase-B broadcast ceiling: dup keys above this row count (per sub-pass)
 # fall back to the r9 single-pass wide shape — 20M (doc_id, gh, cnt) rows
 # is ~500 MB hashed, the edge of sane executor broadcast.
@@ -1393,28 +1439,45 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
             parts = [spark.sql(q) for q in sqls]
         _publish(parts, view)
 
-    _ckpt_union([q for n in (2, 3, 4) for q in _fmt(_TA13_TOPN_SPARK, n)], "ta13_top")
-
-    if staged:
-        # two-phase sub-passes (see the r10 note above _TA13_DUPKEYS_SPARK):
-        # narrow dup-key exchange, then a shuffle-free broadcast re-explode
+    def _two_phase(
+        ns: "range | tuple", keys_tpl: str, from_keys_tpl: str,
+        fallback_tpl: str, view: str,
+    ) -> None:
+        """Staged two-phase sub-passes (the r10 notes above
+        _TA13_DUPKEYS_SPARK / _TA13_TOPKEYS_SPARK): a narrow key-count
+        exchange, then a shuffle-free broadcast re-explode; per-sub-pass
+        fallback to the single-pass shape when the keys outgrow a sane
+        broadcast."""
         parts = []
-        for n in range(5, 11):
+        for n in ns:
             for si, sh in enumerate(shard_preds):
                 dk = spark.sql(
-                    _TA13_DUPKEYS_SPARK.format(n=n, shard=sh)
+                    keys_tpl.format(n=n, shard=sh)
                 ).localCheckpoint(eager=True)
-                kv = f"ta13_dk_{n}_{si}"
+                kv = f"ta13_k_{view}_{n}_{si}"
                 dk.createOrReplaceTempView(kv)
                 if dk.count() <= _TA13_DUP_BROADCAST_ROWS:
-                    q = _TA13_COVN_FROM_KEYS_SPARK.format(n=n, shard=sh, kv=kv)
+                    q = from_keys_tpl.format(n=n, shard=sh, kv=kv)
                 else:  # pathological corpus: keys not broadcastable
-                    q = _TA13_COVN_SPARK.format(n=n, shard=sh)
+                    q = fallback_tpl.format(n=n, shard=sh)
                 parts.append(spark.sql(q).localCheckpoint(eager=True))
                 spark.catalog.dropTempView(kv)
                 _drain()
-        _publish(parts, "ta13_covered")
+        _publish(parts, view)
+
+    if staged:
+        _two_phase(
+            (2, 3, 4), _TA13_TOPKEYS_SPARK, _TA13_TOPN_FROM_KEYS_SPARK,
+            _TA13_TOPN_SPARK, "ta13_top",
+        )
+        _two_phase(
+            range(5, 11), _TA13_DUPKEYS_SPARK, _TA13_COVN_FROM_KEYS_SPARK,
+            _TA13_COVN_SPARK, "ta13_covered",
+        )
     else:
+        _ckpt_union(
+            [q for n in (2, 3, 4) for q in _fmt(_TA13_TOPN_SPARK, n)], "ta13_top"
+        )
         _ckpt_union(
             [q for n in range(5, 11) for q in _fmt(_TA13_COVN_SPARK, n)],
             "ta13_covered",

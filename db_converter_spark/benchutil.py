@@ -113,9 +113,15 @@ def build_compact_line(
     re-measured values are already IN ``timings``; the line only needs to
     record WHO got the post-drain verdict.
     """
-    def _fmt(v: float, decimals: int):
+    def _fmt(v: float, decimals):
         # above 100 s the fraction is measurement noise; an int is 2 chars
-        # shorter than e.g. "103.0" and keeps the worst case bounded
+        # shorter than e.g. "103.0" and keeps the worst case bounded.
+        # "mixed" keeps 2 decimals ONLY under 1 s — that is where 0.1 s
+        # quantization destroys regression checks (the r9 verdict's q31
+        # example: 0.20 recorded vs a 0.05 floor reads as 4x from noise)
+        # while costing ~1 char for only the sub-second entries.
+        if decimals == "mixed":
+            decimals = 2 if v < 1 else 1
         r = round(v, decimals)
         return int(round(v)) if r >= 100 else r
 
@@ -128,7 +134,13 @@ def build_compact_line(
     line = ""
     for decimals, with_med_hot, with_resampled, minimal in (
         (2, True, True, False),
-        (1, True, True, False),
+        ("mixed", True, True, False),
+        ("mixed", False, True, False),
+        # sub-second precision OUTRANKS the resampled name list (which is
+        # recoverable from the committed bench_verbose_last.json): at the
+        # live registry size the mixed line misses the window by ~20
+        # chars with names and fits comfortably without them
+        ("mixed", False, False, False),
         (1, False, True, False),
         (1, False, False, False),
         (1, False, False, True),

@@ -1465,7 +1465,15 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
                 _drain()
         _publish(parts, view)
 
-    if staged:
+    # Two-phase only where disk is the binding constraint: multi-shard
+    # corpora (> _TA13_DOCS_PER_SHARD docs). A single-shard staged corpus
+    # (sf10-class, 500k long docs) spilled ~0-1 GB in the single-pass
+    # shape — there the double explode is pure wall cost (measured
+    # 117.5 -> 160.6 s before this gate, SCALE_PROBE_R10 history in
+    # BASELINE.md); at the decade (10 shards) the two-phase cut disk
+    # spill 86 -> 13.5 GB. The forced-staged fixture test exercises the
+    # two-phase path by monkeypatching the shard size to 1 doc.
+    if staged and shards > 1:
         _two_phase(
             (2, 3, 4), _TA13_TOPKEYS_SPARK, _TA13_TOPN_FROM_KEYS_SPARK,
             _TA13_TOPN_SPARK, "ta13_top",

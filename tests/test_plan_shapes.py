@@ -972,3 +972,51 @@ def test_dq08_no_corpus_checkpoints_tail_single_scan(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_ta13_two_phase_staged_templates(spark):
+    """The r10 staged sub-pass shapes (PLANS.md ta13 two-phase entry),
+    pinned on the TEMPLATES directly (the staged runner executes them
+    eagerly, so the builder path can't expose them lazily):
+
+    - phase A (both families) exchanges NARROW key rows and never
+      broadcast-joins anything — one Exchange, no join nodes at all;
+    - phase B joins the re-exploded occurrences against the candidate
+      keys with a BroadcastHashJoin — never a shuffle join."""
+    from db_converter_spark.operators.textops import (
+        _TA13_COVN_FROM_KEYS_SPARK,
+        _TA13_DOCS_SPARK,
+        _TA13_DUPKEYS_SPARK,
+        _TA13_TOPKEYS_SPARK,
+        _TA13_TOPN_FROM_KEYS_SPARK,
+    )
+
+    spark.createDataFrame(
+        [(1, "s", "a b c d e f g h i j k l"), (2, "s", "a b a b a b a b a b")],
+        "doc_id LONG, source STRING, text STRING",
+    ).createOrReplaceTempView("documents")
+    spark.sql(_TA13_DOCS_SPARK).createOrReplaceTempView("ta13_docs")
+    try:
+        for tpl, n in ((_TA13_TOPKEYS_SPARK, 2), (_TA13_DUPKEYS_SPARK, 5)):
+            df = spark.sql(tpl.format(n=n, shard=""))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for join in ("SortMergeJoin", "BroadcastHashJoin",
+                         "ShuffledHashJoin", "CartesianProduct"):
+                assert join not in plan, (n, plan)
+            assert plan.count("Exchange hashpartitioning") == 1, (n, plan)
+
+        spark.sql("SELECT doc_id, CAST(xxhash64('x') AS BIGINT) AS gh,"
+                  " 2 AS cnt FROM ta13_docs"
+                  ).createOrReplaceTempView("ta13_k_pin")
+        for tpl, n in (
+            (_TA13_TOPN_FROM_KEYS_SPARK, 2),
+            (_TA13_COVN_FROM_KEYS_SPARK, 5),
+        ):
+            df = spark.sql(tpl.format(n=n, shard="", kv="ta13_k_pin"))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, (n, plan)
+            assert "SortMergeJoin" not in plan, (n, plan)
+            assert "ShuffledHashJoin" not in plan, (n, plan)
+    finally:
+        spark.catalog.dropTempView("ta13_k_pin")
+        spark.catalog.dropTempView("ta13_docs")

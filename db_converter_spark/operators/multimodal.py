@@ -153,10 +153,11 @@ def decode_image(payload: bytes) -> dict:
         meta = decode_image_real(payload)
         if meta is not None:
             return meta
+    from db_converter_spark.functions.gif import gif_meta
     from db_converter_spark.functions.jpeg import jpeg_meta
     from db_converter_spark.functions.png import png_meta
 
-    meta = png_meta(payload) or jpeg_meta(payload)
+    meta = png_meta(payload) or jpeg_meta(payload) or gif_meta(payload)
     if meta is not None:
         return {k: meta[k] for k in ("width", "height", "n_frames", "format")}
     return decode_image_stub(payload)
@@ -237,11 +238,28 @@ def sample_frames_stub(payload: bytes) -> tuple[int, int, bytes]:
     return len(frames), len(sampled), b"".join(sampled)
 
 
+def sample_frames(payload: bytes) -> tuple[int, int, bytes]:
+    """Codec slot-in point for frame sampling: an ANIMATED-capable real
+    decoder first — GIF via the pure-stdlib codec (functions/gif.py, r10:
+    n_frames is the real image count and every {stride}-th frame's
+    decoded RGB bytes are kept, concatenated) — then the deterministic
+    16-byte-frame stub (the synthetic corpus's text payloads land there,
+    keeping their oracle rows). A video container (mp4/webm) would slot
+    in exactly here when an ffmpeg/pyav gate opens."""
+    from db_converter_spark.functions.gif import gif_frames
+
+    frames = gif_frames(payload)
+    if frames is not None:
+        kept = frames[::_FRAME_STRIDE]
+        return len(frames), len(kept), b"".join(f[4] for f in kept)
+    return sample_frames_stub(payload)
+
+
 def _sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import hashlib
 
     for pdf in batches:
-        out = pdf["payload"].map(lambda b: sample_frames_stub(bytes(b)))
+        out = pdf["payload"].map(lambda b: sample_frames(bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -388,15 +406,40 @@ def resize_jpeg_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | Non
     return w, h, dst_w, dst_h, resized
 
 
+def resize_gif_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Real fit-within-224 resample for GIF payloads via the pure-stdlib
+    codec (functions/gif.py — nearest-neighbor on palette indices, no
+    re-quantization); None for non-GIF/unsupported payloads."""
+    from db_converter_spark.functions.gif import gif_meta, gif_resize
+
+    meta = gif_meta(payload)
+    if meta is None:
+        return None
+    w, h = meta["width"], meta["height"]
+    m = max(w, h)
+    if m > _RESIZE_BOX:
+        dst_w, dst_h = max(1, (w * _RESIZE_BOX) // m), max(1, (h * _RESIZE_BOX) // m)
+    else:
+        dst_w, dst_h = w, h
+    resized = gif_resize(payload, dst_w, dst_h)
+    if resized is None:
+        return None
+    return w, h, dst_w, dst_h, resized
+
+
 def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Codec slot-in point, tried in order: PIL → pure-stdlib PNG
-    resampler → pure-Python baseline-JPEG resampler (r10) →
-    deterministic stub (see :func:`decode_image`)."""
+    resampler → pure-Python baseline-JPEG resampler (r10) → pure-stdlib
+    GIF resampler (r10) → deterministic stub (see :func:`decode_image`)."""
     if _pil_available():
         out = resize_real(payload)
         if out is not None:
             return out
-    out = resize_png_stdlib(payload) or resize_jpeg_stdlib(payload)
+    out = (
+        resize_png_stdlib(payload)
+        or resize_jpeg_stdlib(payload)
+        or resize_gif_stdlib(payload)
+    )
     if out is not None:
         return out
     return resize_stub(payload)

@@ -35,18 +35,26 @@ _SIGS = (b"GIF87a", b"GIF89a")
 
 
 def _skip_subblocks(data: bytes, i: int) -> int:
+    """Advance past data sub-blocks; returns the index after the 0
+    terminator, or -1 when the stream ends before the terminator (a
+    truncated block)."""
     while i < len(data):
         n = data[i]
         i += 1
         if n == 0:
             return i
         i += n
-    return i
+    return -1
 
 
 def _walk(data: bytes):
-    """Yield ('img', descriptor_offset) / ('ext', label, offset) blocks;
-    stops at the trailer. Raises IndexError on truncation (callers catch)."""
+    """Yield ('img', 0, descriptor_offset) / ('ext', label, offset) blocks;
+    stops at the trailer. A block is yielded only AFTER its descriptor,
+    color table, and data sub-blocks all parse in-bounds (terminator
+    included) — a tail-truncated frame is never yielded, so gif_meta's
+    n_frames counts exactly the frames gif_frames can decode (they agreed
+    to disagree before r11: meta counted the chopped frame, frames
+    returned None)."""
     if data[:6] not in _SIGS:
         return
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -58,17 +66,29 @@ def _walk(data: bytes):
         if b == 0x3B:  # trailer
             return
         if b == 0x21:  # extension
+            if i + 2 >= len(data):
+                return  # truncated: no label/sub-blocks
             label = data[i + 1]
+            j = _skip_subblocks(data, i + 2)
+            if j < 0:
+                return
             yield ("ext", label, i + 2)
-            i = _skip_subblocks(data, i + 2)
+            i = j
         elif b == 0x2C:  # image descriptor
-            yield ("img", 0, i + 1)
+            if i + 10 > len(data):
+                return  # truncated descriptor
             _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", data[i + 1 : i + 10])
             j = i + 10
             if iflags & 0x80:  # local color table
                 j += 3 * (2 << (iflags & 7))
             j += 1  # LZW min code size
-            i = _skip_subblocks(data, j)
+            if j > len(data):
+                return  # truncated color table / missing min-code-size
+            j = _skip_subblocks(data, j)
+            if j < 0:
+                return  # truncated LZW data
+            yield ("img", 0, i + 1)
+            i = j
         else:
             return  # corrupt block type: stop counting what we can't parse
 

@@ -505,14 +505,16 @@ def jpeg_encode(
         ]
     else:
         comps = [arr[..., 0]]
+    # _QY/_QC are the Annex-K tables in NATURAL (raster) order; quantize
+    # with them directly, and serialize the DQT field zigzag-ordered per
+    # T.81 B.2.4.1 (the decoder's q[_ZIGZAG[k]] = dqt[k] then reconstructs
+    # exactly this natural-order matrix — and so does libjpeg's).
     qy = _scaled_q(_QY, quality)
     qc = _scaled_q(_QC, quality)
-    qmats = []
-    for tbl in (qy, qc):
-        q = np.zeros(64)
-        for k in range(64):
-            q[_ZIGZAG[k]] = tbl[k]
-        qmats.append(q.reshape(8, 8))
+    qmats = [np.array(t, dtype=np.float64).reshape(8, 8) for t in (qy, qc)]
+
+    def _dqt_zigzag(tbl: "list[int]") -> bytes:
+        return bytes(tbl[_ZIGZAG[k]] for k in range(64))
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -520,9 +522,9 @@ def jpeg_encode(
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
         out.extend(body)
 
-    _seg(0xDB, bytes([0]) + bytes(qy))  # DQT 0 (luma)
+    _seg(0xDB, bytes([0]) + _dqt_zigzag(qy))  # DQT 0 (luma)
     if channels == 3:
-        _seg(0xDB, bytes([1]) + bytes(qc))  # DQT 1 (chroma)
+        _seg(0xDB, bytes([1]) + _dqt_zigzag(qc))  # DQT 1 (chroma)
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
         hv = 0x22 if (sub and c == 0) else 0x11

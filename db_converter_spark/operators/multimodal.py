@@ -1,12 +1,17 @@
-"""Multimodal-column plumbing: image/audio/video payloads as opaque
-``binary`` columns with typed metadata, processed by Arrow-batched Pandas
-UDFs via ``mapInPandas``.
+"""Multimodal columns: image/audio/video payloads as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs via
+``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libs in this container —
-see ``decode_image_stub``); everything Spark-side is real and tested: the
-binary column, the mapInPandas batch iterator, the output schema, and the
-deterministic metadata derivation, which is md5-based so the DuckDB oracle
-can verify the plumbing end-to-end.
+The decode step is REAL for PNG (functions/png.py, RFC 2083), baseline
+JPEG (functions/jpeg.py, ITU-T T.81 — r10) and animated GIF
+(functions/gif.py, GIF89a — r10), all pure-stdlib; PIL is preferred when
+installed (probed each session, absent so far). Only WebP still falls to
+the clearly-marked deterministic stub (``decode_image_stub``) — as do the
+synthetic corpus's text-bytes payloads, whose md5-derived fake metadata is
+what the DuckDB oracle pins, keeping the whole Arrow round-trip
+(binary column → batch iterator → output schema) verifiable end-to-end
+while real image bytes take the codec path (tests/test_png.py, test_jpeg.
+py, test_gif.py push real payloads through these same pipelines).
 
 At 100 TB: binary payloads ride in parquet with the metadata columns
 alongside; ``spark.sql.files.maxPartitionBytes`` bounds scan partitions;
@@ -67,8 +72,8 @@ WHERE doc_id % 10 = 0
 """
 
 
-@query("mm01_binary_decode_plumbing", oracle=_MM01_DUCK, tags=("multimodal", "udf"))
-def mm01_binary_decode_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("mm01_binary_decode", oracle=_MM01_DUCK, tags=("multimodal", "udf"))
+def mm01_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column → mapInPandas decode pipeline. The payload is the UTF-8
     encoding of ``text`` (a stand-in for image bytes); the 'decode' extracts
     byte length + md5 inside the Pandas UDF, so the oracle can verify the
@@ -146,9 +151,11 @@ def decode_image(payload: bytes) -> dict:
     """Codec slot-in point, tried in order: PIL (any format, when
     installed) → the pure-stdlib PNG codec (functions/png.py) → the
     pure-Python baseline JPEG codec (functions/jpeg.py, r10 — REAL
-    metadata/pixels for JPEG payloads, no dependency) → deterministic
-    stub (the synthetic corpus's text-bytes payloads land here, keeping
-    their oracle rows)."""
+    metadata/pixels for JPEG payloads, no dependency) → GIF89a
+    (functions/gif.py, r10) → WebP (functions/vp8l.py, r11 — real
+    dimensions for lossless AND lossy streams, real n_frames from ANMF
+    chunks) → deterministic stub (the synthetic corpus's text-bytes
+    payloads land here, keeping their oracle rows)."""
     if _pil_available():
         meta = decode_image_real(payload)
         if meta is not None:
@@ -156,8 +163,10 @@ def decode_image(payload: bytes) -> dict:
     from db_converter_spark.functions.gif import gif_meta
     from db_converter_spark.functions.jpeg import jpeg_meta
     from db_converter_spark.functions.png import png_meta
+    from db_converter_spark.functions.vp8l import webp_meta
 
-    meta = png_meta(payload) or jpeg_meta(payload) or gif_meta(payload)
+    meta = png_meta(payload) or jpeg_meta(payload) or gif_meta(payload) \
+        or webp_meta(payload)
     if meta is not None:
         return {k: meta[k] for k in ("width", "height", "n_frames", "format")}
     return decode_image_stub(payload)
@@ -191,12 +200,15 @@ FROM h
 """
 
 
-@query("mm02_image_metadata_stub", oracle=_MM02_DUCK, tags=("multimodal", "stub"))
-def mm02_image_metadata_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image feature-extraction plumbing with a clearly-marked stub decoder:
-    binary payload → mapInPandas → (width, height, n_frames, format). The
-    stub derives metadata from md5(payload) so the Arrow batch shape, UDF
-    signature, and schema are all verified against the oracle."""
+@query("mm02_image_metadata", oracle=_MM02_DUCK, tags=("multimodal", "udf", "codec"))
+def mm02_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction: binary payload → mapInPandas →
+    (width, height, n_frames, format). Real codecs decode real payloads
+    (:func:`decode_image` dispatch: PIL → PNG → baseline JPEG → GIF89a,
+    the latter giving TRUE n_frames for animations); non-image bytes —
+    including this synthetic corpus's utf-8 text payloads — fall to the
+    deterministic md5 stub the oracle pins, so Arrow batch shape, UDF
+    signature, and schema stay verified end-to-end either way."""
     register_views(spark, sf_dir)
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -245,10 +257,15 @@ def sample_frames(payload: bytes) -> tuple[int, int, bytes]:
     decoded RGB bytes are kept, concatenated) — then the deterministic
     16-byte-frame stub (the synthetic corpus's text payloads land there,
     keeping their oracle rows). A video container (mp4/webm) would slot
-    in exactly here when an ffmpeg/pyav gate opens."""
+    in exactly here when an ffmpeg/pyav gate opens. r11 adds animated
+    lossless WebP (functions/vp8l.py: real ANMF frame count, real VP8L
+    per-frame pixels)."""
     from db_converter_spark.functions.gif import gif_frames
+    from db_converter_spark.functions.vp8l import webp_frames
 
     frames = gif_frames(payload)
+    if frames is None and payload[:4] == b"RIFF":
+        frames = webp_frames(payload)
     if frames is not None:
         kept = frames[::_FRAME_STRIDE]
         return len(frames), len(kept), b"".join(f[4] for f in kept)
@@ -290,12 +307,14 @@ FROM s
 """
 
 
-@query("mm03_frame_sample_plumbing", oracle=_MM03_DUCK, tags=("multimodal", "video", "stub"))
-def mm03_frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: binary payload → mapInPandas → every
-    4th fixed-size frame, fingerprinted. The Arrow batch shape, stride
-    arithmetic, and byte-exact reassembly are verified against the oracle;
-    swap :func:`sample_frames_stub` for a real decoder to productionize."""
+@query("mm03_frame_sample", oracle=_MM03_DUCK, tags=("multimodal", "video", "codec"))
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: binary payload → mapInPandas → every 4th frame,
+    fingerprinted. Animated GIF payloads decode for REAL (functions/
+    gif.py: true frame count, true per-frame pixels — tests/test_gif.py
+    pushes real animations through this exact pipeline); non-video bytes
+    fall to the deterministic stride stub the oracle pins. Arrow batch
+    shape, stride arithmetic, and byte-exact reassembly verified."""
     register_views(spark, sf_dir)
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -427,10 +446,33 @@ def resize_gif_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None
     return w, h, dst_w, dst_h, resized
 
 
+def resize_webp_stdlib(payload: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Real fit-within-224 resample for lossless-WebP payloads via the
+    pure-stdlib codec (functions/vp8l.py — nearest-neighbor, re-encoded
+    VP8L); None for non-WebP / lossy payloads (those keep metadata-only
+    support and fall to the stub for pixels)."""
+    from db_converter_spark.functions.vp8l import webp_decode, webp_meta, webp_resize
+
+    meta = webp_meta(payload)
+    if meta is None or webp_decode(payload) is None:
+        return None
+    w, h = meta["width"], meta["height"]
+    m = max(w, h)
+    if m > _RESIZE_BOX:
+        dst_w, dst_h = max(1, (w * _RESIZE_BOX) // m), max(1, (h * _RESIZE_BOX) // m)
+    else:
+        dst_w, dst_h = w, h
+    resized = webp_resize(payload, dst_w, dst_h)
+    if resized is None:
+        return None
+    return w, h, dst_w, dst_h, resized
+
+
 def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Codec slot-in point, tried in order: PIL → pure-stdlib PNG
     resampler → pure-Python baseline-JPEG resampler (r10) → pure-stdlib
-    GIF resampler (r10) → deterministic stub (see :func:`decode_image`)."""
+    GIF resampler (r10) → pure-stdlib lossless-WebP resampler (r11) →
+    deterministic stub (see :func:`decode_image`)."""
     if _pil_available():
         out = resize_real(payload)
         if out is not None:
@@ -439,6 +481,7 @@ def resize_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
         resize_png_stdlib(payload)
         or resize_jpeg_stdlib(payload)
         or resize_gif_stdlib(payload)
+        or resize_webp_stdlib(payload)
     )
     if out is not None:
         return out
@@ -502,12 +545,15 @@ FROM resized
 """
 
 
-@query("mm04_resize_plumbing", oracle=_MM04_DUCK, tags=("multimodal", "stub"))
-def mm04_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing: binary payload → mapInPandas → fit-within-224
-    target dims + stride-decimated bytes, fingerprinted. Arrow batch shape,
-    integer resize arithmetic, and byte-exact output are oracle-verified;
-    swap :func:`resize_stub` for a real resampler to productionize."""
+@query("mm04_image_resize", oracle=_MM04_DUCK, tags=("multimodal", "udf", "codec"))
+def mm04_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize: binary payload → mapInPandas → fit-within-224 target
+    dims + resampled bytes, fingerprinted. Real PNG/JPEG/GIF payloads
+    resize through the real codecs (nearest-neighbor on decoded pixels,
+    re-encoded; tests/test_png.py, test_jpeg.py, test_gif.py exercise
+    this pipeline on real images); other bytes fall to the deterministic
+    stride stub the oracle pins. Arrow batch shape, integer resize
+    arithmetic, and byte-exact output oracle-verified."""
     register_views(spark, sf_dir)
     docs = (
         load_table(spark, sf_dir, "documents")

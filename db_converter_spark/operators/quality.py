@@ -836,10 +836,75 @@ _DQ08_MM_SPARK = (
 _DQ08_BINNED_SPARK = _dq08_binned(
     "SELECT * FROM dq08_vals", "SELECT * FROM dq08_mm", "DIV", hints=True
 )
-_DQ08_TAIL_SPARK = _dq08_tail(
-    "SELECT * FROM dq08_mm", f"({_DQ08_BINNED_SPARK})", "dq08_cum",
-    f"VALUES {_DQ08_VALUES} AS t(qpct)", "DIV", hints=True
+
+# --- r11 Spark-side shape (VERDICT Next #6) --------------------------------
+# The r9 shape ROW_NUMBER-sorted EVERY row of every picked bin. For
+# low-cardinality columns a 4096-bin histogram makes bin == value, so a
+# picked bin holds n/|distinct| rows — at the 600 M decade l_discount's
+# picked bins alone pushed >60 M rows through the window exchange (59 GB
+# mem spill, the family's tallest wall). Fix: the histogram additionally
+# carries per-(col, b) MIN(v)/MAX(v) — same single pass, same map-side
+# combine, still <= cols x 4096 rows. A picked bin with vmin == vmax IS
+# its answer (the r-th smallest of a constant bin is that constant), so
+# only genuinely mixed bins (wide-range columns; ~bin-width rows each)
+# reach the extraction sort — and when NO picked bin is mixed, the
+# builder (which has the bounded within relation checkpointed anyway)
+# drops the extraction branch and its corpus re-scan from the plan
+# entirely, the same runtime-adaptive move as ta13's shard gate.
+_DQ08_CUM_SPARK = """
+SELECT col, b, c, vmin, vmax,
+  SUM(c) OVER (PARTITION BY col ORDER BY b) AS cum,
+  COALESCE(SUM(c) OVER (PARTITION BY col ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+FROM (SELECT col, b, COUNT(*) AS c, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM {binned_src} GROUP BY col, b) hist
+"""
+
+_DQ08_WITHIN_SPARK = f"""
+WITH qs AS (
+  SELECT * FROM VALUES {_DQ08_VALUES} AS t(qpct)
+), targets AS (
+  SELECT m.col, q.qpct, (q.qpct * m.n + 99) DIV 100 AS tgt
+  FROM qs q CROSS JOIN dq08_mm m
+), pick AS (
+  SELECT t.col, t.qpct, t.tgt, MIN(c.b) AS b
+  FROM targets t JOIN dq08_cum c ON c.col = t.col AND c.cum >= t.tgt
+  GROUP BY t.col, t.qpct, t.tgt
 )
+SELECT /*+ BROADCAST(p) */ p.col, p.qpct, p.tgt - cu.cum_prev AS r, p.b,
+       cu.vmin, cu.vmax
+FROM pick p JOIN dq08_cum cu ON cu.col = p.col AND cu.b = p.b
+"""
+
+_DQ08_EXTRACT_SPARK = f"""
+SELECT /*+ BROADCAST(w) */ w.col, w.qpct, x.v AS exact_cents
+FROM dq08_within w
+JOIN (
+  SELECT /*+ BROADCAST(pb) */ v.col, v.b, v.v,
+         ROW_NUMBER() OVER (PARTITION BY v.col, v.b ORDER BY v.v) AS rn
+  FROM ({_DQ08_BINNED_SPARK}) v
+  JOIN (SELECT DISTINCT col, b FROM dq08_within WHERE vmin < vmax) pb
+    ON pb.col = v.col AND pb.b = v.b
+) x ON x.col = w.col AND x.b = w.b AND x.rn = w.r
+WHERE w.vmin < w.vmax
+"""
+
+_DQ08_RESOLVED_SPARK = """
+SELECT col, qpct, vmin AS exact_cents FROM dq08_within WHERE vmin = vmax
+"""
+
+_DQ08_FINAL_SPARK = f"""
+SELECT /*+ BROADCAST(w, m) */ e.col, CAST(e.qpct AS BIGINT) AS qpct,
+  CAST(m.n AS BIGINT) AS n,
+  CAST(e.exact_cents AS BIGINT) AS exact_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ08_BINS} - 1) DIV {_DQ08_BINS} - 1
+       AS BIGINT) AS est_cents,
+  CAST(m.lo + ((w.b + 1) * (m.hi - m.lo + 1) + {_DQ08_BINS} - 1) DIV {_DQ08_BINS} - 1
+       - e.exact_cents AS BIGINT) AS err_cents
+FROM ({{exact_src}}) e
+JOIN dq08_within w ON w.col = e.col AND w.qpct = e.qpct
+JOIN dq08_mm m ON m.col = e.col
+"""
 
 _DQ08_DUCK = (
     f"WITH vals AS ({_DQ08_VALS_DUCK}), mm AS ({_dq08_mm('SELECT * FROM vals')}),"
@@ -856,18 +921,32 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every numeric lineitem column) — dq07's histogram-partitioned
     selection with a column key threaded through: ONE corpus scan explodes
     each row into (col, cents) structs, one mergeable (col, bin) histogram
-    locates every target bin, and a (col, bin)-partitioned ROW_NUMBER
-    selects exact values inside only the picked bins. Also carries the
-    pure-sketch right-edge estimate + signed error per (col, quantile).
+    (carrying per-bin count AND vmin/vmax) locates every target bin.
+    Also carries the pure-sketch right-edge estimate + signed error per
+    (col, quantile).
 
-    Only the BOUNDED relations are materialized — mm (|cols| rows) and
-    the cum histogram (<= cols x 4096 rows); vals/binned stay inline and
-    the pruned 4-column lineitem scan simply re-streams where referenced
-    (3 scans total: min/max, histogram, picked-bin extraction). The r8
-    shape checkpointed the 4x-corpus vals AND binned relations instead —
-    at the real 100x/16 GB decade those ~14 GB of pinned blocks ran the
-    heap out during their own materialization (SCALE_PROBE_R9 first
-    attempt, UNABLE_TO_ACQUIRE inside localCheckpoint). Re-scanning a
+    r11 selection (the 600 M-decade wall fix, VERDICT r10 Next #6): a
+    picked bin whose vmin == vmax — EVERY bin of a low-cardinality column
+    like l_discount, whose 11 distinct values map 1:1 onto bins holding
+    n/11 rows each — resolves from the histogram alone; only genuinely
+    mixed bins (wide-range columns, ~n/4096 rows each) go through the
+    (col, bin)-partitioned ROW_NUMBER extraction, and when no picked bin
+    is mixed the builder drops the extraction branch (and its corpus
+    re-scan) from the plan entirely — decided on the already-checkpointed
+    <= cols x quantiles `within` relation, the same runtime-adaptive
+    move as ta13's shard gate. The r9 shape sorted every row of every
+    picked bin: >60 M window-exchange rows and 59 GB mem spill at 600 M
+    (SCALE_PROBE_R9_MEM/R10); the same probe shape now exchanges only
+    the mixed-bin rows.
+
+    Only the BOUNDED relations are materialized — mm (|cols| rows), the
+    cum histogram (<= cols x 4096 rows), within (<= cols x quantiles
+    rows); vals/binned stay inline and the pruned 4-column lineitem scan
+    re-streams where referenced (2-3 scans total: min/max, histogram,
+    extraction iff some picked bin is mixed). The r8 shape checkpointed
+    the 4x-corpus vals AND binned relations instead — at the 100x/16 GB
+    decade those ~14 GB of pinned blocks ran the heap out during their
+    own materialization (SCALE_PROBE_R9 first attempt). Re-scanning a
     pruned columnar source is the cheap side of that trade at any scale;
     pinning a multiple of the corpus never is (the dd12 lesson)."""
     register_views(spark, sf_dir)
@@ -876,6 +955,13 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dq08_mm"
     )
     spark.sql(
-        _DQ08_CUM.format(binned_src=f"({_DQ08_BINNED_SPARK})")
+        _DQ08_CUM_SPARK.format(binned_src=f"({_DQ08_BINNED_SPARK})")
     ).localCheckpoint(eager=True).createOrReplaceTempView("dq08_cum")
-    return spark.sql(_DQ08_TAIL_SPARK)
+    within = spark.sql(_DQ08_WITHIN_SPARK).localCheckpoint(eager=True)
+    within.createOrReplaceTempView("dq08_within")
+    # metadata-scale scalar over the <= cols x quantiles checkpoint
+    need_extract = within.filter("vmin < vmax").count() > 0
+    exact_src = _DQ08_RESOLVED_SPARK + (
+        f" UNION ALL {_DQ08_EXTRACT_SPARK}" if need_extract else ""
+    )
+    return spark.sql(_DQ08_FINAL_SPARK.format(exact_src=exact_src))

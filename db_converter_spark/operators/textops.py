@@ -1372,9 +1372,14 @@ _TA13_STAGED_DOC_THRESHOLD = 100_000
 # ContextCleaner delete each completed sub-pass's shuffle files.
 _TA13_DOCS_PER_SHARD = 500_000  # r10: halved — smaller sorts spill less
 # Phase-B broadcast ceiling: dup keys above this row count (per sub-pass)
-# fall back to the r9 single-pass wide shape — 20M (doc_id, gh, cnt) rows
-# is ~500 MB hashed, the edge of sane executor broadcast.
-_TA13_DUP_BROADCAST_ROWS = 20_000_000
+# fall back to the r9 single-pass wide shape. r11 (ADVICE): lowered from
+# 20M — the ~25 B/row raw estimate ignores driver-side collection and the
+# JVM hash-relation overhead (~5-10x raw after boxing + open addressing),
+# so a near-threshold broadcast could reach multiple GB on the 16 GB
+# decade config this path exists to protect. 4M rows ≈ 100 MB raw ≈
+# ≤1 GB hashed worst-case — comfortably under executor memory, and the
+# sf100 probes' per-sub-pass key counts sit far below it anyway.
+_TA13_DUP_BROADCAST_ROWS = 4_000_000
 
 
 def _ta13_run(spark: SparkSession) -> DataFrame:

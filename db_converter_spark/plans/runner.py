@@ -818,6 +818,7 @@ class PacketRunner:
         warehouse_dir: str | Path,
         hook: ChatHook | None = None,
         jdbc_targets: dict[str, dict] | None = None,
+        pg_targets: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.warehouse = Path(warehouse_dir)
@@ -831,6 +832,16 @@ class PacketRunner:
         # JDBC sink. The ledger/lock stay local per target, same as the
         # reference keeping its actiontracker in the dbc schema.
         self.jdbc_targets = jdbc_targets or {}
+        # db-name → {"server": PgServer, "db": <pg database, default
+        # 'postgres'>, "schema": <ledger schema, default 'dbc'>}: targets
+        # that ARE a live PostgreSQL database (r11, the reference's core
+        # deployment shape — db_converter.py:556-685 routes every packet
+        # to a PG conninfo with the dbc_* ledger IN that database,
+        # actiontracker/actiontracker.py:38-95). Packets on these targets
+        # execute natively server-side (sources/pg_live.py) with lock,
+        # hash guard, exactly-once action resume, and status all recorded
+        # in the target's own dbc schema.
+        self.pg_targets = pg_targets or {}
         self._stop_requested: set[str] = set()
         self._stop_lock = threading.Lock()
 
@@ -881,9 +892,13 @@ class PacketRunner:
 
         def one(db: str) -> None:
             try:
-                code, status, data = self._run_on_db(
-                    pkt, ptype, db, force, skip_step_cancel, skip_action_cancel, export_dir
-                )
+                if db in self.pg_targets:
+                    code, status, data = self._run_on_pg(pkt, ptype, db, force)
+                else:
+                    code, status, data = self._run_on_db(
+                        pkt, ptype, db, force, skip_step_cancel, skip_action_cancel,
+                        export_dir,
+                    )
             except Exception as e:  # noqa: BLE001 — surface as FAIL
                 code, status, data = ResultCode.FAIL, PacketStatus.EXCEPTION, {
                     "__error__": [str(e)]
@@ -905,6 +920,60 @@ class PacketRunner:
             with ThreadPoolExecutor(max_workers=min(len(dbs), 16)) as pool:
                 list(pool.map(one, dbs))
         return result
+
+    # -- live-PostgreSQL target (reference: run_on_db, db_converter.py:
+    # -- 556-685 — every packet executes against a PG conninfo with the
+    # -- dbc_* ledger in that database) ------------------------------------
+
+    def _run_on_pg(self, pkt: Packet, ptype: PacketType, db: str, force: bool):
+        """Route the packet NATIVELY to a live PostgreSQL target (r11).
+
+        Reference parity, in the reference's own order (db_converter.py:
+        556-685 + dbccore): init the dbc_* ledger tables in the target DB,
+        take the packet lock there (LOCKED + STARTED when already held —
+        reference tests/test_packets.py TestDBCLock), enforce the
+        hash-change guard (E27), execute every statement server-side with
+        exactly-once action resume against the live ``dbc_actions`` (E6),
+        stamp step/packet status, and release the lock. READ_ONLY /
+        NO_COMMIT / EXPORT_DATA types run untracked (reference: those
+        types never consult the ActionTracker, db_converter.py:564-570)
+        and LOCKED still applies."""
+        from db_converter_spark.sources.pg_live import (
+            PgActionTracker,
+            PgServerError,
+            execute_packet_native,
+        )
+
+        cfg = self.pg_targets[db]
+        pg_db = cfg.get("db", "postgres")
+        tracker = PgActionTracker(
+            cfg["server"], db=pg_db, schema=cfg.get("schema", "dbc")
+        )
+        track = ptype in (PacketType.DEFAULT, PacketType.MAINTENANCE)
+        if not tracker.try_lock(pkt.name):
+            # reference: ResultCode.LOCKED + PacketStatus.STARTED
+            # (db_converter.py:619-627, asserted by TestDBCLock)
+            return ResultCode.LOCKED, PacketStatus.STARTED, {}
+        try:
+            prev_hash = tracker.packet_hash(pkt.name)
+            if track and prev_hash not in (None, pkt.packet_hash) and not force:
+                raise PacketHashChanged(
+                    f"packet {pkt.name} changed (was {prev_hash}, now"
+                    f" {pkt.packet_hash}); wipe or force"
+                )
+            try:
+                data = execute_packet_native(
+                    cfg["server"], pkt, db=pg_db,
+                    tracker=tracker if track else None,
+                )
+            except PgServerError as e:
+                notify_error(self.hook, pkt.name, db, str(e))
+                return ResultCode.FAIL, PacketStatus.EXCEPTION, {
+                    "__error__": [str(e)]
+                }
+            return ResultCode.SUCCESS, PacketStatus.DONE, data
+        finally:
+            tracker.unlock(pkt.name)
 
     # -- per-target worker (reference: worker_db_func) ---------------------
 

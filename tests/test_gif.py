@@ -136,3 +136,28 @@ def test_mm_operators_decode_real_gif(spark):
     assert (r1["src_w"], r1["src_h"]) == (w, h)
     assert (r1["dst_w"], r1["dst_h"]) == (224, 149)  # fit-within-224
     assert _FRAME_STRIDE == 4
+
+
+def test_truncated_tail_frame_meta_agrees_with_frames():
+    """A tail-chopped multi-frame GIF (the r11 ADVICE case): gif_meta must
+    count only frames whose descriptor + LZW data fully parse, and agree
+    with what gif_frames actually decodes — before r11 meta said 2 while
+    frames returned None, so mm02 and mm03 disagreed on the same payload."""
+    w, h = 19, 13
+    f1, f2 = _frame(w, h, 0), _frame(w, h, 7)
+    payload = gif_encode(w, h, [f1, f2], _PAL64)
+    # chop inside the SECOND frame's data: cut the last 10 bytes (trailer
+    # + tail of the final sub-blocks)
+    chopped = payload[:-10]
+    meta = gif_meta(chopped)
+    frames = gif_frames(chopped)
+    assert meta is not None and meta["n_frames"] == 1
+    assert frames is not None and len(frames) == 1
+    assert bytes(frames[0][4]) == _rgb(f1)
+    # chop inside the FIRST frame: nothing decodable -> both sides None
+    head_only = payload[:40]  # header + GCT(192B)? definitely inside GCT
+    assert gif_meta(head_only) is None
+    assert gif_frames(head_only) is None
+    # intact payload still reports both frames
+    assert gif_meta(payload)["n_frames"] == 2
+    assert len(gif_frames(payload)) == 2

@@ -730,3 +730,236 @@ def test_reference_select_values_match_emulation_on_mirrored_objects(spark, pg):
         spark.sql("DROP TABLE IF EXISTS vp.vpb")
         spark.sql("DROP DATABASE IF EXISTS vp")
         spark.sql("DROP DATABASE IF EXISTS vparity_some_db_probe")
+
+
+def test_native_runner_dedups_bound_actions_and_distinguishes_null(pg, tmp_path):
+    """The two r11 generator-channel fixes, proven on the live server:
+
+    1. Bound-action dedup (reference ``steps_hashes``, dbccore/dbccore.py:
+       941-943; plans/runner.py ``seen_hashes``): generator rows that bind
+       to IDENTICAL SQL (the step uses only FLD_1) execute the action ONCE
+       — the duplicate binding skips both its non-idempotent CREATE TABLE
+       (which would otherwise raise "relation already exists") and its
+       maintenance side-channel.
+    2. NULL vs empty-string generator fields: SQL NULL renders as the
+       literal ``'None'`` in bound SQL (reference wire-driver parity)
+       while a genuinely empty text field stays ``''`` — psql's CSV
+       channel collapses both to the bare empty field, so the sentinel
+       re-select must keep them apart. A NULL maint field 0 is a no-op.
+    """
+    from db_converter_spark.sources.pg_live import run_packet_native
+
+    pg.sql("DROP TABLE IF EXISTS nd_log")
+    pg.sql("DROP TABLE IF EXISTS nd_vals")
+    pg.sql("DROP TABLE IF EXISTS nd_tbl_a")
+    pg.sql("DROP TABLE IF EXISTS nd_tbl_b")
+
+    pdir = tmp_path / "nd_pkt"
+    pdir.mkdir()
+    (pdir / "run_once.sql").write_text(
+        "CREATE TABLE nd_log (tag text);\nCREATE TABLE nd_vals (v text)"
+    )
+    # step 1: only FLD_1 appears in the step -> rows 1 and 2 bind to the
+    # same SQL; row 2's maint must NOT run (reference skips maint for a
+    # dedup'd binding). Row 3's maint is genuinely empty text = no-op.
+    (pdir / "01_gen_obj.sql").write_text(
+        "SELECT maint, grp, marker FROM (VALUES"
+        " ('INSERT INTO nd_log VALUES (''m1'')', 'a', 'x'),"
+        " ('INSERT INTO nd_log VALUES (''m2'')', 'a', 'y'),"
+        " (''::text, 'b', NULL::text)"
+        ") v(maint, grp, marker) ORDER BY grp, marker"
+    )
+    (pdir / "01_step.sql").write_text("CREATE TABLE nd_tbl_GEN_OBJ_FLD_1 (v text)")
+    # step 2: NULL vs '' vs real text through the placeholder channel
+    (pdir / "02_gen_obj.sql").write_text(
+        "SELECT NULL::text AS maint, marker FROM (VALUES"
+        " ('x'), (NULL::text), (''::text)) v(marker)"
+    )
+    (pdir / "02_step.sql").write_text("INSERT INTO nd_vals VALUES ('GEN_OBJ_FLD_1')")
+    (pdir / "meta_data.json").write_text(
+        json.dumps({"type": "maintenance", "dialect": "postgres"})
+    )
+
+    caps = run_packet_native(pg, pdir)  # raises on any failing statement
+
+    # dedup: one CREATE per distinct binding, duplicate skipped silently
+    assert len(caps["01_step.sql"]) == 2, caps["01_step.sql"]
+    tables = pg.sql(
+        "SELECT tablename FROM pg_tables WHERE tablename LIKE 'nd_tbl_%'"
+        " ORDER BY tablename"
+    )[1:]
+    assert tables == [["nd_tbl_a"], ["nd_tbl_b"]], tables
+    # the duplicate binding's maint did not run
+    log = pg.sql("SELECT tag FROM nd_log ORDER BY tag")[1:]
+    assert log == [["m1"]], log
+    # NULL -> literal 'None', empty string stays '' (previously corrupted
+    # to 'None'), real text passes through
+    # bracket the value: the ''-row would otherwise come back as a blank
+    # CSV line (csv.reader yields [] for it)
+    vals = {r[0] for r in pg.sql("SELECT '[' || v || ']' FROM nd_vals")[1:]}
+    assert vals == {"[]", "[None]", "[x]"}, vals
+
+
+# ---------------------------------------------------------------------------
+# Live-PG as a FIRST-CLASS runner target (r11, VERDICT Next #1): packets
+# route through PacketRunner with the dbc_* ledger IN the target database
+# (reference: actiontracker/actiontracker.py:38-95; db_converter.py:556-685)
+# ---------------------------------------------------------------------------
+
+
+def _pg_pkt(tmp_path, name: str) -> Path:
+    """run_once + step1 (idempotence probe) + step2 (depends on a table
+    that does not exist yet — the transient failure for the resume test,
+    reference tests/test_packets.py resume semantics)."""
+    pdir = tmp_path / name
+    pdir.mkdir()
+    (pdir / "run_once.sql").write_text("CREATE TABLE IF NOT EXISTS prt (v int4)")
+    (pdir / "01_step.sql").write_text("INSERT INTO prt VALUES (1)")
+    (pdir / "02_step.sql").write_text("INSERT INTO prt SELECT v + 10 FROM prt_dep")
+    (pdir / "meta_data.json").write_text(
+        json.dumps({"type": "maintenance", "dialect": "postgres"})
+    )
+    return pdir
+
+
+def test_pg_target_resume_skips_ledgered_actions(spark, pg, tmp_path):
+    """E6 on the live target: first run fails at step 2 (missing dep
+    table) AFTER step 1's action landed in the target DB's dbc_actions;
+    the re-run must skip step 1 (no duplicate INSERT) and complete step 2
+    — the live twin of test_packet_corpus.py::
+    test_resume_after_transient_failure, with the ledger readable in the
+    target database itself (reference actiontracker:38-95)."""
+    from db_converter_spark.plans.model import PacketStatus, ResultCode
+    from db_converter_spark.plans.runner import PacketRunner
+
+    for t in ("prt", "prt_dep"):
+        pg.sql(f"DROP TABLE IF EXISTS {t}")
+    for t in ("dbc_actions", "dbc_steps", "dbc_packets", "dbc_locks"):
+        pg.sql(f"DROP TABLE IF EXISTS dbc.{t}")
+
+    pdir = _pg_pkt(tmp_path, "pg_resume_pkt")
+    runner = PacketRunner(
+        spark, tmp_path / "wh", pg_targets={"live_pg": {"server": pg}}
+    )
+
+    res1 = runner.run(pdir, dbs=["live_pg"])
+    assert res1.result_code["live_pg"] == ResultCode.FAIL, res1.result_data
+    assert res1.packet_status["live_pg"] == PacketStatus.EXCEPTION
+    # step 1 applied once; ledger rows live IN the target database
+    assert pg.sql("SELECT v FROM prt ORDER BY v")[1:] == [["1"]]
+    led = pg.sql(
+        "SELECT p.name, s.name, s.status FROM dbc.dbc_steps s"
+        " JOIN dbc.dbc_packets p ON s.packet_id = p.id ORDER BY s.id"
+    )[1:]
+    assert ["pg_resume_pkt", "run_once.sql", "done"] in led
+    assert ["pg_resume_pkt", "01_step.sql", "done"] in led
+    assert ["pg_resume_pkt", "02_step.sql", "exception"] in led
+    assert pg.sql(
+        "SELECT status FROM dbc.dbc_packets WHERE name = 'pg_resume_pkt'"
+    )[1] == ["exception"]
+    assert pg.sql("SELECT count(*) FROM dbc.dbc_actions")[1] == ["2"]
+    # exception text recorded server-side (reference set_step_exception_status)
+    descr = pg.sql(
+        "SELECT exception_descr FROM dbc.dbc_steps WHERE name = '02_step.sql'"
+    )[1][0]
+    assert "prt_dep" in descr
+    # the lock was released on failure
+    assert pg.sql(
+        "SELECT locked FROM dbc.dbc_locks WHERE name = 'pg_resume_pkt'"
+    )[1] == ["f"]
+
+    # fix the dependency and re-run: step 1 NOT re-applied, step 2 runs
+    pg.sql("CREATE TABLE prt_dep (v int4)")
+    pg.sql("INSERT INTO prt_dep VALUES (1)")
+    res2 = runner.run(pdir, dbs=["live_pg"])
+    assert res2.result_code["live_pg"] == ResultCode.SUCCESS, res2.result_data
+    assert res2.packet_status["live_pg"] == PacketStatus.DONE
+    assert pg.sql("SELECT v FROM prt ORDER BY v")[1:] == [["1"], ["11"]]
+    assert pg.sql(
+        "SELECT status FROM dbc.dbc_packets WHERE name = 'pg_resume_pkt'"
+    )[1] == ["done"]
+    assert pg.sql("SELECT count(*) FROM dbc.dbc_actions")[1] == ["3"]
+
+    # third run: every action ledgered -> full no-op, still SUCCESS
+    res3 = runner.run(pdir, dbs=["live_pg"])
+    assert res3.result_code["live_pg"] == ResultCode.SUCCESS
+    assert pg.sql("SELECT v FROM prt ORDER BY v")[1:] == [["1"], ["11"]]
+
+
+def test_pg_target_packet_lock_and_hash_guard(spark, pg, tmp_path):
+    """E25 + E27 on the live target — the twin of the reference's
+    TestDBCLock (tests/test_packets.py:119-173): an externally-held
+    dbc_locks row yields LOCKED + STARTED without executing anything;
+    after unlock the run succeeds. Then the hash guard: editing the packet
+    after a tracked run raises unless --force."""
+    from db_converter_spark.plans.model import PacketStatus, ResultCode
+    from db_converter_spark.plans.runner import PacketRunner
+    from db_converter_spark.sources.pg_live import PgActionTracker
+
+    for t in ("lk_t",):
+        pg.sql(f"DROP TABLE IF EXISTS {t}")
+    for t in ("dbc_actions", "dbc_steps", "dbc_packets", "dbc_locks"):
+        pg.sql(f"DROP TABLE IF EXISTS dbc.{t}")
+
+    pdir = tmp_path / "pg_lock_pkt"
+    pdir.mkdir()
+    (pdir / "01_step.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS lk_t (v int4); INSERT INTO lk_t VALUES (7)"
+    )
+    (pdir / "meta_data.json").write_text(
+        json.dumps({"type": "maintenance", "dialect": "postgres"})
+    )
+    runner = PacketRunner(
+        spark, tmp_path / "wh", pg_targets={"live_pg": {"server": pg}}
+    )
+
+    # hold the lock externally (reference: ActionTracker.set_packet_lock)
+    tracker = PgActionTracker(pg)
+    assert tracker.try_lock("pg_lock_pkt")
+    res = runner.run(pdir, dbs=["live_pg"])
+    assert res.result_code["live_pg"] == ResultCode.LOCKED
+    assert res.packet_status["live_pg"] == PacketStatus.STARTED
+    assert pg.sql(
+        "SELECT EXISTS(SELECT 1 FROM pg_tables WHERE tablename = 'lk_t')"
+    )[1] == ["f"]  # nothing executed
+    # the external lock survives the LOCKED bounce (not stolen/released)
+    assert tracker.is_locked("pg_lock_pkt")
+
+    tracker.unlock("pg_lock_pkt")
+    res2 = runner.run(pdir, dbs=["live_pg"])
+    assert res2.result_code["live_pg"] == ResultCode.SUCCESS
+    assert pg.sql("SELECT v FROM lk_t")[1:] == [["7"]]
+
+    # hash guard (E27): change the packet -> FAIL without force
+    (pdir / "01_step.sql").write_text(
+        "CREATE TABLE IF NOT EXISTS lk_t (v int4); INSERT INTO lk_t VALUES (8)"
+    )
+    res3 = runner.run(pdir, dbs=["live_pg"])
+    assert res3.result_code["live_pg"] == ResultCode.FAIL
+    assert "changed" in str(res3.result_data["live_pg"].get("__error__"))
+    # with force: runs, and the lock round-trips
+    res4 = runner.run(pdir, dbs=["live_pg"], force=True)
+    assert res4.result_code["live_pg"] == ResultCode.SUCCESS
+    assert pg.sql("SELECT v FROM lk_t ORDER BY v")[1:] == [["7"], ["8"]]
+
+
+def test_pg_tracker_wipe_and_status(pg):
+    """--wipe / --status against the live ledger (reference: wipe_packet
+    actiontracker:257-294, status db_converter.py:526-539)."""
+    from db_converter_spark.sources.pg_live import PgActionTracker
+
+    for t in ("dbc_actions", "dbc_steps", "dbc_packets", "dbc_locks"):
+        pg.sql(f"DROP TABLE IF EXISTS dbc.{t}")
+    tr = PgActionTracker(pg)
+    pid = tr.upsert_packet("wp", "h" * 32, {"type": "maintenance"})
+    sid = tr.upsert_step(pid, "01_step.sql")
+    tr.apply_action(pid, sid, "a" * 32)
+    assert tr.is_action_done(pid, sid, "a" * 32)
+    assert not tr.is_action_done(pid, sid, "b" * 32)
+    tr.set_step_status(sid, "done")
+    tr.set_packet_status("wp", "done")
+    st = tr.status("wp")
+    assert [r[0] for r in st] == ["wp"] and st[0][4] == "done"
+    assert tr.wipe("wp") == 1
+    assert tr.wipe("wp") == 0
+    assert tr.status("wp") == []

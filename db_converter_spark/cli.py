@@ -61,6 +61,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-action-cancel", action="store_true")
     p.add_argument("--export-dir", default=None)
     p.add_argument("--hook-url", default=None, help="incoming webhook for result notifications")
+    p.add_argument(
+        "--pg-targets",
+        default=None,
+        help='JSON {target: {"base_dir": socket_dir[, "db", "schema"]}} —'
+        " targets that ARE a live PostgreSQL server (reference: db alias ->"
+        " conninfo map): packets execute natively over psql with the dbc_*"
+        " ledger in that database (r11; plans/runner.py _run_on_pg)",
+    )
     p.add_argument("--yes", action="store_true", help="skip the multi-target confirmation gate")
     g = p.add_mutually_exclusive_group()
     g.add_argument("--list", action="store_true", dest="do_list")
@@ -125,6 +133,17 @@ def main(argv: list[str] | None = None, spark=None, confirm=input) -> int:
 
     dbs = expand(args.db)
 
+    pg_cfgs: dict = {}
+    if args.pg_targets:
+        from db_converter_spark.sources.pg_live import PgServer
+
+        for name, cfg in json.loads(args.pg_targets).items():
+            pg_cfgs[name] = {
+                "server": PgServer(cfg["base_dir"]),
+                "db": cfg.get("db", "postgres"),
+                "schema": cfg.get("schema", "dbc"),
+            }
+
     if args.do_list:
         for d in dbs:
             print(d)
@@ -136,7 +155,15 @@ def main(argv: list[str] | None = None, spark=None, confirm=input) -> int:
             return 2
         rc = 0
         for d in dbs:
-            tracker = ActionTracker(warehouse / d / "dbc_ledger.sqlite")
+            if d in pg_cfgs:
+                # the ledger lives IN the target database (reference:
+                # actiontracker run against the conninfo, db_converter.py)
+                from db_converter_spark.sources.pg_live import PgActionTracker
+
+                c = pg_cfgs[d]
+                tracker = PgActionTracker(c["server"], db=c["db"], schema=c["schema"])
+            else:
+                tracker = ActionTracker(warehouse / d / "dbc_ledger.sqlite")
             if args.status:
                 for row in tracker.status(args.packet_name):
                     print(d, *row)
@@ -167,7 +194,7 @@ def main(argv: list[str] | None = None, spark=None, confirm=input) -> int:
             spark.conf.set(k, str(v))
 
     hook = ChatHook(args.hook_url) if args.hook_url else None
-    runner = PacketRunner(spark, warehouse, hook=hook)
+    runner = PacketRunner(spark, warehouse, hook=hook, pg_targets=pg_cfgs)
 
     if args.stop:
         for d in dbs:

@@ -1380,6 +1380,11 @@ _TA13_DOCS_PER_SHARD = 500_000  # r10: halved — smaller sorts spill less
 # ≤1 GB hashed worst-case — comfortably under executor memory, and the
 # sf100 probes' per-sub-pass key counts sit far below it anyway.
 _TA13_DUP_BROADCAST_ROWS = 4_000_000
+# per-run record of (view, n, shard_idx, key_count) sub-passes that fell
+# back to the single-pass wide shape (keys outgrew the broadcast ceiling)
+# — reset by _ta13_run; read by scale probes to report WHICH sub-passes
+# paid the wide exchange (VERDICT r10 Next #2's reporting requirement).
+TA13_LAST_RUN_FALLBACKS: "list[tuple[str, int, int, int]]" = []
 
 
 def _ta13_run(spark: SparkSession) -> DataFrame:
@@ -1404,6 +1409,7 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
     # (r8 ADVICE: otherwise the oracle-compared path is always non-staged
     # and the staged union is exercised only by probes/bench).
     n_docs = docs.count()
+    del TA13_LAST_RUN_FALLBACKS[:]
     staged = n_docs > _TA13_STAGED_DOC_THRESHOLD
     shards = (
         max(1, -(-n_docs // _TA13_DOCS_PER_SHARD)) if staged else 1
@@ -1461,9 +1467,11 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
                 ).localCheckpoint(eager=True)
                 kv = f"ta13_k_{view}_{n}_{si}"
                 dk.createOrReplaceTempView(kv)
-                if dk.count() <= _TA13_DUP_BROADCAST_ROWS:
+                n_keys = dk.count()
+                if n_keys <= _TA13_DUP_BROADCAST_ROWS:
                     q = from_keys_tpl.format(n=n, shard=sh, kv=kv)
                 else:  # pathological corpus: keys not broadcastable
+                    TA13_LAST_RUN_FALLBACKS.append((view, n, si, n_keys))
                     q = fallback_tpl.format(n=n, shard=sh)
                 parts.append(spark.sql(q).localCheckpoint(eager=True))
                 spark.catalog.dropTempView(kv)

@@ -51,65 +51,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # official green row.
 _CHECK_TAIL = (
     # =====================================================================
-    # r10 rotation (VERDICT r9 Next #3): the head refreshes the OLDEST
-    # official rows — the 5 r6 rows (q37, ta09-ta12) and 36 of the 41 r7
-    # rows — plus the 9 queries whose SOURCE changed in r10: the renamed
-    # ev19_cohort_activity_retention / pipe15_neardup_safe_split (registry
-    # keys are new), ta14 + pipe06/pipe11/pipe12 (the ta14_vocab_view
-    # memoization is inside their fingerprint scope), ta13 (two-phase
-    # staged COVN), and mm02/mm04 (the decode_image/resize_image chain
-    # gained the stdlib baseline-JPEG codec). 5 + 36 + 9 = exactly 50.
-    # Five r7 rows park below with their HONEST r7 stamps (satisfying the
-    # "no official row older than r7" criterion): the scalar-function
-    # family q20-q23/q26 — fingerprint-pinned unchanged since r7 and
-    # locally oracle-verified every run via tests/test_oracle_parity.py;
-    # they lead the tail as next-oldest for the r11 head. The rest is
-    # ordered by recorded official round (r8 rows, then r9 rows).
+    # r11 rotation (VERDICT r10 Next #4): the head refreshes the OLDEST
+    # official rows — the 5 r7 scalar-family rows (q20-q23, q26) and 39
+    # of the 47 r8 rows — plus the 6 queries whose SOURCE changed in r11:
+    # the renamed mm01-mm04 (registry keys are new: binary_decode /
+    # image_metadata / frame_sample / image_resize, real-codec names),
+    # dq08 (vmin/vmax histogram resolution + adaptive extraction branch)
+    # and ta13 (broadcast ceiling 20M -> 4M rows). 5 + 39 + 4 + 2 = 50.
+    # Eight r8 rows park below with their honest r8 stamps (fingerprint-
+    # pinned, locally oracle-verified every run via
+    # tests/test_oracle_parity.py) and lead the tail as next-oldest for
+    # the r12 head; then the r9 rows (minus dq08), then r10 (minus ta13).
     # =====================================================================
-    "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_math_funcs",
-    "q23_conditional_funcs",
-    "q26_like_patterns",
-    "dc05_sketched_overlap",
-    "dd02_norm_fingerprint",
-    "dd09_span_dedup",
-    "dd14_semdedup",
-    "dq07_quantile_profile",
-    "ev03_streaming_window",
-    "ev07_stream_dedup",
-    "ev08_stream_stream_join",
-    "ev09_stream_static_join",
-    "ev17_countmin_audit",
-    "mm05_phash_neardup",
-    "pipe02_sequence_pack",
-    "pipe03_weighted_sample",
-    "pipe04_shard_assign",
-    "pipe14_unimax_waterfill",
-    "q04_left_join_counts",
-    "q05_customers_without_orders",
-    "q06_customers_with_big_order",
-    "q07_nullsafe_self_join",
-    "q08_self_join_pairs",
-    "q09_window_top2_orders",
-    "q10_window_running_sum",
-    "q11_set_ops",
-    "q12_cte_chain",
-    "q18_group_ordinal_having",
-    "q19_case_agg",
-    "q24_distinct_agg",
-    "q24b_array_agg_distinct",
-    "q27_pivot",
-    "q28_lateral_top1",
-    "q29_percentile",
-    "q34_cube_grouping_sets",
-    "q35_construct_probes",
-    "q36_recursive_cte",
-    "ss01_cosine_topk",
-    "ss02_lsh_buckets",
-    "ss03_ivf_assign",
-    "ss04_ivf_topk",
-    "ss05_knn_join",
     "ss06_pq_adc_topk",
     "ss12_pq_trained_topk",
     "ss13_truncated_rerank",
@@ -133,7 +86,6 @@ _CHECK_TAIL = (
     "dq04_reconciliation",
     "dq05_fk_orphans",
     "dq06_distribution_drift",
-    "dq08_column_quantiles",
     "ev10_session_window_stream",
     "ev11_interarrival_hist",
     "ev12_funnel",
@@ -159,6 +111,51 @@ _CHECK_TAIL = (
     "ss10_ivf_balance",
     "ss11_pq_train",
     "ta07_trigram_lm",
+    "q01_pricing_summary",
+    "q25_rollup",
+    "q02_top_revenue_orders",
+    "q03_nation_revenue",
+    "q14_in_subquery",
+    "q13_scalar_subquery",
+    "q17_values_inline",
+    "q15_generate_series",
+    "q16_unnest_words",
+    "q30_json_extract",
+    "q31_array_funcs",
+    "q32_intersect_except",
+    "q33_offset_fetch",
+    "q37_pivot",
+    "dd01_dedup_exact",
+    "dd03_minhash_signatures",
+    "dd04_minhash_lsh_bands",
+    "dd06_simhash",
+    "dd07_embedding_neardup",
+    "dc01_decontaminate",
+    "dd11_dedup_keep_best",
+    "dd15_containment",
+    "dd17_incremental_dedup",
+    "ta04_winnow_fingerprints",
+    "ta05_hll_distinct",
+    "ta06_repetition_score",
+    "pii01_pii_scrub",
+    "ta09_bpe_train",
+    "ta10_vocab_growth",
+    "ta11_tfidf_topterms",
+    "ta12_ppl_buckets",
+    "ta14_bpe_encode",
+    "ev01_windowed_event_stats",
+    "ev02_sessionization",
+    "mg01_chunk_grid",
+    "mg02_incremental_diff",
+    "ev04_asof_join",
+    "ev05_range_join",
+    "ev06_multi_rollup",
+    "ev18_streaming_quantiles",
+    "ev19_cohort_activity_retention",
+    "pipe06_token_budget",
+    "pipe11_context_fit",
+    "pipe12_epoch_plan",
+    "pipe15_neardup_safe_split",
 )
 # NOTE (r8 final state): tail parks queries whose newest official row is
 # r4-r7 with fingerprints pinned by the freshness guard; the r8 head = the

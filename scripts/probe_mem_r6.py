@@ -51,6 +51,10 @@ from db_converter_spark.session import build_session  # noqa: E402
 SCALE_DIRS = {
     "sf10": str(ROOT / ".scale" / "sf10"),
     "sf100": str(ROOT / ".scale" / "sf100"),
+    # r11: the ta13 next-doubling probe — documents at 2000 reps (2x the
+    # sf100 doc corpus; other tables are sf10-scale fillers for
+    # register_views, ONLY document-scaled claims are valid at this label)
+    "sf200": str(ROOT / ".scale" / "sf200"),
 }
 
 HEAVY = [
@@ -135,6 +139,16 @@ def main() -> int:
                     "joins": {k: plan.count(k) for k in JOIN_NODES if plan.count(k)},
                     "oom": False,
                 }
+                if name.startswith("ta13"):
+                    # which staged sub-passes exceeded the broadcast
+                    # ceiling and paid the wide fallback (r11 reporting)
+                    from db_converter_spark.operators.textops import (
+                        TA13_LAST_RUN_FALLBACKS,
+                    )
+
+                    rec[label]["fallback_subpasses"] = [
+                        list(t) for t in TA13_LAST_RUN_FALLBACKS
+                    ]
             except Exception as e:  # record, don't die: OOM IS a finding
                 rec[label] = {
                     "wall_s": round(time.perf_counter() - t0, 1),

@@ -876,15 +876,46 @@ SELECT /*+ BROADCAST(p) */ p.col, p.qpct, p.tgt - cu.cum_prev AS r, p.b,
 FROM pick p JOIN dq08_cum cu ON cu.col = p.col AND cu.b = p.b
 """
 
-_DQ08_EXTRACT_SPARK = f"""
+def _dq08_extract_sql(mixed: "list[tuple]") -> str:
+    """Build the extraction pass from the driver-side ``within`` rows
+    (bounded, <= cols x quantiles): one UNION branch per column, each a
+    NARROW single-column scan with a LITERAL raw-value range predicate
+    that pushes into the parquet reader — no Generate, no join, only the
+    few bin-member rows survive to the (col, b) ROW_NUMBER exchange.
+    Bin membership filters on the bin's ACTUAL [vmin, vmax] (from the
+    histogram), which is exactly the b == bin predicate restricted to
+    existing values; the pushed raw filter is its rounding-safe hull
+    over the untransformed column."""
+    by_col: "dict[str, list[tuple[int, int, int]]]" = {}
+    for col, _qpct, _r, b, vmin, vmax in mixed:
+        rs = by_col.setdefault(col, [])
+        if (b, vmin, vmax) not in rs:
+            rs.append((b, vmin, vmax))
+    branches = []
+    for col, rs in by_col.items():
+        hull_lo = min(v for _, v, _ in rs)
+        hull_hi = max(v for _, _, v in rs)
+        case = " ".join(
+            f"WHEN v BETWEEN {vmin} AND {vmax} THEN {b}" for b, vmin, vmax in rs
+        )
+        member = " OR ".join(
+            f"v BETWEEN {vmin} AND {vmax}" for _, vmin, vmax in rs
+        )
+        branches.append(
+            f"SELECT '{col}' AS col, CASE {case} END AS b, v FROM ("
+            f"SELECT CAST(ROUND({col} * 100) AS BIGINT) AS v FROM lineitem"
+            f" WHERE {col} >= {(hull_lo - 0.6) / 100.0!r}"
+            f" AND {col} <= {(hull_hi + 0.6) / 100.0!r}"
+            f") WHERE {member}"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
 SELECT /*+ BROADCAST(w) */ w.col, w.qpct, x.v AS exact_cents
 FROM dq08_within w
 JOIN (
-  SELECT /*+ BROADCAST(pb) */ v.col, v.b, v.v,
+  SELECT v.col, v.b, v.v,
          ROW_NUMBER() OVER (PARTITION BY v.col, v.b ORDER BY v.v) AS rn
-  FROM ({_DQ08_BINNED_SPARK}) v
-  JOIN (SELECT DISTINCT col, b FROM dq08_within WHERE vmin < vmax) pb
-    ON pb.col = v.col AND pb.b = v.b
+  FROM ({union}) v
 ) x ON x.col = w.col AND x.b = w.b AND x.rn = w.r
 WHERE w.vmin < w.vmax
 """
@@ -937,7 +968,12 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     move as ta13's shard gate. The r9 shape sorted every row of every
     picked bin: >60 M window-exchange rows and 59 GB mem spill at 600 M
     (SCALE_PROBE_R9_MEM/R10); the same probe shape now exchanges only
-    the mixed-bin rows.
+    the mixed-bin rows. The extraction itself (r11, second step) is
+    parameterized from the collected within rows: one NARROW
+    single-column scan per mixed column with a LITERAL raw-range
+    predicate pushed into the parquet reader and bin membership filtered
+    on the bin's actual [vmin, vmax] — no Generate, no join ahead of the
+    ROW_NUMBER (see :func:`_dq08_extract_sql`).
 
     Only the BOUNDED relations are materialized — mm (|cols| rows), the
     cum histogram (<= cols x 4096 rows), within (<= cols x quantiles
@@ -959,9 +995,10 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True).createOrReplaceTempView("dq08_cum")
     within = spark.sql(_DQ08_WITHIN_SPARK).localCheckpoint(eager=True)
     within.createOrReplaceTempView("dq08_within")
-    # metadata-scale scalar over the <= cols x quantiles checkpoint
-    need_extract = within.filter("vmin < vmax").count() > 0
+    # metadata-scale collect over the <= cols x quantiles checkpoint: the
+    # mixed bins' literal value ranges parameterize the extraction scans
+    mixed = [tuple(r) for r in within.filter("vmin < vmax").collect()]
     exact_src = _DQ08_RESOLVED_SPARK + (
-        f" UNION ALL {_DQ08_EXTRACT_SPARK}" if need_extract else ""
+        f" UNION ALL {_dq08_extract_sql(mixed)}" if mixed else ""
     )
     return spark.sql(_DQ08_FINAL_SPARK.format(exact_src=exact_src))

@@ -530,11 +530,17 @@ def _min_label_components(sym: DataFrame, max_rounds: int = 50) -> tuple[DataFra
     join+filter+count. decimal(38,0): a 100 TB corpus sums ~1e12 64-bit
     ids, past BIGINT. ``localCheckpoint`` cuts lineage per round — on a
     production cluster use a reliable checkpoint dir."""
+    # r11: every localCheckpoint here is LAZY (eager=False) and the
+    # convergence checksum is collected immediately after — the checksum's
+    # full-scan aggregate is the action that materializes the checkpoint,
+    # so each round costs ONE job instead of a checkpoint job + a checksum
+    # job (guide §2.4: the barrier and the probe share a pass; 2 jobs/round
+    # -> 1 with identical labels).
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     checksum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("label").cast("decimal(38,0)"))
@@ -557,7 +563,7 @@ def _min_label_components(sym: DataFrame, max_rounds: int = 50) -> tuple[DataFra
         new = (
             hop.join(ptr, hop["label"] == ptr["_pid"])
             .select("doc_id", F.least("label", "_plabel").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = checksum(new)
         labels = new
@@ -1920,9 +1926,14 @@ _DD14_PAIRS_SPARK = _dd14_pairs(
     "dd14_assign",
 )
 
-_DD14_SPARK_MAIN = _dd14_main("dd14_pairs", "dd14_cells")
+# r11: cell sizes are computed INSIDE the report job (referenced exactly
+# once — no re-execution hazard) instead of a third sequential checkpoint:
+# the k-row aggregate streams the serialized assignment checkpoint exactly
+# as the dedicated cells job did, one job barrier cheaper (guide §2.4).
+# The DuckDB oracle always had this inline shape.
+_DD14_CELLS_INLINE = "(SELECT cid, COUNT(*) AS cell_size FROM dd14_assign GROUP BY cid)"
 
-_DD14_CELLS_SPARK = "SELECT cid, COUNT(*) AS cell_size FROM dd14_assign GROUP BY cid"
+_DD14_SPARK_MAIN = _dd14_main("dd14_pairs", _DD14_CELLS_INLINE)
 
 _DD14_DUCK_ASSIGN = _dd14_assign_sql(
     nrm="sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
@@ -1990,13 +2001,10 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
         eager=True, storageLevel=_BIG_CKPT_LEVEL
     ).createOrReplaceTempView("dd14_pairs")
-    # k-row cell sizes as their OWN checkpoint: the report tail then joins
-    # three bounded relations and never touches the n-row assignment —
-    # each corpus-scale read happens in exactly one sequential eager job
-    # (see _dd14_main)
-    spark.sql(_DD14_CELLS_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
-        "dd14_cells"
-    )
+    # r11: the k-row cell sizes are an inline aggregate of the report job
+    # (_DD14_CELLS_INLINE) — the report references the n-row assignment
+    # exactly once, streaming the serialized checkpoint the same way the
+    # former dedicated cells job did, minus one job barrier.
     return spark.sql(_DD14_SPARK_MAIN)
 
 

@@ -186,14 +186,18 @@ def _pack(spark: SparkSession, docs: DataFrame, nparts: int) -> DataFrame:
     from pyspark.sql.window import Window
 
     B = _PACK_BLOCK
+    # r11: materialize the narrow (doc_id, source, n_tok) relation BEFORE
+    # the range repartition — a bare repartitionByRange over the live plan
+    # runs the scan + tokenize TWICE (once in RangePartitioner's sampling
+    # job, again through the shuffle; guide §2.4). Both the sample and the
+    # shuffle now read ~24-byte checkpointed rows; the text pass runs once.
+    docs = docs.localCheckpoint(eager=True)
     parts = docs.repartitionByRange(nparts, "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
-    # materialize ONCE: the lineage (scan + tokenize + range shuffle) is
-    # consumed twice — by the per-partition totals and by the placement
-    # pass — and this also freezes the pid assignment the two passes share.
-    # The checkpoint holds only (doc_id, source, n_tok, pid): ~24 B/doc,
-    # memory+disk at cluster scale.
+    # materialize the post-shuffle relation too: it is consumed twice — by
+    # the per-partition totals and by the placement pass — and the
+    # checkpoint freezes the pid assignment the two passes share.
     parts = parts.localCheckpoint(eager=True)
     # phase 1.5: per-partition totals → driver prefix sum (tiny: one row per
     # partition), rebroadcast as a join on pid
@@ -502,7 +506,14 @@ def pipe06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     ta14_vocab_view(spark, sf_dir)
-    m = spark.sql(_PIPE06_METRICS_SPARK)
+    # r11: materialize metrics BEFORE the range repartition. A bare
+    # repartitionByRange over the live metrics plan runs the corpus-scale
+    # explode + encode-map join TWICE — once inside RangePartitioner's
+    # sampling job and again through the shuffle itself (guide §2.4:
+    # accidental recompute behind an exchange). Checkpointing the narrow
+    # (doc_id, source, n_tok, q) relation first makes both the sample and
+    # the shuffle read ~40-byte rows; the corpus pass runs exactly once.
+    m = spark.sql(_PIPE06_METRICS_SPARK).localCheckpoint(eager=True)
     nparts = max(2, spark.sparkContext.defaultParallelism // 2)
     parts = m.repartitionByRange(
         nparts, F.col("q").desc(), F.col("doc_id")

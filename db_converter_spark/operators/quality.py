@@ -112,24 +112,65 @@ _DQ01_DUCK = (
 )
 
 
+# r11: the three one-row stat relations are combined in ONE checkpointed
+# statement (each CTE referenced exactly once, cross-joined into a single
+# 1-row relation) — the three table aggregates become independent stages of
+# ONE job that the scheduler overlaps, instead of three sequential
+# checkpoint jobs (guide §2.6: overlap independent work; 4 jobs -> 2).
+# Column names are prefixed to disambiguate the two n_rows.
+_DQ01_COMBINED = f"""
+SELECT o.n_rows AS o_n_rows, o.null_custkey, o.null_orderdate,
+       o.dup_orderkey, o.bad_status, o.bad_price,
+       l.n_rows AS l_n_rows, l.dup_linekey, l.bad_qty, l.bad_discount,
+       l.null_shipdate, ri.n_orphans
+FROM ({_DQ01_O}) o CROSS JOIN ({_DQ01_L}) l CROSS JOIN ({_DQ01_RI}) ri
+"""
+
+_DQ01_LONG_COMBINED = """
+WITH metrics AS (
+  SELECT 'orders'   AS table_name, 'o_custkey'    AS column_name, 'completeness' AS constraint_type, o_n_rows AS n_checked, null_custkey   AS n_violations FROM s
+  UNION ALL
+  SELECT 'orders',   'o_orderdate',  'completeness', o_n_rows, null_orderdate FROM s
+  UNION ALL
+  SELECT 'orders',   'o_orderkey',   'uniqueness',   o_n_rows, dup_orderkey   FROM s
+  UNION ALL
+  SELECT 'orders',   'o_orderstatus','domain',       o_n_rows, bad_status     FROM s
+  UNION ALL
+  SELECT 'orders',   'o_totalprice', 'range',        o_n_rows, bad_price      FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey+l_linenumber', 'uniqueness', l_n_rows, dup_linekey FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity',   'range',        l_n_rows, bad_qty        FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_discount',   'range',        l_n_rows, bad_discount   FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_shipdate',   'completeness', l_n_rows, null_shipdate  FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey',   'referential_integrity', l_n_rows, n_orphans FROM s
+)
+SELECT table_name, column_name, constraint_type,
+  CAST(n_checked AS BIGINT)    AS n_checked,
+  CAST(n_violations AS BIGINT) AS n_violations,
+  (n_violations = 0)           AS passed
+FROM metrics
+""".replace("FROM s", "FROM dq01_stats")
+
+
 @query("dq01_constraint_audit", oracle=_DQ01_DUCK, tags=("quality", "audit"))
 def dq01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style declarative constraint audit (completeness, uniqueness,
     domain, range, referential integrity) over orders/lineitem — ONE
-    aggregate pass per table plus a keyed anti-join (each one-row stat
-    relation materialized once; the long-format emission reads the
-    checkpoints), emitted as the metric table a data-quality gate asserts
-    on. The pattern generalizes the reference's alert packets (SQL health
-    checks emitting violation rows) to analytic tables."""
+    aggregate pass per table plus a keyed anti-join, all three one-row
+    stat relations computed as independent stages of a single checkpointed
+    job (r11; the long-format emission reads that checkpoint), emitted as
+    the metric table a data-quality gate asserts on. The pattern
+    generalizes the reference's alert packets (SQL health checks emitting
+    violation rows) to analytic tables."""
     register_views(spark, sf_dir)
-    for view, stmt in (("o", _DQ01_O), ("l", _DQ01_L), ("ri", _DQ01_RI)):
-        spark.sql(stmt).localCheckpoint(eager=True).createOrReplaceTempView(
-            f"dq01_{view}"
-        )
-    long_sql = _DQ01_LONG
-    for view in ("o", "l", "ri"):
-        long_sql = long_sql.replace(f"FROM {view}", f"FROM dq01_{view}")
-    return spark.sql(long_sql)
+    spark.sql(_DQ01_COMBINED).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq01_stats"
+    )
+    return spark.sql(_DQ01_LONG_COMBINED)
 
 
 # ---------------------------------------------------------------------------
@@ -292,22 +333,69 @@ _DQ03_DUCK = (
 )
 
 
+# r11 (the dq01 rework): both one-row table aggregates cross-joined into a
+# single 1-row checkpoint — the scheduler overlaps the two aggregates as
+# independent stages of ONE job; the emission reads that checkpoint
+# (3 jobs -> 2). Only the shared n_rows needs prefixing.
+_DQ03_COMBINED = f"""
+SELECT o.n_rows AS o_n_rows, l.n_rows AS l_n_rows,
+       o.nn_custkey, o.nd_custkey, o.min_custkey, o.max_custkey,
+       o.nn_price, o.nd_price, o.min_price_x100, o.max_price_x100,
+       o.nn_odate, o.nd_odate, o.min_odate_days, o.max_odate_days,
+       l.nn_qty, l.nd_qty, l.min_qty_x100, l.max_qty_x100,
+       l.nn_disc, l.nd_disc, l.min_disc_x100, l.max_disc_x100,
+       l.nn_rflag, l.nd_rflag
+FROM ({_DQ03_O_SPARK}) o CROSS JOIN ({_DQ03_L}) l
+"""
+
+_DQ03_LONG_COMBINED = """
+WITH profile AS (
+  SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+         o_n_rows AS n_rows, o_n_rows - nn_custkey AS n_null,
+         nd_custkey AS n_distinct,
+         min_custkey AS min_canon, max_custkey AS max_canon FROM s
+  UNION ALL
+  SELECT 'orders', 'o_totalprice', o_n_rows, o_n_rows - nn_price, nd_price,
+         min_price_x100, max_price_x100 FROM s
+  UNION ALL
+  SELECT 'orders', 'o_orderdate', o_n_rows, o_n_rows - nn_odate, nd_odate,
+         min_odate_days, max_odate_days FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity', l_n_rows, l_n_rows - nn_qty, nd_qty,
+         min_qty_x100, max_qty_x100 FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_discount', l_n_rows, l_n_rows - nn_disc, nd_disc,
+         min_disc_x100, max_disc_x100 FROM s
+  UNION ALL
+  SELECT 'lineitem', 'l_returnflag', l_n_rows, l_n_rows - nn_rflag, nd_rflag,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM s
+)
+SELECT table_name, column_name,
+  CAST(n_rows AS BIGINT)     AS n_rows,
+  CAST(n_null AS BIGINT)     AS n_null,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  min_canon, max_canon,
+  CAST(ROUND(1000.0 * n_distinct / n_rows) AS BIGINT) AS distinct_x1000
+FROM profile
+""".replace("FROM s", "FROM dq03_stats")
+
+
 @query("dq03_column_profile", oracle=_DQ03_DUCK, tags=("quality", "profile"))
 def dq03_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column statistical profile (row/null/distinct counts, canonical
     integer extremes, distinct ratio) in long format — the pg_stats/ANALYZE
     surface the reference delegates to PostgreSQL, as a first-class
     operator. ONE aggregate pass per table (COUNT(DISTINCT)s expand
-    map-side); each one-row stat relation materialized once."""
+    map-side); both one-row stat relations computed as independent stages
+    of a SINGLE checkpointed job (r11, the dq01 rework: each CTE is
+    referenced exactly once, cross-joined 1-row x 1-row — the scheduler
+    overlaps the two table aggregates and the emission reads one
+    checkpoint; 3 jobs -> 2)."""
     register_views(spark, sf_dir)
-    for view, stmt in (("o", _DQ03_O_SPARK), ("l", _DQ03_L)):
-        spark.sql(stmt).localCheckpoint(eager=True).createOrReplaceTempView(
-            f"dq03_{view}"
-        )
-    long_sql = _DQ03_LONG.replace("FROM o", "FROM dq03_o").replace(
-        "FROM l", "FROM dq03_l"
+    spark.sql(_DQ03_COMBINED).localCheckpoint(eager=True).createOrReplaceTempView(
+        "dq03_stats"
     )
-    return spark.sql(long_sql)
+    return spark.sql(_DQ03_LONG_COMBINED)
 
 
 # ---------------------------------------------------------------------------

@@ -715,31 +715,54 @@ def _km_train(
     n_iter: int,
     k16: int,
     extra: str = "",
+    keep_last_asg: bool = False,
 ) -> tuple[str, str]:
     """Run the materialized Lloyd's loop over an exploded-vector view.
-    Returns (final_centroid_view, last_assignment_view). Each iteration
-    executes the corpus-scale work exactly once; only the ≤512-row
-    centroid table and the narrow assignment relation are checkpointed."""
+    Returns (final_centroid_view, last_assignment_ref). Only the ≤512-row
+    centroid table is checkpointed per iteration.
+
+    r11 shape: the assignment is INLINED into each update (``cent_next``
+    references ``asg`` exactly once, so there is no re-execution to guard
+    against — the O(2^T) hazard was the cent recurrence, and the per-round
+    centroid checkpoint still cuts that) — ONE job per iteration instead
+    of two, and the n-row assignment relation is never materialized
+    (guide §2.4: the two ops share the iteration's pass instead of paying
+    an extra barrier + an n-row checkpoint write per round).
+
+    ``keep_last_asg``: callers whose FINAL statement consumes the last
+    assignment (ss07/ss11 cell sizes) set this so the last iteration runs
+    the classic two-step (assignment checkpointed, update reads it) — the
+    measured alternative (re-deriving the assignment inside the final job)
+    pays a whole extra distance pass, which costs more than the one job
+    barrier it saves at every scale. Callers that never read the
+    assignment (ss08's probe tail, ss12 — its encode pass runs against the
+    FINAL centroids anyway) leave it off and fuse every iteration. The
+    returned ref is the checkpoint view name or the inline subquery
+    respectively; both splice into a ``FROM {asg}`` slot."""
     sqls = _km_sqls(extra)
     cent = spark.sql(
         sqls["cent0"].format(vflat=vflat_view, k16=k16)
     ).localCheckpoint(eager=True)
-    asg_view = ""
+    asg_ref = ""
     for t in range(n_iter):
         cent_view = f"{prefix}_cent{t}"
         cent.createOrReplaceTempView(cent_view)
-        asg_view = f"{prefix}_asg{t}"
-        spark.sql(
-            sqls["asg"].format(vflat=vflat_view, cent=cent_view)
-        ).localCheckpoint(eager=True).createOrReplaceTempView(asg_view)
+        asg_sql = sqls["asg"].format(vflat=vflat_view, cent=cent_view)
+        if keep_last_asg and t == n_iter - 1:
+            asg_ref = f"{prefix}_asg{t}"
+            spark.sql(asg_sql).localCheckpoint(eager=True).createOrReplaceTempView(
+                asg_ref
+            )
+        else:
+            asg_ref = "(" + asg_sql + ")"
         cent = spark.sql(
             sqls["cent_next"].format(
-                vflat=vflat_view, cent=cent_view, asg=asg_view
+                vflat=vflat_view, cent=cent_view, asg=asg_ref
             )
         ).localCheckpoint(eager=True)
     final_view = f"{prefix}_cent{n_iter}"
     cent.createOrReplaceTempView(final_view)
-    return final_view, asg_view
+    return final_view, asg_ref
 
 
 _KM_FINAL_SS07 = """
@@ -849,7 +872,9 @@ def ss07_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True, storageLevel=_BIG_CKPT_LEVEL
     )
     vflat.createOrReplaceTempView("ss07_vflat")
-    cent_view, asg_view = _km_train(spark, "ss07_vflat", "ss07", _KM_T, _KM_K * 16)
+    cent_view, asg_view = _km_train(
+        spark, "ss07_vflat", "ss07", _KM_T, _KM_K * 16, keep_last_asg=True
+    )
     return spark.sql(_KM_FINAL_SS07.format(cent=cent_view, asg=asg_view))
 
 
@@ -1246,7 +1271,8 @@ def _ss11_body(spark: SparkSession) -> DataFrame:
     )
     pqflat.createOrReplaceTempView("ss11_pqflat")
     cent_view, asg_view = _km_train(
-        spark, "ss11_pqflat", "ss11", _PQT_T, _PQT_K * 16, extra="m"
+        spark, "ss11_pqflat", "ss11", _PQT_T, _PQT_K * 16, extra="m",
+        keep_last_asg=True,
     )
     return spark.sql(_KM_FINAL_SS11.format(cent=cent_view, asg=asg_view))
 

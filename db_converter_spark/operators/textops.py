@@ -635,6 +635,28 @@ SELECT word, cnt, substring(r, 2, length(r) - 2) AS sp FROM (
 """
 
 
+def _ta09_apply_lit(df: DataFrame, pa: str, pb: str) -> DataFrame:
+    """Apply ONE merge with driver-collected literal pair symbols — a pure
+    narrow projection (r11: no 1-row cross join, no per-merge checkpoint).
+    The argmax row is metadata-scale (exactly one pair), so inlining it as
+    literals turns the whole merge chain into a linear stack of fused
+    projections over the ONE checkpointed spelling table: each iteration's
+    pair-count job recomputes the (i-1) preceding replaces in-stage —
+    narrow, shuffle-free — instead of paying a blocking checkpoint job per
+    merge (guide §2.4: remove barriers outright when a stage can carry the
+    recompute). ``F.lit`` carries the symbols without SQL-text escaping;
+    the replace/substring arithmetic is byte-identical to
+    :func:`_ta09_apply_spark`."""
+    wrapped = F.concat(F.lit("·"), F.col("sp"), F.lit("·"))
+    r = F.replace(
+        wrapped,
+        F.concat(F.lit("·"), F.lit(pa), F.lit("··"), F.lit(pb), F.lit("·")),
+        F.concat(F.lit("·"), F.lit(pa), F.lit(pb), F.lit("·")),
+    )
+    sp = r.substr(F.lit(2), F.length(r) - F.lit(2))
+    return df.select("word", "cnt", sp.alias("sp"))
+
+
 def _ta09_duck() -> str:
     spell0 = """
 SELECT word, cnt,
@@ -685,21 +707,27 @@ def ta09_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(_TA09_SPELL0_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "ta09_s0"
     )
-    selects = []
+    # r11 shape: ONE job per merge. The 1-row argmax is collected (the
+    # TakeOrdered job that ran anyway now also returns the row) and applied
+    # as a LITERAL projection (_ta09_apply_lit) — no per-merge b/s
+    # checkpoints, so the 8-merge chain costs 9 jobs instead of 17. Each
+    # merge's pair-count job fuses the preceding replaces into its own scan
+    # of the one s0 checkpoint; the collected rows ARE the output relation.
+    rows: list[tuple] = []
+    cur = "ta09_s0"
     for i in range(1, _TA09_N_MERGES + 1):
-        best_sql = _ta09_best(_ta09_pairs_spark(f"ta09_s{i-1}"))
-        spark.sql(best_sql).localCheckpoint(eager=True).createOrReplaceTempView(
-            f"ta09_b{i}"
-        )
-        selects.append(
-            f"SELECT {i} AS merge_idx, pa, pb, concat(pa, pb) AS merged, "
-            f"CAST(total AS BIGINT) AS pair_count FROM ta09_b{i}"
-        )
+        got = spark.sql(_ta09_best(_ta09_pairs_spark(cur))).collect()
+        if not got:  # degenerate corpus: fully merged — mirrors the empty
+            break    # b_i cross join, which emptied every later stage
+        b = got[0]
+        rows.append((i, b["pa"], b["pb"], b["pa"] + b["pb"], int(b["total"])))
         if i < _TA09_N_MERGES:
-            spark.sql(
-                _ta09_apply_spark(f"ta09_s{i-1}", f"SELECT * FROM ta09_b{i}")
-            ).localCheckpoint(eager=True).createOrReplaceTempView(f"ta09_s{i}")
-    return spark.sql(" UNION ALL ".join(selects))
+            nxt = f"ta09_s{i}"
+            _ta09_apply_lit(spark.table(cur), b["pa"], b["pb"]).createOrReplaceTempView(nxt)
+            cur = nxt
+    return spark.createDataFrame(
+        rows, "merge_idx INT, pa STRING, pb STRING, merged STRING, pair_count BIGINT"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1682,14 +1710,22 @@ def ta14_vocab_view(spark: SparkSession, sf_dir: str | None = None) -> None:
     spark.sql(_TA14_S0_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "ta14_s0"
     )
+    # r11 shape (same rework as ta09): per merge, ONE TakeOrdered job
+    # collects the 1-row argmax and the merge is applied as a LITERAL
+    # projection registered as a lazy view — the s{i} chain is a linear
+    # stack of fused replaces over the s0 checkpoint, recomputed in-stage
+    # by each consumer instead of checkpointed per merge (19 jobs -> 11).
+    # Only the SERVE artifact (the word -> n_sub encode map) is
+    # checkpointed: pipe06/11/12 broadcast-join it repeatedly and at
+    # deployment scale the trained map should be materialized once.
     for i in range(1, _TA09_N_MERGES + 1):
-        best_sql = _ta09_best(_ta09_pairs_spark(f"ta14_s{i-1}"))
-        spark.sql(best_sql).localCheckpoint(eager=True).createOrReplaceTempView(
-            f"ta14_b{i}"
-        )
-        spark.sql(
-            _ta09_apply_spark(f"ta14_s{i-1}", f"SELECT * FROM ta14_b{i}")
-        ).localCheckpoint(eager=True).createOrReplaceTempView(f"ta14_s{i}")
+        got = spark.sql(_ta09_best(_ta09_pairs_spark(f"ta14_s{i-1}"))).collect()
+        if got:
+            b = got[0]
+            nxt = _ta09_apply_lit(spark.table(f"ta14_s{i-1}"), b["pa"], b["pb"])
+        else:  # degenerate fully-merged corpus: empty b emptied later stages
+            nxt = spark.table(f"ta14_s{i-1}").limit(0)
+        nxt.createOrReplaceTempView(f"ta14_s{i}")
     spark.sql(
         f"SELECT word, size(split(sp, '··')) AS n_sub FROM ta14_s{_TA09_N_MERGES}"
     ).localCheckpoint(eager=True).createOrReplaceTempView("ta14_vocab")

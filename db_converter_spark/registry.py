@@ -51,20 +51,35 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # official green row.
 _CHECK_TAIL = (
     # =====================================================================
-    # r11 rotation (VERDICT r10 Next #4): the head refreshes the OLDEST
-    # official rows — the 5 r7 scalar-family rows (q20-q23, q26) and 39
-    # of the 47 r8 rows — plus the 6 queries whose SOURCE changed in r11:
-    # the renamed mm01-mm04 (registry keys are new: binary_decode /
-    # image_metadata / frame_sample / image_resize, real-codec names),
-    # dq08 (vmin/vmax histogram resolution + adaptive extraction branch)
-    # and ta13 (broadcast ceiling 20M -> 4M rows). 5 + 39 + 4 + 2 = 50.
-    # Eight r8 rows park below with their honest r8 stamps (fingerprint-
-    # pinned, locally oracle-verified every run via
-    # tests/test_oracle_parity.py) and lead the tail as next-oldest for
-    # the r12 head; then the r9 rows (minus dq08), then r10 (minus ta13).
+    # r11 rotation, optimization-round revision: the head MUST carry every
+    # query whose SOURCE changed in r11 — the 13 operators the r11
+    # optimization pass restructured (BPE-chain literal merges: ta09/ta14/
+    # pipe06/pipe11/pipe12; fused k-means iterations: ss07/ss08/ss11/ss12;
+    # lazy-checkpoint components: dd08/dd13; single-job stats: dq01/dq03)
+    # plus the mid-build r11 changes (renamed mm01-mm04, dq08's extraction
+    # rework, ta13's broadcast ceiling, dd14's inlined cells). To make
+    # room, 13 of the r8-row refreshes (q04-q08, q10, q11, q18, q19, q24,
+    # q24b, q27, q29 — source-unchanged, fingerprint-pinned at their
+    # honest r8 stamps) park at the TOP of the tail as next-oldest for
+    # the r12 head, alongside the 8 r8 rows already parked there. The 5
+    # r7 scalar-family rows (q20-q23, q26) stay in the head per the r10
+    # verdict. 5 + 24 r8 + 13 optimized + 4 mm + dq08 + ta13 + dd14 +
+    # dq07 = 50.
     # =====================================================================
+    "q04_left_join_counts",
+    "q05_customers_without_orders",
+    "q06_customers_with_big_order",
+    "q07_nullsafe_self_join",
+    "q08_self_join_pairs",
+    "q10_window_running_sum",
+    "q11_set_ops",
+    "q18_group_ordinal_having",
+    "q19_case_agg",
+    "q24_distinct_agg",
+    "q24b_array_agg_distinct",
+    "q27_pivot",
+    "q29_percentile",
     "ss06_pq_adc_topk",
-    "ss12_pq_trained_topk",
     "ss13_truncated_rerank",
     "ss14_sq8_topk",
     "ta01_langid",
@@ -75,14 +90,10 @@ _CHECK_TAIL = (
     "dc03_bloom_decontaminate",
     "dc04_benchmark_burn",
     "dd05_ngram_jaccard",
-    "dd08_neardup_components",
     "dd10_lsh_jaccard_verify",
     "dd12_dup_substring_runs",
-    "dd13_neardup_purge",
     "dd16_lsh_calibration",
-    "dq01_constraint_audit",
     "dq02_rate_anomaly",
-    "dq03_column_profile",
     "dq04_reconciliation",
     "dq05_fk_orphans",
     "dq06_distribution_drift",
@@ -105,11 +116,8 @@ _CHECK_TAIL = (
     "pipe10_dataset_card",
     "pipe13_importance_resample",
     "q38_unpivot",
-    "ss07_kmeans_train",
-    "ss08_ivf_trained_topk",
     "ss09_lsh_recall",
     "ss10_ivf_balance",
-    "ss11_pq_train",
     "ta07_trigram_lm",
     "q01_pricing_summary",
     "q25_rollup",
@@ -138,11 +146,9 @@ _CHECK_TAIL = (
     "ta05_hll_distinct",
     "ta06_repetition_score",
     "pii01_pii_scrub",
-    "ta09_bpe_train",
     "ta10_vocab_growth",
     "ta11_tfidf_topterms",
     "ta12_ppl_buckets",
-    "ta14_bpe_encode",
     "ev01_windowed_event_stats",
     "ev02_sessionization",
     "mg01_chunk_grid",
@@ -152,9 +158,6 @@ _CHECK_TAIL = (
     "ev06_multi_rollup",
     "ev18_streaming_quantiles",
     "ev19_cohort_activity_retention",
-    "pipe06_token_budget",
-    "pipe11_context_fit",
-    "pipe12_epoch_plan",
     "pipe15_neardup_safe_split",
 )
 # NOTE (r8 final state): tail parks queries whose newest official row is

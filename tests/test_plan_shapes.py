@@ -164,15 +164,18 @@ def test_ss07_joins_stay_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Scan parquet" not in plan, plan  # corpus flows via checkpoints
     sqls = _km_sqls()
+    asg_sub = "(" + sqls["asg"].format(vflat="ss07_vflat", cent="ss07_cent0") + ")"
     asg_plan = _fresh_plan(
         spark, sqls["asg"].format(vflat="ss07_vflat", cent="ss07_cent0")
     )
     assert "SortMergeJoin" not in asg_plan, asg_plan
     assert asg_plan.count("BroadcastHashJoin") == 1, asg_plan
+    # r11: the assignment is inlined into the update (one fused job per
+    # iteration) — pin the fused stage the way _km_train now builds it
     upd_plan = _fresh_plan(
         spark,
         sqls["cent_next"].format(
-            vflat="ss07_vflat", cent="ss07_cent0", asg="ss07_asg0"
+            vflat="ss07_vflat", cent="ss07_cent0", asg=asg_sub
         ),
     )
     # the corpus-side asg⋈vflat join keys vec_id (shuffle — correct at

@@ -178,7 +178,6 @@ def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
     from db_converter_spark.catalog import register_views  # noqa: F401
     from db_converter_spark.operators.dedup import (
         _DD14_ASSIGN_SPARK,
-        _DD14_CELLS_SPARK,
         _DD14_PAIRS_SPARK,
         _DD14_SPARK_MAIN,
     )
@@ -191,7 +190,7 @@ def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
     assert acheck[11] == 0 and acheck[502] == 502 and acheck[20] == 502
     assign.localCheckpoint(eager=True).createOrReplaceTempView("dd14_assign")
     spark.sql(_DD14_PAIRS_SPARK).createOrReplaceTempView("dd14_pairs")
-    spark.sql(_DD14_CELLS_SPARK).createOrReplaceTempView("dd14_cells")
+    # r11: cell sizes are inlined in _DD14_SPARK_MAIN (no dd14_cells view)
     got = sorted(tuple(r) for r in spark.sql(_DD14_SPARK_MAIN).collect())
     cells = {r[0]: r for r in got}
     assert set(cells) == {0, 502}, cells

@@ -1992,15 +1992,38 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure class (r6), which was fixed everywhere BUT here; measured
     # this round the deserialized form dies UNABLE_TO_ACQUIRE in the
     # report tail where the serialized form completes.
-    spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
-        eager=True, storageLevel=_BIG_CKPT_LEVEL
-    ).createOrReplaceTempView("dd14_assign")
-    # materialize dup_pairs ONCE (tiny post-filter): the report's two stat
-    # branches would otherwise each re-run the cosine pair join (Catalyst
-    # inlines CTEs) — see _dd14_pairs
-    spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
-        eager=True, storageLevel=_BIG_CKPT_LEVEL
-    ).createOrReplaceTempView("dd14_pairs")
+    #
+    # r11 (guide §2.5 — skew/parallelism, measured via the stage API): the
+    # embedding payload is ~1 KB/row but every pair costs a 64-dim
+    # interpreted cosine, so AQE's byte-based coalescing collapsed the
+    # assignment's final exchange AND the pair join's post-shuffle stage
+    # to ONE partition — the O(Σ cell²) pair-cosine stage ran single-core
+    # (one 3.9-4.8 s task of a 5.8 s query; stage API probe in
+    # OPTIMIZATION_r11.md). Compute-per-byte here is orders of magnitude
+    # above AQE's sizing model, so partition COALESCING (only) is turned
+    # off for these two statements — post-shuffle partitions fall back to
+    # spark.sql.shuffle.partitions, the deployment-tuned value; skew-join
+    # splitting and the rest of AQE stay on. (The deprecated
+    # coalescePartitions.minPartitionNum floor is settable but ignored on
+    # Spark 4.1 — measured; enabled=false is the lever that works.)
+    floor_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_floor = spark.conf.get(floor_key, None)
+    spark.conf.set(floor_key, "false")
+    try:
+        spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
+            eager=True, storageLevel=_BIG_CKPT_LEVEL
+        ).createOrReplaceTempView("dd14_assign")
+        # materialize dup_pairs ONCE (tiny post-filter): the report's two
+        # stat branches would otherwise each re-run the cosine pair join
+        # (Catalyst inlines CTEs) — see _dd14_pairs
+        spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
+            eager=True, storageLevel=_BIG_CKPT_LEVEL
+        ).createOrReplaceTempView("dd14_pairs")
+    finally:
+        if prev_floor is None:
+            spark.conf.unset(floor_key)
+        else:
+            spark.conf.set(floor_key, prev_floor)
     # r11: the k-row cell sizes are an inline aggregate of the report job
     # (_DD14_CELLS_INLINE) — the report references the n-row assignment
     # exactly once, streaming the serialized checkpoint the same way the

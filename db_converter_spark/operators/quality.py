@@ -1075,16 +1075,25 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning a multiple of the corpus never is (the dd12 lesson)."""
     register_views(spark, sf_dir)
     spark.sql(_DQ08_VALS_SPARK).createOrReplaceTempView("dq08_vals")
-    spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
+    # r11 (guide §2.4): mm and within checkpoint LAZILY — the dd08/dd13
+    # move. mm is referenced exactly once by the cum statement (the
+    # broadcast build side), so the cum job materializes it — its min/max
+    # corpus scan no longer costs a dedicated barrier. within is
+    # materialized by the `mixed` collect below that ran anyway. cum stays
+    # EAGER: the within statement references it twice (pick + the picked-
+    # bin probe), and only a materialized checkpoint guarantees the
+    # corpus-histogram subtree can never execute twice.
+    spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=False).createOrReplaceTempView(
         "dq08_mm"
     )
     spark.sql(
         _DQ08_CUM_SPARK.format(binned_src=f"({_DQ08_BINNED_SPARK})")
     ).localCheckpoint(eager=True).createOrReplaceTempView("dq08_cum")
-    within = spark.sql(_DQ08_WITHIN_SPARK).localCheckpoint(eager=True)
+    within = spark.sql(_DQ08_WITHIN_SPARK).localCheckpoint(eager=False)
     within.createOrReplaceTempView("dq08_within")
     # metadata-scale collect over the <= cols x quantiles checkpoint: the
     # mixed bins' literal value ranges parameterize the extraction scans
+    # (and, r11, this collect IS the job that materializes `within`)
     mixed = [tuple(r) for r in within.filter("vmin < vmax").collect()]
     exact_src = _DQ08_RESOLVED_SPARK + (
         f" UNION ALL {_dq08_extract_sql(mixed)}" if mixed else ""

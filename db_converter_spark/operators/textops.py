@@ -1464,8 +1464,13 @@ def _ta13_run(spark: SparkSession) -> DataFrame:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)
-        if not staged:
-            out = out.localCheckpoint(eager=True)
+        # r11 (guide §2.4): the tail consumes each published view exactly
+        # ONCE, so on the non-staged path the eager union checkpoint was a
+        # pure job barrier — publish the LAZY union and the tail's single
+        # job runs all per-n explode branches as concurrent sibling stages
+        # over the ta13_docs checkpoint (no recompute: one consumer each).
+        # The staged path's parts are already per-pass checkpoints; its
+        # union stays a cheap concat of materialized partitions.
         out.createOrReplaceTempView(view)
 
     def _ckpt_union(sqls: "list[str]", view: str) -> None:

@@ -1075,15 +1075,17 @@ def dq08_column_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning a multiple of the corpus never is (the dd12 lesson)."""
     register_views(spark, sf_dir)
     spark.sql(_DQ08_VALS_SPARK).createOrReplaceTempView("dq08_vals")
-    # r11 (guide §2.4): mm and within checkpoint LAZILY — the dd08/dd13
-    # move. mm is referenced exactly once by the cum statement (the
-    # broadcast build side), so the cum job materializes it — its min/max
-    # corpus scan no longer costs a dedicated barrier. within is
-    # materialized by the `mixed` collect below that ran anyway. cum stays
-    # EAGER: the within statement references it twice (pick + the picked-
-    # bin probe), and only a materialized checkpoint guarantees the
-    # corpus-histogram subtree can never execute twice.
-    spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=False).createOrReplaceTempView(
+    # r11 (guide §2.4): within checkpoints LAZILY (the dd08/dd13 move) —
+    # it is materialized by the `mixed` collect below that ran anyway, one
+    # job barrier cheaper, and a driver collect carries no timeout
+    # semantics. mm and cum stay EAGER, each deliberately: a lazy mm would
+    # put the full min/max corpus scan INSIDE the cum statement's
+    # broadcast build (subject to spark.sql.broadcastTimeout on the
+    # 600 M-row decade path — a new failure class bought for a barrier
+    # worth milliseconds at scale; measured neutral at bench scale); a
+    # lazy cum could double-execute the corpus-histogram subtree, which
+    # the within statement references twice (pick + the picked-bin probe).
+    spark.sql(_DQ08_MM_SPARK).localCheckpoint(eager=True).createOrReplaceTempView(
         "dq08_mm"
     )
     spark.sql(

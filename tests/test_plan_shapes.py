@@ -1029,3 +1029,10 @@ def test_ta13_two_phase_staged_templates(spark):
     finally:
         spark.catalog.dropTempView("ta13_k_pin")
         spark.catalog.dropTempView("ta13_docs")
+        # r11: restore-discipline for the planted corpus (every other
+        # planting test resets the register_views memo; this r10 test
+        # forgot, so the 2-row `documents` leaked into whichever
+        # corpus-reading test ran next in the shared session — surfaced
+        # as ta09 training 'a b a b' merges in a plan_shapes+r8_ops run)
+        spark.catalog.dropTempView("documents")
+        spark._dbc_registered_sf = None

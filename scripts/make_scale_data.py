@@ -32,8 +32,9 @@ to preserve input order. Content is byte-identical deterministic; row
 ORDER within the file is not (no consumer reads these files
 order-sensitively — every probe/test aggregates or joins). ``documents``
 keeps the per-replica UNION (its text transform indexes a Python
-permutation table, documented unique up to 1000 replicas) but streams
-through the same unordered COPY.
+permutation table, documented unique up to 2000 replicas — two disjoint
+vowel-permutation banks since r11) but streams through the same
+unordered COPY.
 """
 
 from __future__ import annotations
@@ -54,9 +55,25 @@ N_REP = 10
 # — every replica's text transform is unique up to 1000 replicas (sf100),
 # so cross-replica exact duplicates never form (k-way duplicate cliques
 # would let exact-dedup reps collapse the corpus and understate scale).
+# r11: a SECOND, disjoint vowel-permutation bank (VOWELS2) extends the
+# uniqueness bound to 2000 replicas for the ta13 next-doubling probe
+# (sf200 = a 2x sf100 doc corpus). Replicas < 1000 are BYTE-IDENTICAL to
+# the r10 generator — the second bank only engages at i >= 1000. (The
+# naive i >= 1000 continuation was measured to COLLIDE: CONS2[k:] is
+# empty for k >= 10, so the third knob degenerates to identity and every
+# i >= 1000 mapping equals some i < 1000 mapping — 11-way exact-text
+# cliques. tests/test_scale_data.py pins pairwise-distinct mappings for
+# the full 2000 range and the i < 1000 expressions verbatim.)
 VOWELS = [
     "aeiou", "eioua", "iouae", "ouaei", "uaeio",
     "aeiuo", "eioau", "iouea", "ouaie", "uaeoi",
+]
+# disjoint from VOWELS (and from identity "aeiou"): block-2 vowel
+# mappings can never coincide with a block-1 mapping, whatever the
+# consonant knobs do (consonant rotations don't touch vowels)
+VOWELS2 = [
+    "aeoiu", "aeuio", "aiueo", "aoeiu", "auieo",
+    "eaiou", "eaoui", "iaeou", "oaeiu", "uaoei",
 ]
 CONS = "bcdfghjklm"
 CONS2 = "npqrstvwxz"
@@ -65,12 +82,20 @@ CONS2 = "npqrstvwxz"
 def _translate_expr(i: int) -> str:
     if i == 0:
         return "text"
-    src_chars, dst_chars = "aeiou", VOWELS[i % 10]
-    j = (i // 10) % 10
+    if i < 1000:
+        src_chars, dst_chars = "aeiou", VOWELS[i % 10]
+        j = (i // 10) % 10
+        k = i // 100
+    else:
+        # block 2 (i in [1000, 2000)): the same three-knob scheme over the
+        # disjoint vowel bank; (m%10, (m//10)%10, m//100) determines m
+        m = i - 1000
+        src_chars, dst_chars = "aeiou", VOWELS2[m % 10]
+        j = (m // 10) % 10
+        k = m // 100
     if j:
         src_chars += CONS
         dst_chars += CONS[j:] + CONS[:j]
-    k = i // 100
     if k:
         src_chars += CONS2
         dst_chars += CONS2[k:] + CONS2[:k]
@@ -109,7 +134,7 @@ def table_select(table: str, n_rep: int) -> str:
     """ONE streaming SELECT producing all replicas of a table. Arithmetic
     tables cross-join the replica index; documents (whose text transform
     indexes the Python permutation tables above) keeps the per-replica
-    UNION — its replica counts stay <= 1000 by the uniqueness bound."""
+    UNION — its replica counts stay <= 2000 by the uniqueness bound."""
     src = f"read_parquet('{SRC}/{table}.parquet')"
     if table in ("region", "nation"):
         return f"SELECT * FROM {src}"
@@ -119,6 +144,13 @@ def table_select(table: str, n_rep: int) -> str:
             f" CROSS JOIN (SELECT unnest(range({n_rep})) AS i) r"
         )
     if table == "documents":
+        if n_rep > 2000:
+            raise ValueError(
+                "documents replica count capped at 2000: the text-transform"
+                " uniqueness bound (VOWELS/VOWELS2 banks) is proven only up"
+                " to 2000 — beyond that, cross-replica exact-dup cliques"
+                " would collapse under dedup and understate scale"
+            )
         selects = [
             f"SELECT doc_id + {i * M} AS doc_id, {_translate_expr(i)} AS text,"
             f" lang, source, n_chars FROM {src}"

@@ -62,6 +62,60 @@ def test_fact_joins_resolve_across_replicas(tiny_scale_dir):
     assert orphans == (0, 0, 0)
 
 
+def _load_generator():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_scale_data", ROOT / "scripts" / "make_scale_data.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_translate_mappings_unique_to_2000_reps():
+    """The r11 sf200 (2x sf100 doc corpus) probe needs 2000 DISTINCT text
+    transforms: compare induced character MAPPINGS, not expression
+    strings — the naive i>=1000 continuation produced distinct SQL whose
+    CONS2 slice degenerated to identity, i.e. 11-way exact-dup cliques."""
+    import re
+
+    mod = _load_generator()
+    probe = "aeiou" + mod.CONS + mod.CONS2
+    seen = {}
+    for i in range(2000):
+        expr = mod._translate_expr(i)
+        if expr == "text":
+            mapped = probe
+        else:
+            src, dst = re.findall(r"'([a-z]+)'", expr)
+            assert sorted(src) == sorted(set(src)), f"dup chars in src at {i}"
+            assert len(src) == len(dst), i
+            mapped = probe.translate(str.maketrans(src, dst))
+        assert mapped not in seen, f"replica {i} duplicates replica {seen[mapped]}"
+        seen[mapped] = i
+
+
+def test_translate_exprs_below_1000_unchanged_since_r10():
+    """Replicas < 1000 must stay byte-identical to the r10 generator so
+    existing probe corpora (sf1/sf10/sf100) remain reproducible; pinned
+    against expressions captured from the pre-r11 implementation."""
+    mod = _load_generator()
+    pinned = {
+        0: "text",
+        1: "translate(text, 'aeiou', 'eioua')",
+        34: "translate(text, 'aeioubcdfghjklm', 'uaeiofghjklmbcd')",
+        234: "translate(text, 'aeioubcdfghjklmnpqrstvwxz',"
+             " 'uaeiofghjklmbcdqrstvwxznp')",
+        555: "translate(text, 'aeioubcdfghjklmnpqrstvwxz',"
+             " 'aeiuohjklmbcdfgtvwxznpqrs')",
+        999: "translate(text, 'aeioubcdfghjklmnpqrstvwxz',"
+             " 'uaeoimbcdfghjklznpqrstvwx')",
+    }
+    for i, expr in pinned.items():
+        assert mod._translate_expr(i) == expr, i
+
+
 def test_replica_texts_distinct_and_structure_preserved(tiny_scale_dir):
     """Near-dup structure must scale LINEARLY: exact-dup group count
     multiplies by the replica count (no cross-replica collapses), and

@@ -93,7 +93,22 @@ def _spill_totals() -> tuple[int, int]:
 
 
 def main() -> int:
-    spark = build_session(app_name="mem-probe-r6")
+    spark = build_session(
+        app_name="mem-probe-r6",
+        extra_conf={
+            # r11: ambient hypervisor CPU-steal storms (observed ~30k
+            # steal ticks/min, ~5 cores stolen outright) starved the
+            # local-mode driver's heartbeat threads 15 min into the sf100
+            # leg; the HeartbeatReceiver expired the executor and shut the
+            # SparkContext down mid-job. Probes run for hours with all 32
+            # cores busy under DELIBERATE memory pressure — harden the
+            # liveness timeouts so a noisy hypervisor cannot kill the
+            # measurement (session-resilience conf, not a perf setting;
+            # the benched engine session is untouched).
+            "spark.network.timeout": "800s",
+            "spark.executor.heartbeatInterval": "20s",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     names = args.names or HEAVY

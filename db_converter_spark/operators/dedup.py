@@ -2123,10 +2123,19 @@ _DD15_FULLSH_SPARK = _dd15_fullsh(f"explode({_DD10_WORDSH_W_SPARK})", "split")
 _DD15_FULLSH_DUCK = _dd15_fullsh(f"unnest({_DD10_WORDSH_W_DUCK})", "string_split")
 
 
-def _dd15_cand_ctes(full_sh: str, hints: bool = False) -> str:
+def _dd15_cand_ctes(full_sh: str, hints: bool = False, df_window: bool = False) -> str:
     """The containee-channel CTEs (gram_df → bottom-k → probe pairs);
     callers open their own WITH chain and union ``ccand`` with the
-    symmetric-banding candidates."""
+    symmetric-banding candidates.
+
+    ``df_window`` (Spark side, r12 — guide §2.4): compute each gram's
+    document frequency as COUNT(*) OVER (PARTITION BY sh) instead of the
+    gram_df aggregate + self-join — identical df values (full_sh is
+    DISTINCT (doc_id, sh), so the window count over sh IS the document
+    frequency), one exchange and one full_sh scan fewer (the aggregate's
+    sh-keyed exchange + the join's second full_sh read collapse into the
+    single sh-partitioned window pass). The DuckDB oracle keeps the
+    aggregate+join text (default False)."""
     # no broadcast hints on the gram_df / probe joins (r7): gram_df and bk
     # are both corpus-scale at deployment — a forced broadcast caps scale.
     # AQE converts either join to broadcast AT RUNTIME when the built side
@@ -2134,7 +2143,24 @@ def _dd15_cand_ctes(full_sh: str, hints: bool = False) -> str:
     # at bench scale and correct at 100 TB.
     h_bk = ""
     h_probe = ""
-    return f"""
+    if df_window:
+        bk_ctes = f"""
+bk AS (
+  -- the containee's partial signature: its {_DD15_BOTTOM_K} smallest grams
+  -- in md5 order AMONG ITS RARE GRAMS (df <= {_DD15_MAX_DF}, filtered
+  -- BEFORE the rank — r7; raw-gram tiebreak); df via a window over the
+  -- same pass (r12)
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY md5(sh), sh) AS rn
+    FROM (
+      SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+      FROM {full_sh}
+    ) fd WHERE df <= {_DD15_MAX_DF}
+  ) t WHERE rn <= {_DD15_BOTTOM_K}
+), ccand AS ("""
+    else:
+        bk_ctes = f"""
 gram_df AS (
   SELECT sh, COUNT(*) AS df FROM {full_sh} GROUP BY sh
 ), bk AS (
@@ -2148,7 +2174,8 @@ gram_df AS (
     FROM {full_sh} f
     JOIN gram_df g ON g.sh = f.sh AND g.df <= {_DD15_MAX_DF}
   ) t WHERE rn <= {_DD15_BOTTOM_K}
-), ccand AS (
+), ccand AS ("""
+    return bk_ctes + f"""
   -- probe postings are df-bounded by construction (every bk gram has
   -- df <= {_DD15_MAX_DF}). DISTINCT applied OUTSIDE the hinted join
   -- subquery: Spark 4.1 throws an internal AttributeMap error (Union
@@ -2179,13 +2206,24 @@ SELECT DISTINCT da, db FROM (
 
 
 _DD15_CCAND_SPARK = (
-    "WITH " + _dd15_cand_ctes("dd15_sh", hints=True) + "\nSELECT da, db FROM ccand"
+    "WITH "
+    + _dd15_cand_ctes("dd15_sh", hints=True, df_window=True)
+    + "\nSELECT da, db FROM ccand"
 )
-# the union runs over two MATERIALIZED views (dd15_ccand, dd10_cand):
-# unioning the live ccand plan trips a Spark 4.1 internal AttributeMap
-# error (UnionBase.rewriteConstraints, key not found: da#...) from the
-# LEAST/GREATEST-derived constraints; checkpointed views carry none.
-_DD15_CAND_SPARK = _dd15_cand_union("dd10_cand").replace("ccand", "dd15_ccand")
+# r12: the containee channel is FUSED into the union statement (one
+# eager checkpoint instead of two — the ccand probe work and the union's
+# DISTINCT run as one job). The union of the LIVE ccand plan used to trip
+# a Spark 4.1 internal AttributeMap error (UnionBase.rewriteConstraints,
+# key not found: da#...) from the LEAST/GREATEST-derived constraints;
+# the builder already runs this statement under
+# spark.sql.constraintPropagation.enabled=false (for the same bug on the
+# checkpointed form), and with propagation off no constraints exist to
+# rewrite — verified against the r11 repro in tests.
+_DD15_CAND_SPARK = (
+    "WITH "
+    + _dd15_cand_ctes("dd15_sh", hints=True, df_window=True)
+    + _dd15_cand_union("dd10_cand")
+)
 _DD15_TAIL_SPARK = "WITH " + _dd15_tail("dd15_cand", "dd15_sh", hints=True)
 
 
@@ -2228,13 +2266,14 @@ def dd15_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     _dd10_prepare(spark, sf_dir, with_doc_sh=False)
     full_sh = spark.sql(_DD15_FULLSH_SPARK).localCheckpoint(eager=True)
     full_sh.createOrReplaceTempView("dd15_sh")
-    ccand = spark.sql(_DD15_CCAND_SPARK).localCheckpoint(eager=True)
-    ccand.createOrReplaceTempView("dd15_ccand")
     # Spark 4.1 bug dodge: the deduplicating union trips an internal
     # AttributeMap error (UnionBase.rewriteConstraints: key not found)
-    # when a branch's checkpointed lineage carries LEAST/GREATEST- or
-    # da<db-derived constraints. Constraint propagation is pure optimizer
-    # pruning — off for this ONE statement, restored immediately.
+    # when a branch's lineage carries LEAST/GREATEST- or da<db-derived
+    # constraints. Constraint propagation is pure optimizer pruning — off
+    # for this ONE statement, restored immediately. r12: the containee
+    # channel's CTEs live INSIDE this statement (one checkpoint job
+    # instead of two — each CTE is referenced exactly once, so nothing
+    # recomputes), which this conf scope also makes legal.
     conf_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "false")

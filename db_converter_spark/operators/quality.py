@@ -507,16 +507,80 @@ FROM (
 _DQ05 = "\nUNION ALL\n".join(_dq05_edge_sql(*e) for e in _DQ05_EDGES)
 
 
+# r12 (guide §6/§2.4): the Spark side fuses all seven edges into ONE
+# multi-FK pass. The per-edge UNION ALL text (the DuckDB oracle, unchanged)
+# scanned lineitem THREE times (l_orderkey / l_partkey / l_suppkey edges) —
+# three full passes over the biggest table at any scale. Here each child
+# table is scanned ONCE and its FK columns are unpivoted via stack() into
+# (edge, fk) rows (all keys cast to BIGINT — lossless, every key is an
+# integer type); one (edge, fk)-keyed aggregate replaces the seven
+# per-edge aggregates, and one (edge, key) join against the tagged
+# DISTINCT parent-key union replaces the seven joins. Identical
+# per-edge arithmetic: the group row set per edge is exactly the old
+# per-edge GROUP BY, and the parent sets are tagged per edge so the
+# LEFT JOIN matches exactly the old per-edge semi-join. Plan: 42
+# exchanges -> 7, lineitem scans 3 -> 1 (plans/r12/dq05_fk_orphans_*).
+def _dq05_child_branch(edges: tuple) -> str:
+    """One scan of a child table unpivoting its FK edges via stack()."""
+    by_child: dict[str, list[tuple[str, str]]] = {}
+    for edge, child, fk, _parent, _pk in edges:
+        by_child.setdefault(child, []).append((edge, fk))
+    branches = []
+    for child, pairs in by_child.items():
+        if len(pairs) == 1:  # single-FK child: no generator needed
+            e, fk = pairs[0]
+            branches.append(
+                f"SELECT '{e}' AS edge, CAST({fk} AS BIGINT) AS fk FROM {child}"
+            )
+        else:
+            args = ", ".join(f"'{e}', CAST({fk} AS BIGINT)" for e, fk in pairs)
+            branches.append(
+                f"SELECT stack({len(pairs)}, {args}) AS (edge, fk) FROM {child}"
+            )
+    return "\n  UNION ALL\n  ".join(branches)
+
+
+_DQ05_SPARK = f"""
+WITH ck AS (
+  SELECT edge, fk, COUNT(*) AS cnt FROM (
+  {_dq05_child_branch(_DQ05_EDGES)}
+  ) c GROUP BY edge, fk
+), pk AS (
+  {"  UNION ALL".join(
+    f'''
+  SELECT DISTINCT '{edge}' AS edge, CAST({pk} AS BIGINT) AS pk FROM {parent}
+'''
+    for edge, _child, _fk, parent, pk in _DQ05_EDGES
+  )}
+)
+SELECT k.edge AS edge,
+  CAST(SUM(k.cnt) AS BIGINT)                                      AS n_child_rows,
+  CAST(SUM(CASE WHEN k.fk IS NULL THEN k.cnt ELSE 0 END) AS BIGINT) AS n_null_rows,
+  CAST(SUM(CASE WHEN k.fk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_fk_keys,
+  CAST(SUM(CASE WHEN k.fk IS NOT NULL AND p.pk IS NULL THEN k.cnt ELSE 0 END)
+       AS BIGINT)                                                 AS n_orphan_rows,
+  CAST(SUM(CASE WHEN k.fk IS NOT NULL AND p.pk IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT)                                                 AS n_orphan_keys
+FROM ck k
+LEFT JOIN pk p ON p.edge = k.edge AND p.pk = k.fk
+GROUP BY k.edge
+"""
+
+
 @query("dq05_fk_orphans", oracle=_DQ05, tags=("quality", "integrity", "audit"))
 def dq05_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over every FK edge in the schema:
     per-edge child-row/key counts, NULL-FK counts, and orphan rows/keys
-    (child keys with no parent). Each edge is one uniform-key aggregate
-    plus one key-only join (dimension parents broadcast; the fact-fact
-    lineitem->orders edge co-partitions); output is |edges| rows — the
-    release gate a lake without enforced constraints runs instead of
-    the reference's server-side constraint checks."""
-    return _sql(spark, sf_dir, _DQ05)
+    (child keys with no parent). The Spark plan runs ALL edges in one
+    multi-FK pass (r12): each child table is scanned once with its FK
+    columns unpivoted to (edge, fk) rows, one keyed aggregate collapses
+    them, and one join against the tagged DISTINCT parent-key union
+    marks orphans — lineitem is scanned once instead of once per FK
+    edge; output is |edges| rows — the release gate a lake without
+    enforced constraints runs instead of the reference's server-side
+    constraint checks."""
+    return _sql(spark, sf_dir, _DQ05_SPARK)
 
 
 # ---------------------------------------------------------------------------

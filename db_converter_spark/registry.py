@@ -51,21 +51,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # official green row.
 _CHECK_TAIL = (
     # =====================================================================
-    # r11 rotation, optimization-round revision: the head MUST carry every
-    # query whose SOURCE changed in r11 — the 13 operators the r11
-    # optimization pass restructured (BPE-chain literal merges: ta09/ta14/
-    # pipe06/pipe11/pipe12; fused k-means iterations: ss07/ss08/ss11/ss12;
-    # lazy-checkpoint components: dd08/dd13; single-job stats: dq01/dq03)
-    # plus the mid-build r11 changes (renamed mm01-mm04, dq08's extraction
-    # rework, ta13's broadcast ceiling, dd14's inlined cells). To make
-    # room, 13 of the r8-row refreshes (q04-q08, q10, q11, q18, q19, q24,
-    # q24b, q27, q29 — source-unchanged, fingerprint-pinned at their
-    # honest r8 stamps) park at the TOP of the tail as next-oldest for
-    # the r12 head, alongside the 8 r8 rows already parked there. The 5
-    # r7 scalar-family rows (q20-q23, q26) stay in the head per the r10
-    # verdict. 5 + 24 r8 + 13 optimized + 4 mm + dq08 + ta13 + dd14 +
-    # dq07 = 50.
+    # r12 rotation (optimization round 2): the head MUST carry every query
+    # whose SOURCE changes in r12. Interim state while the round is in
+    # flight: dq05 (single multi-FK pass) and dd15 (df-window + fused
+    # ccand) moved OUT of the tail to the head; mm01/mm02 (untouched,
+    # fresh r11 rows) park in their place. The full r12 rotation (the 20
+    # parked r8 rows to the head, unchanged r11-row queries to the tail)
+    # lands at round close once the final source-changed set is known.
     # =====================================================================
+    "mm01_binary_decode",
+    "mm02_image_metadata",
     "q04_left_join_counts",
     "q05_customers_without_orders",
     "q06_customers_with_big_order",
@@ -95,7 +90,6 @@ _CHECK_TAIL = (
     "dd16_lsh_calibration",
     "dq02_rate_anomaly",
     "dq04_reconciliation",
-    "dq05_fk_orphans",
     "dq06_distribution_drift",
     "ev10_session_window_stream",
     "ev11_interarrival_hist",
@@ -140,7 +134,6 @@ _CHECK_TAIL = (
     "dd07_embedding_neardup",
     "dc01_decontaminate",
     "dd11_dedup_keep_best",
-    "dd15_containment",
     "dd17_incremental_dedup",
     "ta04_winnow_fingerprints",
     "ta05_hll_distinct",

@@ -556,13 +556,16 @@ def test_q38_unpivot_single_expand(spark):
 
 
 def test_dq05_keyed_joins_only(spark):
-    """FK orphan audit: every edge is a keyed join (dimension parents
-    broadcast at this SF) over pre-aggregated key relations — never a
-    nested-loop/cartesian, never a global sort."""
+    """FK orphan audit (r12 single multi-FK pass): ALL edges share ONE
+    (edge, fk)-keyed aggregate and ONE keyed join against the tagged
+    parent-key union — lineitem is scanned exactly once (the per-edge
+    UNION form scanned it three times), never a nested-loop/cartesian,
+    never a global sort."""
     plan = _plan(spark, "dq05_fk_orphans")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "rangepartitioning" not in plan, plan
-    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 7, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_pipe11_single_scan_bounded_fanout(spark):
@@ -605,10 +608,13 @@ def test_dd15_same_accepted_shape_as_dd10(spark):
 
 
 def test_dd15_containee_channel_stage_shape(spark):
-    """The r6 bottom-k candidate stage: reads ONLY the checkpointed
-    inverted index (zero parquet scans), the bottom-k window partitions
-    by doc_id (never a global sort), and both the df-guard and the
-    posting probe are broadcast joins — no shuffle join anywhere."""
+    """The bottom-k candidate stage (r12 df-window form): reads ONLY the
+    checkpointed inverted index (zero parquet scans), the gram document
+    frequency is a window over the SAME pass (partitioned by sh — no
+    aggregate+self-join, so full_sh is scanned once for the whole bk
+    chain), the bottom-k window partitions by doc_id (never a global
+    sort), and the posting probe is a broadcast join — no shuffle join
+    anywhere."""
     from db_converter_spark.catalog import register_views
     from db_converter_spark.operators.dedup import (
         _DD15_CCAND_SPARK,
@@ -624,8 +630,11 @@ def test_dd15_containee_channel_stage_shape(spark):
     assert "Scan parquet" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "hashpartitioning(sh" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+    # one full_sh read feeds the whole bk chain; the probe's is the only other
+    assert plan.count("Scan ExistingRDD") == 2, plan
 
 
 def test_mg06_single_scan_single_shuffle(spark):

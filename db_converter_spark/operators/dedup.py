@@ -1920,11 +1920,85 @@ _DD14_ASSIGN_SPARK = _dd14_assign_sql(
     widen="CAST({x} AS DECIMAL(7,0))",
 )
 
-_DD14_PAIRS_SPARK = _dd14_pairs(
-    "aggregate(zip_with(a.embedding, b.embedding, "
-    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)",
-    "dd14_assign",
+# r12 (guide §4.2 — vectorize the hot Python-free stage in native code):
+# the pair cosine was the suite's dominant interpreted-lambda cost (the
+# aggregate(zip_with(...)) left fold is evaluated per pair, per element,
+# in Catalyst's interpreter; a flat 64-term codegen unroll was measured
+# WORSE — ~4x on the pair stage — the generated method blows past the JIT
+# compile limits). The pair stage now runs as ONE applyInPandas over the
+# cid groups: numpy computes the dot with an EXPLICIT per-dimension fold
+#     acc = 0.0;  for d: acc += f64(E[i,d]) * f64(E[j,d])
+# which performs the IDENTICAL sequence of IEEE float64 operations as the
+# SQL fold ((0.0+t1)+t2)+... — cast-to-double, multiply, left-to-right
+# add, 0.0 seed — so the dot is bit-exact (np.dot/BLAS would pairwise-
+# reassociate; this loop does not). sim_raw = dot / (nrm_a * nrm_b) is
+# the same two IEEE ops as the SQL division. The ROUND(.,6) and the
+# sim >= tau gate stay in SQL (Spark's HALF_UP decimal round); Python
+# pre-gates at tau - 1e-6 (conservative: ROUND(x,6) >= 0.35 requires
+# x >= 0.3499995) so only near-threshold pairs cross the boundary back.
+# Shuffle shape is unchanged: ONE cid-keyed exchange of the checkpointed
+# assignment (the SQL self-join also shuffled it once + ReusedExchange);
+# the group loop replaces the O(cell^2) interpreted-cosine join body with
+# vectorized numpy — the guide's "let Spark do distribution, hand whole
+# batches to native code" shape. Works at ANY embedding dimension (the
+# synthetic-corpus structural tests use 8-dim vectors).
+_DD14_PY_GATE = _DD14_TAU - 1e-6
+
+_DD14_PAIRS_RAW_SCHEMA = (
+    "va long, vb long, cid long, cs_a long, cs_b long, sim_raw double"
 )
+
+
+def _dd14_cell_pairs(pdf):
+    """applyInPandas worker: all >= (tau - 1e-6) cosine pairs within one
+    cell, dot computed with the exact left-fold dimension loop (see the
+    block comment above for the bit-exactness argument)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["va", "vb", "cid", "cs_a", "cs_b", "sim_raw"]
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({c: [] for c in cols})
+    pdf = pdf.sort_values("vec_id", kind="mergesort")
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    cs = pdf["cs"].to_numpy(np.int64)
+    nrm = pdf["nrm"].to_numpy(np.float64)
+    emb = np.stack([np.asarray(e) for e in pdf["embedding"]]).astype(np.float64)
+    ii, jj = np.triu_indices(n, 1)
+    acc = np.zeros(len(ii), dtype=np.float64)
+    for d in range(emb.shape[1]):
+        acc = acc + emb[ii, d] * emb[jj, d]
+    sim_raw = acc / (nrm[ii] * nrm[jj])
+    keep = sim_raw >= _DD14_PY_GATE
+    return pd.DataFrame(
+        {
+            "va": ids[ii[keep]],
+            "vb": ids[jj[keep]],
+            "cid": np.full(int(keep.sum()), np.int64(pdf["cid"].iloc[0])),
+            "cs_a": cs[ii[keep]],
+            "cs_b": cs[jj[keep]],
+            "sim_raw": sim_raw[keep],
+        }
+    )
+
+
+def _dd14_pairs_py(assign_df: DataFrame) -> DataFrame:
+    """The vectorized within-cell duplicate-pair relation (replaces the
+    SQL self-join + interpreted-lambda cosine; see _dd14_cell_pairs)."""
+    return assign_df.groupBy("cid").applyInPandas(
+        _dd14_cell_pairs, schema=_DD14_PAIRS_RAW_SCHEMA
+    )
+
+
+# the exact tau gate and HALF_UP round stay engine-side; sim_raw is the
+# bit-exact dot/(nrm_a*nrm_b) the SQL form computed
+_DD14_PAIRS_FROM_RAW = f"""
+SELECT * FROM (
+  SELECT va, vb, cid, cs_a, cs_b, ROUND(sim_raw, 6) AS sim
+  FROM dd14_pairs_raw
+) p WHERE sim >= {_DD14_TAU}
+"""
 
 # r11: cell sizes are computed INSIDE the report job (referenced exactly
 # once — no re-execution hazard) instead of a third sequential checkpoint:
@@ -2010,13 +2084,18 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_floor = spark.conf.get(floor_key, None)
     spark.conf.set(floor_key, "false")
     try:
-        spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
+        assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
             eager=True, storageLevel=_BIG_CKPT_LEVEL
-        ).createOrReplaceTempView("dd14_assign")
+        )
+        assign.createOrReplaceTempView("dd14_assign")
         # materialize dup_pairs ONCE (tiny post-filter): the report's two
-        # stat branches would otherwise each re-run the cosine pair join
-        # (Catalyst inlines CTEs) — see _dd14_pairs
-        spark.sql(_DD14_PAIRS_SPARK).localCheckpoint(
+        # stat branches would otherwise each re-run the pair pass
+        # (Catalyst inlines CTEs). r12: the pair cosine runs vectorized
+        # in numpy per cid group (see _dd14_cell_pairs) — one cid-keyed
+        # exchange, no interpreted lambdas; the exact ROUND + tau gate
+        # stays in SQL (_DD14_PAIRS_FROM_RAW).
+        _dd14_pairs_py(assign).createOrReplaceTempView("dd14_pairs_raw")
+        spark.sql(_DD14_PAIRS_FROM_RAW).localCheckpoint(
             eager=True, storageLevel=_BIG_CKPT_LEVEL
         ).createOrReplaceTempView("dd14_pairs")
     finally:

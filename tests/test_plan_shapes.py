@@ -295,51 +295,37 @@ def test_dd14_pair_join_on_cluster_key(spark):
     assert "Scan parquet" not in plan, plan  # pair stage reads the ckpt
 
 
-def test_dd14_pair_exchange_is_reused_at_scale_shape(spark):
-    """The deployment shape of the pair stage: the self-join's two sides
-    share the checkpointed assignment's lineage, so the cid shuffle runs
-    ONCE and the other side is a ReusedExchange — the n-row wide relation
-    is materialized exactly once and shuffled exactly once (the r6-tail
-    pre-partitioned double-checkpoint OOM'd the sf100/16 GB memory decade
-    that this shape completes). Broadcast thresholds killed to expose the
-    beyond-broadcast-scale plan."""
+def test_dd14_pair_stage_single_cid_exchange_vectorized(spark):
+    """The deployment shape of the pair stage (r12): the n-row wide
+    assignment is shuffled EXACTLY ONCE (one cid-keyed exchange feeding
+    the grouped-map pair worker — the SQL self-join era also shuffled it
+    once via Exchange + ReusedExchange), the per-cell pairwise cosine
+    runs vectorized in numpy (FlatMapGroupsInPandas — no interpreted
+    lambda, no join of any kind), and the exact ROUND/tau gate remains
+    an engine-side Filter above it."""
     from db_converter_spark.catalog import register_views
     from db_converter_spark.operators.dedup import (
         _DD14_ASSIGN_SPARK,
-        _DD14_PAIRS_SPARK,
+        _DD14_PAIRS_FROM_RAW,
+        _dd14_pairs_py,
     )
 
     register_views(spark, SF)
     raw = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(eager=True)
     raw.createOrReplaceTempView("dd14_assign")
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-    }
-    prev = {c: spark.conf.get(c, None) for c in confs}
-    for c, v in confs.items():
-        spark.conf.set(c, v)
     try:
-        df = spark.sql(_DD14_PAIRS_SPARK)
-        df.collect()  # AQE must finalize for ReusedExchange to appear
-        plan = (
-            df._jdf.queryExecution().executedPlan().toString()
-        ).split("== Initial Plan ==")[0]
+        _dd14_pairs_py(raw).createOrReplaceTempView("dd14_pairs_raw")
+        plan = _fresh_plan(spark, _DD14_PAIRS_FROM_RAW)
     finally:
-        for c, v in prev.items():
-            if v is None:
-                spark.conf.unset(c)
-            else:
-                spark.conf.set(c, v)
         spark.catalog.dropTempView("dd14_assign")
-    assert "SortMergeJoin [cid" in plan, plan
-    real_exchanges = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
-    ]
-    assert len(real_exchanges) == 1, plan
-    assert "ReusedExchange" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(cid" in plan, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "lambdafunction" not in plan, plan
+    assert "Filter" in plan and "0.35" in plan, plan
 
 
 def test_dd14_assignment_is_aggregate_not_window(spark):

@@ -178,8 +178,9 @@ def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
     from db_converter_spark.catalog import register_views  # noqa: F401
     from db_converter_spark.operators.dedup import (
         _DD14_ASSIGN_SPARK,
-        _DD14_PAIRS_SPARK,
+        _DD14_PAIRS_FROM_RAW,
         _DD14_SPARK_MAIN,
+        _dd14_pairs_py,
     )
 
     assign = spark.sql(_DD14_ASSIGN_SPARK)
@@ -188,8 +189,12 @@ def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
     # and must land on the LOWER cid; nothing may occupy cell 251
     assert acheck[0] == 0 and acheck[251] == 0 and acheck[10] == 0
     assert acheck[11] == 0 and acheck[502] == 502 and acheck[20] == 502
-    assign.localCheckpoint(eager=True).createOrReplaceTempView("dd14_assign")
-    spark.sql(_DD14_PAIRS_SPARK).createOrReplaceTempView("dd14_pairs")
+    ckpt = assign.localCheckpoint(eager=True)
+    ckpt.createOrReplaceTempView("dd14_assign")
+    # r12: the pair cosine runs vectorized per cid group (8-dim vectors
+    # here — the worker folds over whatever dimension the data carries)
+    _dd14_pairs_py(ckpt).createOrReplaceTempView("dd14_pairs_raw")
+    spark.sql(_DD14_PAIRS_FROM_RAW).createOrReplaceTempView("dd14_pairs")
     # r11: cell sizes are inlined in _DD14_SPARK_MAIN (no dd14_cells view)
     got = sorted(tuple(r) for r in spark.sql(_DD14_SPARK_MAIN).collect())
     cells = {r[0]: r for r in got}

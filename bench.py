@@ -31,6 +31,7 @@ from db_converter_spark.benchutil import (
     build_compact_line,
     drop_leaked_views,
     gc_drain,
+    read_steal_ticks,
     reset_cross_query_memos,
 )
 from db_converter_spark.registry import all_queries
@@ -79,9 +80,19 @@ def main() -> int:
     # single runs on a loaded host and recorded noise as engine numbers.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
     bench_t0 = time.perf_counter()
+    # ambient-load telemetry (r11 verdict Next #7): hypervisor steal ticks
+    # and 1-min load average bracket the timed region so storm-dominated
+    # windows are mechanically flagged in the artifact (strict additions —
+    # existing parsers see the same required fields).
+    steal_t0 = read_steal_ticks()
+    try:
+        load1_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_start = -1.0
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     samples_by: dict[str, list[float]] = {}
+    steal_by: dict[str, list[int]] = {}
     degraded: list[str] = []
 
     # Temp-view dropping + GC-drain hygiene lives in benchutil (shared with
@@ -142,11 +153,15 @@ def main() -> int:
         if time.perf_counter() - bench_t0 > budget:
             n_runs = 1
             degraded.append(name)
+        stl = []
         for _ in range(n_runs):
             reset_cross_query_memos(spark)
+            s0 = read_steal_ticks()
             t0 = time.perf_counter()
             queries[name].builder(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
+            stl.append(read_steal_ticks() - s0)
+        steal_by[name] = stl  # parallel to UNSORTED samples order
         samples.sort()
         samples_by[name] = samples
         timings[name] = round(samples[0], 3)
@@ -240,6 +255,15 @@ def main() -> int:
     # (medians included) FIRST — it may be clipped — and finish with ONE
     # compact line carrying the best-of dict + totals, sized to survive
     # the capture window intact.
+    steal_total = read_steal_ticks() - steal_t0 if steal_t0 >= 0 else -1
+    try:
+        load1_end = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1_end = -1.0
+    ambient = {
+        "steal_ticks": steal_total,
+        "load1": [load1_start, load1_end],
+    }
     verbose = {
         "metric": "total_query_suite_seconds_verbose",
         "queries_best": timings,
@@ -247,6 +271,8 @@ def main() -> int:
         "runs_per_query": max(1, runs),
         "n_degraded_to_single_run": len(degraded),
         "resampled": resampled,
+        "ambient": ambient,
+        "queries_steal": steal_by,
     }
     print(json.dumps(verbose))
     # The full verbose record (best + median per query) also lands in a
@@ -278,6 +304,7 @@ def main() -> int:
             total_ex_baseline,
             sf_val,
             max(1, runs),
+            ambient=ambient,
         )
     )
     return 0

@@ -92,6 +92,20 @@ def gc_drain(spark, pause: float = 2.0, cycles: int = 1) -> None:
 COMPACT_LINE_MAX = 1900
 
 
+def read_steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (field 8 of /proc/stat's cpu line).
+    Ambient telemetry for the bench artifact (r11 verdict Next #7): a storm
+    window inflates every wall number 2-30x with zero local load, and the
+    PERF comparison needs a mechanical marker for that. Returns -1 where
+    /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
 def build_compact_line(
     timings: dict,
     medians: dict,
@@ -101,6 +115,7 @@ def build_compact_line(
     total_ex_baseline: float,
     sf_val,
     runs: int,
+    ambient: dict | None = None,
 ) -> str:
     """Serialize the final compact bench line, degrading precision and
     optional fields until it fits :data:`COMPACT_LINE_MAX`.
@@ -167,6 +182,12 @@ def build_compact_line(
             payload["total_ex_dd05_baseline"] = total_ex_baseline
             payload["runs_per_query"] = runs
             payload["n_degraded_to_single_run"] = n_degraded
+        if ambient:
+            # strict ADDITION (r11 verdict Next #7): ambient-load marker so
+            # the driver's PERF comparison can flag storm-dominated windows
+            # mechanically. Kept even on the minimal rung — it is ~40 chars
+            # and the whole point is surviving into the artifact of record.
+            payload["ambient"] = ambient
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= COMPACT_LINE_MAX:
             return line

@@ -1174,11 +1174,41 @@ _DD10_AGREE = " + ".join(
 _DD10_MIN_AGREE = 5
 
 
-def _dd10_band_ctes(sig_source: str) -> str:
+def _dd10_band_ctes(
+    sig_source: str, guard_window: bool = False, emit_agree: bool = False
+) -> str:
     """CTE chain from a ``sig`` relation (``sig_source``) to the gated
     candidate set ``cand`` — dialect-neutral except for the band-key
-    spelling handled by the callers."""
-    return f"""
+    spelling handled by the callers.
+
+    ``guard_window`` (Spark side, r12 — guide §2.4): the mega-bucket
+    guard's bucket size becomes COUNT(*) OVER (PARTITION BY band, bkey)
+    instead of the bsize aggregate + self-join — identical sizes and
+    surviving rows, but the ``bands`` posexplode/md5 chain is evaluated
+    HALF as often (Catalyst inlines CTEs per reference: the join form
+    expands bands 4x under cand0's self-join — 2x per bands_ok branch —
+    the window form 2x) and the aggregate's extra exchange disappears.
+
+    ``emit_agree`` (Spark side, r12): ``cand`` carries the ≥5-of-8
+    agreement count it already computes in its gate, so dd16's
+    calibration tail reads it from the materialized candidates instead
+    of re-joining the signature table twice. The DuckDB oracles keep the
+    original text for both (defaults False)."""
+    agree_col = f", ({_DD10_AGREE}) AS n_agree" if emit_agree else ""
+    if guard_window:
+        guard = """
+bands_ok AS (
+  -- mega-bucket guard: a bucket of n docs mints n(n-1)/2 pairs; buckets
+  -- past the cap are low-information collisions (standard LSH practice:
+  -- drop or sub-sample them) — the verify stage stays O(candidates).
+  -- Bucket size via a window over the same pass (r12)
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey, COUNT(*) OVER (PARTITION BY band, bkey) AS n
+    FROM bands
+  ) g WHERE n <= 100
+),"""
+    else:
+        guard = """
 bsize AS (
   SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
 ),
@@ -1189,14 +1219,15 @@ bands_ok AS (
   SELECT b.doc_id, b.band, b.bkey
   FROM bands b JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
   WHERE s.n <= 100
-),
+),"""
+    return f"""{guard}
 cand0 AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands_ok a JOIN bands_ok b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 cand AS (
-  SELECT c.da, c.db
+  SELECT c.da, c.db{agree_col}
   FROM cand0 c
   JOIN {sig_source} sa ON sa.doc_id = c.da
   JOIN {sig_source} sb ON sb.doc_id = c.db
@@ -1264,8 +1295,8 @@ WITH bands AS (
   LATERAL VIEW posexplode(array(
     {_DD10_BAND_KEYS_SPARK}
   )) t AS band, bkey
-),{_dd10_band_ctes("dd10_sig")}
-SELECT da, db FROM cand
+),{_dd10_band_ctes("dd10_sig", guard_window=True, emit_agree=True)}
+SELECT da, db, n_agree FROM cand
 """
 
 _DD10_DOCSH_SPARK = f"""
@@ -1818,20 +1849,19 @@ def _dd14_key(col: str, cast: str) -> str:
     return f"{cast} * 100000000000000000000 - {col}"
 
 
-def _dd14_assign_sql(nrm: str, cos: str, h: str, widen: str) -> str:
-    """Two-level (coarse→fine) centroid assignment, dialect-parameterized.
-
-    ``nrm``: L2-norm expression over ``embedding``; ``cos(a, av, an, b,
-    bv, bn)`` is produced by format on alias/vector/norm column names;
-    ``h``: md5→BIGINT hash template over ``{x}``; ``widen``: cast template
-    widening ``{x}`` past BIGINT for the packed key.
-    """
+def _dd14_fine_ctes(nrm: str, cos: str, h: str, widen: str) -> str:
+    """The CTE chain of the two-level assignment up to ``fine`` (vecs →
+    cents → supers → vsim/vsup → csim → csup → fine), split out (r12) so
+    the vectorized Python assign can collect ``supers`` and ``fine`` from
+    the SAME text the SQL assign embeds — byte-identical derivation
+    either way. vsim/vsup stay here in their original position so the
+    composed oracle text is unchanged; a caller that selects only
+    supers/fine never executes them (Catalyst prunes unreferenced
+    CTEs)."""
     key = lambda col: _dd14_key(col, widen.format(x="cs_x1m"))  # noqa: E731
     cos_vs = cos.format(a="v", av="embedding", an="nrm", b="s", bv="sv", bn="snrm")
     cos_cs = cos.format(a="c", av="cv", an="cnrm", b="s", bv="sv", bn="snrm")
-    cos_vf = cos.format(a="v", av="embedding", an="nrm", b="f", bv="cv", bn="cnrm")
-    return f"""
-WITH vecs AS (
+    return f"""vecs AS (
   SELECT vec_id, embedding, {nrm} AS nrm
   FROM embeddings
 ), cents AS (
@@ -1876,7 +1906,21 @@ WITH vecs AS (
   -- vectors — k rows total, the SMALL side of the fine argmax
   SELECT m.sid, c.cid, c.cv, c.cnrm
   FROM csup m JOIN cents c ON c.cid = m.cid
-), sims AS (
+)"""
+
+
+def _dd14_assign_sql(nrm: str, cos: str, h: str, widen: str) -> str:
+    """Two-level (coarse→fine) centroid assignment, dialect-parameterized.
+
+    ``nrm``: L2-norm expression over ``embedding``; ``cos(a, av, an, b,
+    bv, bn)`` is produced by format on alias/vector/norm column names;
+    ``h``: md5→BIGINT hash template over ``{x}``; ``widen``: cast template
+    widening ``{x}`` past BIGINT for the packed key.
+    """
+    key = lambda col: _dd14_key(col, widen.format(x="cs_x1m"))  # noqa: E731
+    cos_vf = cos.format(a="v", av="embedding", an="nrm", b="f", bv="cv", bn="cnrm")
+    return f"""
+WITH {_dd14_fine_ctes(nrm, cos, h, widen)}, sims AS (
   -- fan-out AFTER the wide join: vecs joins vsup 1:1 first (n wide
   -- rows), then the ~sqrt(k)-way child expansion happens streaming
   -- through the fine join and collapses map-side in pick's max_by. The
@@ -2000,6 +2044,178 @@ SELECT * FROM (
 ) p WHERE sim >= {_DD14_TAU}
 """
 
+
+# --- r12: vectorized n-scale assignment (guide §4.2) ------------------------
+# The two n-scale argmax passes (vector→super, vector→fine-cell) were the
+# other interpreted-lambda hot path: n·√k coarse + n·√k fine cosines, each
+# an aggregate(zip_with(...)) interpreter fold, plus two n-row exchanges
+# (vsup argmax, pick argmax) and two n-row joins. They now run as ONE
+# mapInPandas over the embeddings scan — ZERO exchanges (the scan is
+# embarrassingly parallel; the old plan shuffled the n-row relation twice)
+# — against the k-scale `supers` and `fine` tables, which are still
+# derived by the engine from the SAME CTE text the SQL assign embeds
+# (_dd14_fine_ctes: cents → md5-residue supers → csim self-routing argmax
+# → csup → fine) and then collected and broadcast into the workers. The
+# SQL plan ALREADY broadcast the full fine table (BROADCAST(f) hint), so
+# the memory class at scale is unchanged; the collect is computed
+# in-query per run (nothing cached across runs).
+#
+# Bit-exactness vs the SQL form, piece by piece:
+#   - dot products: explicit per-dimension fold (acc += f64(x)*f64(y)) —
+#     the identical IEEE op sequence as the zip_with left fold (see the
+#     pairs comment above); the norm's squared terms are non-negative so
+#     its fold is unconditionally bit-identical, and np.sqrt is the same
+#     correctly-rounded IEEE sqrt as the JVM's.
+#   - cs_x1m = CAST(ROUND(1e6·dot/(nrm_v·nrm_c)) AS BIGINT): the numerator
+#     multiply, denominator multiply and division replicate the SQL
+#     expression's op order; HALF_UP rounding is floor(|x|+0.5) with a
+#     guard band — any value within 1e-9 of a .5 boundary (where the
+#     float +0.5 could itself round across the boundary) is re-rounded
+#     through decimal.Decimal's exact binary expansion, which agrees with
+#     the JVM BigDecimal HALF_UP everywhere (the .5 boundaries are dyadic,
+#     so shortest-repr and exact-expansion classify every double
+#     identically).
+#   - argmax tie-breaks: the packed key cs_x1m·10²⁰ − id means max cs,
+#     ties → lowest id; with candidate ids sorted ascending, np.argmax
+#     returns the first maximum — the same rule, no widening needed.
+_DD14_FINE_SPARK = "WITH " + _dd14_fine_ctes(
+    nrm=(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x))"
+    ),
+    cos=(
+        "CAST(ROUND(1000000.0 * aggregate(zip_with({a}.{av}, {b}.{bv},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x) / ({a}.{an} * {b}.{bn})) AS BIGINT)"
+    ),
+    h="CAST(conv(substring(md5(CAST({x} AS STRING)), 1, 15), 16, 10) AS BIGINT)",
+    widen="CAST({x} AS DECIMAL(7,0))",
+)
+
+# ONE k-scale collect: fine carries every centroid tagged by its routed
+# super, and self-routing (csim's forced ceiling) guarantees each super
+# appears as its own (sid, cid=sid, sv, snrm) row — so the supers table
+# is recoverable from fine's sid==cid rows without a second derivation.
+_DD14_FINE_SELECT = _DD14_FINE_SPARK + "\nSELECT sid, cid, cv, cnrm FROM fine"
+
+_DD14_ASSIGN_PY_SCHEMA = (
+    "vec_id long, cid long, cs long, embedding array<float>, nrm double"
+)
+
+
+def _dd14_round_half_up_x1m(num, den):
+    """Vectorized CAST(ROUND(num/den) AS BIGINT) with JVM BigDecimal
+    HALF_UP semantics (see the block comment above for the guard-band
+    argument)."""
+    import numpy as np
+
+    x = num / den
+    ax = np.abs(x)
+    r = np.floor(ax + 0.5)
+    frac = ax - np.floor(ax)
+    amb = np.abs(frac - 0.5) < 1e-9
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_ax = ax.reshape(-1)
+        flat_r = r.reshape(-1)
+        for i in np.nonzero(amb.reshape(-1))[0]:
+            flat_r[i] = float(
+                Decimal(float(flat_ax[i])).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+        r = flat_r.reshape(ax.shape)
+    return (np.sign(x) * r).astype(np.int64)
+
+
+def _dd14_fold_dots(E, M):
+    """(B,d) x (C,d) -> (B,C) dot matrix via the explicit per-dimension
+    fold — per (b,c) the identical IEEE float64 op sequence as the SQL
+    left fold."""
+    import numpy as np
+
+    acc = np.zeros((E.shape[0], M.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):
+        acc = acc + E[:, d : d + 1] * M[None, :, d].reshape(1, -1)
+    return acc
+
+
+def _dd14_assign_py(spark: SparkSession, vecs_df: DataFrame) -> DataFrame:
+    """The vectorized two-level assignment: k-scale supers/fine collected
+    from the engine (same CTE text as the SQL assign), n-scale coarse+fine
+    argmax in numpy via mapInPandas — zero exchanges, no interpreted
+    lambdas on the n-scale path."""
+    import numpy as np
+
+    fine_rows = spark.sql(_DD14_FINE_SELECT).collect()
+    # supers = fine's self-routed rows, sorted by sid ascending so
+    # np.argmax's first-max = lowest sid (the packed-key tie-break)
+    sup_rows = sorted(
+        (r for r in fine_rows if r["sid"] == r["cid"]), key=lambda r: r["sid"]
+    )
+    sup_ids = np.array([r["sid"] for r in sup_rows], dtype=np.int64)
+    sup_mat = np.array([r["cv"] for r in sup_rows], dtype=np.float64)
+    sup_nrm = np.array([r["cnrm"] for r in sup_rows], dtype=np.float64)
+    fine_by_sid: dict = {}
+    for r in sorted(fine_rows, key=lambda r: (r["sid"], r["cid"])):
+        fine_by_sid.setdefault(r["sid"], []).append(r)
+    fine_packed = {
+        sid: (
+            np.array([r["cid"] for r in rows], dtype=np.int64),
+            np.array([r["cv"] for r in rows], dtype=np.float64),
+            np.array([r["cnrm"] for r in rows], dtype=np.float64),
+        )
+        for sid, rows in fine_by_sid.items()
+    }
+    bc = spark.sparkContext.broadcast((sup_ids, sup_mat, sup_nrm, fine_packed))
+
+    def assign_batches(it):
+        import pandas as pd
+
+        s_ids, s_mat, s_nrm, fine = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            emb32 = pdf["embedding"]
+            E = np.stack([np.asarray(e) for e in emb32]).astype(np.float64)
+            # norm: non-negative-term fold, then IEEE sqrt
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for d in range(E.shape[1]):
+                acc = acc + E[:, d] * E[:, d]
+            nrm = np.sqrt(acc)
+            # coarse: argmax over supers (ids ascending -> first max wins)
+            cs_coarse = _dd14_round_half_up_x1m(
+                1000000.0 * _dd14_fold_dots(E, s_mat),
+                nrm[:, None] * s_nrm[None, :],
+            )
+            best_s = s_ids[np.argmax(cs_coarse, axis=1)]
+            # fine: per chosen super, argmax over its child centroids
+            out_cid = np.empty(len(ids), dtype=np.int64)
+            out_cs = np.empty(len(ids), dtype=np.int64)
+            for sid in np.unique(best_s):
+                gi = np.nonzero(best_s == sid)[0]
+                c_ids, c_mat, c_nrm = fine[int(sid)]
+                cs_f = _dd14_round_half_up_x1m(
+                    1000000.0 * _dd14_fold_dots(E[gi], c_mat),
+                    nrm[gi, None] * c_nrm[None, :],
+                )
+                pick = np.argmax(cs_f, axis=1)  # cids ascending: first max
+                out_cid[gi] = c_ids[pick]
+                out_cs[gi] = cs_f[np.arange(len(gi)), pick]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cid": out_cid,
+                    "cs": out_cs,
+                    "embedding": emb32.reset_index(drop=True),
+                    "nrm": nrm,
+                }
+            )
+
+    return vecs_df.mapInPandas(assign_batches, schema=_DD14_ASSIGN_PY_SCHEMA)
+
 # r11: cell sizes are computed INSIDE the report job (referenced exactly
 # once — no re-execution hazard) instead of a third sequential checkpoint:
 # the k-row aggregate streams the serialized assignment checkpoint exactly
@@ -2084,7 +2300,12 @@ def dd14_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_floor = spark.conf.get(floor_key, None)
     spark.conf.set(floor_key, "false")
     try:
-        assign = spark.sql(_DD14_ASSIGN_SPARK).localCheckpoint(
+        # r12: the n-scale coarse+fine argmax runs vectorized in numpy
+        # over the embeddings scan (zero exchanges — the SQL form
+        # shuffled the n-row relation twice); the k-scale supers/fine
+        # derivation stays engine-side (see _dd14_assign_py).
+        vecs_df = spark.sql("SELECT vec_id, embedding FROM embeddings")
+        assign = _dd14_assign_py(spark, vecs_df).localCheckpoint(
             eager=True, storageLevel=_BIG_CKPT_LEVEL
         )
         assign.createOrReplaceTempView("dd14_assign")
@@ -2469,16 +2690,31 @@ def dc04_benchmark_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows.
 
 
-def _dd16_tail(cand: str, doc_sh: str, sig: str, hints: bool = False) -> str:
+def _dd16_tail(
+    cand: str, doc_sh: str, sig: str, hints: bool = False,
+    agree_from_cand: bool = False,
+) -> str:
+    """``agree_from_cand`` (Spark side, r12): the materialized candidate
+    relation already carries the n_agree its gate computed
+    (emit_agree in _dd10_band_ctes), so the calibration recount drops its
+    two signature re-joins and reads the column. The DuckDB oracle keeps
+    the re-join text (default False) — identical values either way."""
     h_agree = "/*+ BROADCAST(c) */ " if hints else ""
-    return (
-        _dd10_jac_ctes(cand, doc_sh, hints)
-        + f""", agree AS (
+    if agree_from_cand:
+        agree_cte = f""", agree AS (
+  SELECT da, db, n_agree FROM {cand}
+)"""
+    else:
+        agree_cte = f""", agree AS (
   SELECT {h_agree}c.da, c.db, ({_DD10_AGREE}) AS n_agree
   FROM {cand} c
   JOIN {sig} sa ON sa.doc_id = c.da
   JOIN {sig} sb ON sb.doc_id = c.db
-)
+)"""
+    return (
+        _dd10_jac_ctes(cand, doc_sh, hints)
+        + agree_cte
+        + """
 SELECT a.n_agree,
   CAST(COUNT(*) AS BIGINT)                                   AS n_pairs,
   CAST(ROUND(1000.0 * AVG(j.j)) AS BIGINT)                   AS mean_jaccard_x1000,
@@ -2494,7 +2730,9 @@ GROUP BY a.n_agree
     )
 
 
-_DD16_TAIL_SPARK = "WITH " + _dd16_tail("dd10_cand", "dd10_doc_sh", "dd10_sig", hints=True)
+_DD16_TAIL_SPARK = "WITH " + _dd16_tail(
+    "dd10_cand", "dd10_doc_sh", "dd10_sig", hints=True, agree_from_cand=True
+)
 
 
 def _dd16_duck() -> str:
@@ -2567,19 +2805,35 @@ def dd16_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD17_DELTA_PRED = "doc_id % 7 = 3"
 
 
-def _dd17_cand_ctes(branches: str, sig_src: str) -> str:
+def _dd17_cand_ctes(branches: str, sig_src: str, guard_window: bool = False) -> str:
     """Pure CTE chain (bands → guard → probe → agreement gate) ending in
     ``cand`` — a lead parameter on each caller, no post-hoc string
-    surgery (the pipe13 lesson)."""
-    return f"""bands AS (
-  {branches}
-), bsize AS (
+    surgery (the pipe13 lesson).
+
+    ``guard_window`` (Spark side, r12): bucket size via COUNT(*) OVER
+    (PARTITION BY band, bkey) — same rows survive, the bands chain is
+    evaluated half as often under cand0's self-join and the bsize
+    aggregate's exchange disappears (see _dd10_band_ctes). DuckDB oracle
+    keeps the aggregate+join text (default False)."""
+    if guard_window:
+        guard = """bands_ok AS (
+  SELECT doc_id, is_d, band, bkey FROM (
+    SELECT doc_id, is_d, band, bkey,
+           COUNT(*) OVER (PARTITION BY band, bkey) AS n
+    FROM bands
+  ) g WHERE n <= 100
+)"""
+    else:
+        guard = """bsize AS (
   SELECT band, bkey, COUNT(*) AS n FROM bands GROUP BY band, bkey
 ), bands_ok AS (
   SELECT b.doc_id, b.is_d, b.band, b.bkey
   FROM bands b JOIN bsize s ON b.band = s.band AND b.bkey = s.bkey
   WHERE s.n <= 100
-), cand0 AS (
+)"""
+    return f"""bands AS (
+  {branches}
+), {guard}, cand0 AS (
   -- batch side probes corpus side only: no a<b, the sides are disjoint
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands_ok a JOIN bands_ok b
@@ -2641,7 +2895,7 @@ _DD17_BANDS_BRANCH_SPARK = f"""
 
 _DD17_CAND_SPARK = (
     "WITH "
-    + _dd17_cand_ctes(_DD17_BANDS_BRANCH_SPARK, "dd17_sig")
+    + _dd17_cand_ctes(_DD17_BANDS_BRANCH_SPARK, "dd17_sig", guard_window=True)
     + "\nSELECT da, db FROM cand"
 )
 

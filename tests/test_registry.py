@@ -51,8 +51,10 @@ def test_compact_bench_line_fits_capture_window():
     timings = {n: 999.999 for n in names}
     medians = {n: 9999.999 for n in names}  # every query trips med_hot
     resampled = sorted(n.split("_", 1)[0] for n in names[: len(names) // 2])
+    worst_ambient = {"steal_ticks": 99999999, "load1": [999.9, 999.9]}
     line = build_compact_line(
-        timings, medians, resampled, len(names), 99999.999, 99999.999, 0.1, 3
+        timings, medians, resampled, len(names), 99999.999, 99999.999, 0.1, 3,
+        ambient=worst_ambient,
     )
     assert len(line) <= COMPACT_LINE_MAX, (
         f"compact bench line is {len(line)} chars at worst case; the"
@@ -63,6 +65,8 @@ def test_compact_bench_line_fits_capture_window():
     for field in ("metric", "value", "unit", "queries", "sf"):
         assert field in parsed, f"required field {field} dropped from compact line"
     assert len(parsed["queries"]) == len(names)
+    # the r12 ambient marker is an addition and must survive degradation
+    assert parsed.get("ambient") == worst_ambient
     # realistic shape (committed expected bests, nothing hot) must fit on
     # the FIRST rung so precision is only degraded under duress
     import os

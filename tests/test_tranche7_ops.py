@@ -215,3 +215,43 @@ def test_dd14_tie_break_and_both_engines_on_duplicate_vectors(spark):
     )
     orows = sorted(tuple(r) for r in con.execute(_DD14_DUCK).fetchall())
     assert got == orows, (got, orows)
+
+
+def test_dd14_vectorized_assign_matches_sql_assign(spark):
+    """r12: the numpy mapInPandas assignment (explicit per-dimension fold,
+    guard-banded HALF_UP rounding, first-max tie-breaks) must be
+    BIT-IDENTICAL to the SQL two-level assignment on a tie-heavy fixture:
+    duplicate vectors (exact cosine ties at every level) and scaled copies
+    (equal direction, different norms) across non-64 dims — the edges the
+    parquet fixtures never pin. Validated at sf0.1/sf0.01/sf0.001 and a
+    100x replica corpus during r12; this pins the machinery."""
+    import random
+
+    from db_converter_spark.operators.dedup import (
+        _DD14_ASSIGN_SPARK,
+        _dd14_assign_py,
+    )
+
+    random.seed(7)
+    base = [[random.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [
+        (i, [x * (1.0, 2.0, 0.5)[i % 3] for x in base[i % 20]], 0)
+        for i in range(1200)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    try:
+        sql_rows = sorted(
+            (r["vec_id"], r["cid"], r["cs"], tuple(r["embedding"]), r["nrm"])
+            for r in spark.sql(_DD14_ASSIGN_SPARK).collect()
+        )
+        py_rows = sorted(
+            (r["vec_id"], r["cid"], r["cs"], tuple(r["embedding"]), r["nrm"])
+            for r in _dd14_assign_py(
+                spark, spark.sql("SELECT vec_id, embedding FROM embeddings")
+            ).collect()
+        )
+    finally:
+        spark.catalog.dropTempView("embeddings")
+    assert sql_rows == py_rows

@@ -51,56 +51,28 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # 
 # official green row.
 _CHECK_TAIL = (
     # =====================================================================
-    # r12 rotation (optimization round 2): the head MUST carry every query
-    # whose SOURCE changes in r12. Interim state while the round is in
-    # flight: dq05 (single multi-FK pass) and dd15 (df-window + fused
-    # ccand) moved OUT of the tail to the head; mm01/mm02 (untouched,
-    # fresh r11 rows) park in their place. The full r12 rotation (the 20
-    # parked r8 rows to the head, unchanged r11-row queries to the tail)
-    # lands at round close once the final source-changed set is known.
+    # r12 rotation (optimization round 2, final): the head = the 7 queries
+    # whose SOURCE changed in r12 (dq05 multi-FK single pass; dd15
+    # df-window + fused ccand; dd10/dd16/dd17 window bucket-guard +
+    # carried n_agree; dd13 via the shared dd10 candidate schema; dd14
+    # vectorized pair+assign) + dq08/ta13 (their r11 stamps predate the
+    # late-r11 commits 750e09d/b3e2ea0-family — re-verified fresh) + the
+    # 20 parked r8 rows (q04-q29 block, ss06/ss13/ss14, ta01/ta02/ta03/
+    # ta08) + the 5 r7-lineage scalar rows (q20-q23, q26, per the r10
+    # verdict) + 16 r9-row refreshes (the heaviest parked r9 paths:
+    # dc02-dc04, dd05, dd12, dq02/dq04/dq06, ev10/ev14, mg05, pipe13,
+    # ss09/ss10, ta07, q38) = exactly 50. The tail parks, oldest first:
+    # the remaining 14 r9 rows, the 39 r10 rows, and the 40 r11 rows the
+    # r11 head verified (all fingerprint-pinned at their stamped rounds —
+    # the freshness guard fails if any parked source drifts).
     # =====================================================================
-    "mm01_binary_decode",
-    "mm02_image_metadata",
-    "q04_left_join_counts",
-    "q05_customers_without_orders",
-    "q06_customers_with_big_order",
-    "q07_nullsafe_self_join",
-    "q08_self_join_pairs",
-    "q10_window_running_sum",
-    "q11_set_ops",
-    "q18_group_ordinal_having",
-    "q19_case_agg",
-    "q24_distinct_agg",
-    "q24b_array_agg_distinct",
-    "q27_pivot",
-    "q29_percentile",
-    "ss06_pq_adc_topk",
-    "ss13_truncated_rerank",
-    "ss14_sq8_topk",
-    "ta01_langid",
-    "ta02_quality_score",
-    "ta03_token_stats",
-    "ta08_vocab_topk",
-    "dc02_source_overlap",
-    "dc03_bloom_decontaminate",
-    "dc04_benchmark_burn",
-    "dd05_ngram_jaccard",
-    "dd10_lsh_jaccard_verify",
-    "dd12_dup_substring_runs",
-    "dd16_lsh_calibration",
-    "dq02_rate_anomaly",
-    "dq04_reconciliation",
-    "dq06_distribution_drift",
-    "ev10_session_window_stream",
     "ev11_interarrival_hist",
     "ev12_funnel",
     "ev13_retention_cohorts",
-    "ev14_transition_matrix",
     "ev15_load_profile",
     "ev16_watermark_audit",
     "mg03_scd2_history",
     "mg04_compaction_plan",
-    "mg05_table_checksum",
     "mg06_cdc_apply",
     "pipe01_corpus_filter",
     "pipe05_corpus_build",
@@ -108,50 +80,85 @@ _CHECK_TAIL = (
     "pipe08_curriculum_phases",
     "pipe09_leakage_safe_split",
     "pipe10_dataset_card",
-    "pipe13_importance_resample",
-    "q38_unpivot",
-    "ss09_lsh_recall",
-    "ss10_ivf_balance",
-    "ta07_trigram_lm",
-    "q01_pricing_summary",
-    "q25_rollup",
-    "q02_top_revenue_orders",
-    "q03_nation_revenue",
-    "q14_in_subquery",
-    "q13_scalar_subquery",
-    "q17_values_inline",
-    "q15_generate_series",
-    "q16_unnest_words",
-    "q30_json_extract",
-    "q31_array_funcs",
-    "q32_intersect_except",
-    "q33_offset_fetch",
-    "q37_pivot",
+    "dc01_decontaminate",
     "dd01_dedup_exact",
     "dd03_minhash_signatures",
     "dd04_minhash_lsh_bands",
     "dd06_simhash",
     "dd07_embedding_neardup",
-    "dc01_decontaminate",
     "dd11_dedup_keep_best",
-    "dd17_incremental_dedup",
-    "ta04_winnow_fingerprints",
-    "ta05_hll_distinct",
-    "ta06_repetition_score",
-    "pii01_pii_scrub",
-    "ta10_vocab_growth",
-    "ta11_tfidf_topterms",
-    "ta12_ppl_buckets",
     "ev01_windowed_event_stats",
     "ev02_sessionization",
-    "mg01_chunk_grid",
-    "mg02_incremental_diff",
     "ev04_asof_join",
     "ev05_range_join",
     "ev06_multi_rollup",
     "ev18_streaming_quantiles",
     "ev19_cohort_activity_retention",
+    "mg01_chunk_grid",
+    "mg02_incremental_diff",
+    "pii01_pii_scrub",
     "pipe15_neardup_safe_split",
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_nation_revenue",
+    "q13_scalar_subquery",
+    "q14_in_subquery",
+    "q15_generate_series",
+    "q16_unnest_words",
+    "q17_values_inline",
+    "q25_rollup",
+    "q30_json_extract",
+    "q31_array_funcs",
+    "q32_intersect_except",
+    "q33_offset_fetch",
+    "q37_pivot",
+    "ta04_winnow_fingerprints",
+    "ta05_hll_distinct",
+    "ta06_repetition_score",
+    "ta10_vocab_growth",
+    "ta11_tfidf_topterms",
+    "ta12_ppl_buckets",
+    "dc05_sketched_overlap",
+    "dd02_norm_fingerprint",
+    "dd08_neardup_components",
+    "dd09_span_dedup",
+    "dq01_constraint_audit",
+    "dq03_column_profile",
+    "dq07_quantile_profile",
+    "ev03_streaming_window",
+    "ev07_stream_dedup",
+    "ev08_stream_stream_join",
+    "ev09_stream_static_join",
+    "ev17_countmin_audit",
+    "mm01_binary_decode",
+    "mm02_image_metadata",
+    "mm03_frame_sample",
+    "mm04_image_resize",
+    "mm05_phash_neardup",
+    "pipe02_sequence_pack",
+    "pipe03_weighted_sample",
+    "pipe04_shard_assign",
+    "pipe06_token_budget",
+    "pipe11_context_fit",
+    "pipe12_epoch_plan",
+    "pipe14_unimax_waterfill",
+    "q09_window_top2_orders",
+    "q12_cte_chain",
+    "q28_lateral_top1",
+    "q34_cube_grouping_sets",
+    "q35_construct_probes",
+    "q36_recursive_cte",
+    "ss01_cosine_topk",
+    "ss02_lsh_buckets",
+    "ss03_ivf_assign",
+    "ss04_ivf_topk",
+    "ss05_knn_join",
+    "ss07_kmeans_train",
+    "ss08_ivf_trained_topk",
+    "ss11_pq_train",
+    "ss12_pq_trained_topk",
+    "ta09_bpe_train",
+    "ta14_bpe_encode",
 )
 # NOTE (r8 final state): tail parks queries whose newest official row is
 # r4-r7 with fingerprints pinned by the freshness guard; the r8 head = the
